@@ -1,0 +1,148 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's second sample app: iterative single-source shortest path
+  * (`/root/reference/sample_apps/shortest_path/main.cpp`).
+  *
+  * Reference shape: Bellman-Ford-style frontier relaxation — map scans a
+  * frontier node's CSR out-edges and emits `(dst, dist[src]+w)` iff it
+  * improves the current distance (main.cpp:32-46); reduce folds min per node
+  * and writes the shared `dist[]` array as a side effect (main.cpp:48-56);
+  * a driver loop feeds the reduce output back as the next frontier until it
+  * is empty (main.cpp:178-188).
+  *
+  * Spark-first re-expression (SURVEY.md §1.3/§7.4): the shared mutable
+  * `dist[]` becomes a `dist(node, dist)` DataFrame folded with `least()`
+  * each superstep; the CSR scan becomes a hash join frontier⋈edges; the
+  * improvement guard becomes a join+filter against current dist; the
+  * fixpoint test is `frontier.isEmpty`.
+  *
+  * Scale notes for the 100 TB target:
+  *   - edges are the big side: they stay partitioned; the (small, shrinking)
+  *     frontier is the probe side of the join each superstep.
+  *   - lineage is cut with an eager `localCheckpoint` every superstep
+  *     supersteps — without this the plan grows unboundedly over hundreds of
+  *     iterations (the hazard the reference's shared memory never sees).
+  *   - `persist(MEMORY_AND_DISK)` on dist/frontier: each is read twice per
+  *     superstep (join + count).
+  */
+object ShortestPath {
+
+  /** Parse the reference's text graph format (main.cpp:68-106): first line
+    * `numNodes numEdges`, then `src dst weight` triples. The reference graph
+    * is undirected — both directions inserted (main.cpp:92-93); duplicate /
+    * parallel edges are kept (min-reduce makes them harmless).
+    */
+  def loadGraph(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val parsed = lines
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .where(size(col("t")) === 3) // header line has 2 tokens
+      .select(
+        col("t").getItem(0).cast("long").as("src"),
+        col("t").getItem(1).cast("long").as("dst"),
+        col("t").getItem(2).cast("double").as("weight"))
+    undirect(parsed)
+  }
+
+  /** Insert reverse edges (reference loader main.cpp:92-93). */
+  def undirect(edges: DataFrame): DataFrame =
+    edges.unionAll(edges.select(
+      col("dst").as("src"), col("src").as("dst"), col("weight")))
+
+  /** Deterministic synthetic graph (no data files needed): ring + skip
+    * edges over `n` nodes. Used by the `sssp_synthetic` query entry so the
+    * op is exercised at every scale factor without external inputs. */
+  def syntheticGraph(spark: SparkSession, n: Long): DataFrame = {
+    val ids = spark.range(0, n, 1, 32)
+    val ring = ids.select(
+      col("id").as("src"), ((col("id") + 1) % n).as("dst"),
+      lit(1.0).as("weight"))
+    val skip = ids.select(
+      col("id").as("src"), ((col("id") * 7 + 11) % n).as("dst"),
+      ((col("id") % 10) + 1).cast("double").as("weight"))
+    undirect(ring.unionAll(skip)).where(col("src") =!= col("dst"))
+  }
+
+  /** Single-source shortest paths. Returns `(node, dist)` for every node
+    * reachable from `source`. One row per reached node; unordered (the
+    * reference guarantees no order either, README.txt:55-58).
+    */
+  def sssp(edges: DataFrame, source: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; read every superstep
+
+    // dist: best-known distance per discovered node (≅ dist[], main.cpp:159-163,
+    // but sparse — undiscovered nodes are absent instead of +inf).
+    // Both superstep states are eagerly localCheckpoint'ed: without cutting
+    // lineage EVERY superstep the logical plan doubles per iteration (the
+    // full_outer join references both prior states) and plan
+    // compilation/explain blows up long before the data does. On a real
+    // cluster swap localCheckpoint for checkpoint(reliable dir) to also
+    // survive executor loss.
+    var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint(true)
+    // frontier: nodes whose dist improved last superstep (≅ the recycled
+    // output->input array, main.cpp:186).
+    var frontier = dist
+
+    while (!frontier.isEmpty) {
+      // A4 edge relaxation: frontier ⋈ edges, candidate = dist[src] + w.
+      // (alias both sides: after superstep 1 the frontier's lineage could
+      // otherwise collide with the edge relation's attribute ids)
+      val candidates = frontier.alias("f")
+        .join(e.alias("ed"), col("f.node") === col("ed.src"))
+        .select(col("ed.dst").as("node"),
+          (col("f.dist") + col("ed.weight")).as("cand"))
+      // A6 min-per-key (map-side partial min for free).
+      val best = candidates.groupBy("node").agg(min(col("cand")).as("cand"))
+      // A5 improvement filter (main.cpp:41) as join against current dist.
+      val improved = best.join(dist.withColumnRenamed("dist", "cur"),
+          Seq("node"), "left_outer")
+        .where(col("cur").isNull || col("cand") < col("cur"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint(true)
+
+      // Fold improvements into dist (replaces the reduce-side dist[] write,
+      // main.cpp:54).
+      val newDist = dist.withColumnRenamed("dist", "cur")
+        .join(improved.withColumnRenamed("dist", "imp"), Seq("node"), "full_outer")
+        .select(col("node"), least(col("cur"), col("imp")).as("dist"))
+        .localCheckpoint(true)
+      frontier = improved
+      dist = newDist
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Serial Dijkstra oracle (≅ reference main.cpp:108-140) — test-only. */
+  def dijkstra(edges: Seq[(Long, Long, Double)], source: Long): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3))
+    }
+    val dist = scala.collection.mutable.Map(source -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, source))(
+      Ordering.by(-_._1))
+    val done = scala.collection.mutable.Set.empty[Long]
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (!done(u)) {
+        done += u
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (d + w < dist.getOrElse(v, Double.PositiveInfinity)) {
+            dist(v) = d + w
+            pq.enqueue((d + w, v))
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.core.{MapReduce, MapReduceJob}
+import graft.apps.{NumberCount, ShortestPath}
+
+/** The reference's own capability surface as engine queries: the generic
+  * full-list MapReduce path (firebird.h F3-F5), count-per-key (number_count)
+  * and min-per-key (shortest_path's reduce), plus the iterative SSSP app.
+  * These deliberately run through `flatMap → groupByKey → flatMapGroups` /
+  * `Aggregator` so the driver's verify exercises the MR layer, not just
+  * relational shortcuts.
+  */
+object MapReduceQueries {
+
+  def all: Seq[QueryDef] =
+    Seq(mrCountPerKey, mrMinPerKey, numberCount, ssspSynthetic)
+
+  /** A1 count-per-key through the literal full-list-reduce MR path,
+    * keyed by integer quantity over lineitem. */
+  val mrCountPerKey = QueryDef("mr_count_per_key",
+    (s, d) => {
+      import s.implicits._
+      val qty = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("int").as("k")).as[Int]
+      val job = new MapReduceJob[Int, Int, Int, Long] {
+        def map(in: Int): IterableOnce[(Int, Int)] = Iterator((in, 1))
+        def reduce(key: Int, vals: Iterator[Int]): IterableOnce[Long] = {
+          var n = 0L
+          while (vals.hasNext) { vals.next(); n += 1 } // ≅ number_count main.cpp:15-20
+          Iterator.single(n)
+        }
+      }
+      MapReduce.run(qty, job).toDF("k", "cnt").orderBy(col("k"))
+    },
+    Some("""SELECT CAST(l_quantity AS INT) AS k, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** A6 min-per-key via the associative fast path (Aggregator → partial
+    * aggregation, the combiner the reference lacks). Min of doubles picks an
+    * existing value — exact in any engine. */
+  val mrMinPerKey = QueryDef("mr_min_per_key",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 100).as("k"), col("l_extendedprice").as("v"))
+        .as[(Long, Double)]
+      MapReduce.runAggregated[(Long, Double), Long, Double, Double](
+          pairs, p => Iterator(p), MapReduce.minAgg)
+        .toDF("k", "min_price").orderBy(col("k"))
+    },
+    Some("""SELECT l_partkey % 100 AS k, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** The reference flagship: seeded 10M-int histogram
+    * (number_count/main.cpp). No DuckDB table backs the generated data →
+    * rows-only check; ScalaTest proves MR == groupBy.count. */
+  val numberCount = QueryDef("number_count",
+    (s, _) => NumberCount.runIdiomatic(NumberCount.genInts(s, 10000000L))
+      .orderBy(col("value")),
+    None)
+
+  /** Iterative SSSP (shortest_path app) over a deterministic synthetic
+    * graph — driver fixpoint loop, join-based relaxation. Non-SQL
+    * (iterative) → rows-only; Dijkstra parity is proven in ScalaTest. */
+  val ssspSynthetic = QueryDef("sssp_synthetic",
+    (s, _) => {
+      val edges = ShortestPath.syntheticGraph(s, 1000L)
+      ShortestPath.sssp(edges, source = 0L)
+        .orderBy(col("node"))
+    },
+    None, bench = false)
+}
