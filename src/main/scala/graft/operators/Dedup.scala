@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` / `embeddings` (north-star
+  * extensions, SURVEY.md §2.4): exact (hash-groupBy), MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *   - exact dedup is one hash aggregation — the canonical 100 TB shape.
+  *   - MinHash+LSH: shingle → 16 permuted min-hashes → 4 bands × 4 rows →
+  *     candidates only from band-bucket self-joins → exact Jaccard verify
+  *     on candidates. All-pairs work never happens; cost is
+  *     O(docs × shingles × K) + O(candidate pairs), the standard
+  *     web-dedup recipe.
+  *   - SimHash: 32-bit signature per doc; pair generation here is a
+  *     bounded self-join (the sf tables are small); at 100 TB you'd band
+  *     the signature bits exactly like MinHash-LSH.
+  *   - n-gram Jaccard all-pairs is intentionally the *naive* baseline the
+  *     LSH variant replaces — kept oracle-checked to prove the LSH result
+  *     is a superset filter of the same measure.
+  *   - embedding near-dup: exact double-precision cosine; bounded
+  *     self-join here, IVF/LSH variant in graft.operators.Similarity.
+  *
+  * All hash arithmetic is mod 1e9+7 in BIGINT (see TextFunctions) so the
+  * DuckDB oracles reproduce results bit-exactly.
+  */
+object Dedup {
+
+  def all: Seq[QueryDef] =
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup)
+
+  /** Exact dedup on bag-of-words normal form: groupBy(normalized text) →
+    * keeper = min doc_id, group size. */
+  val exact = QueryDef("dedup_exact",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("norm", array_join(array_sort(tokens(col("text"))), " "))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select(col("keeper"), col("n_dups"))
+      .orderBy(col("keeper")),
+    Some("""SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      FROM (SELECT doc_id,
+        array_to_string(list_sort(string_split(text,' ')),' ') AS norm
+        FROM documents)
+      GROUP BY norm ORDER BY keeper"""))
+
+  /** Shingle-set relation used by the Jaccard-based ops: (doc_id, ss) with
+    * ss = distinct word-3-gram shingles. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
+      .select(col("doc_id"), col("ss"))
+
+  private val jaccardExpr =
+    (size(array_intersect(col("a_ss"), col("b_ss"))).cast("double") /
+      (size(col("a_ss")) + size(col("b_ss")) -
+        size(array_intersect(col("a_ss"), col("b_ss")))))
+
+  /** MinHash + LSH near-dup: K=16 signature, 4 bands × 4 rows, candidates
+    * from band buckets, verified at Jaccard ≥ 0.5. */
+  val minhashLsh = QueryDef("dedup_minhash_lsh",
+    (s, d) => {
+      val sets = shingleSets(s, d).cache()
+      // (doc_id, i, mh): minhash i = min over shingles of perm_i(rollhash(s))
+      val mh = sets
+        .select(col("doc_id"), explode(col("ss")).as("sh"))
+        .withColumn("th", rollHash("sh"))
+        .crossJoin(spark_range_16(s))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(expr(minhashPermSql("th", "i"))).as("mh"))
+      // band key: 4 consecutive minhashes joined as a string
+      val bands = mh
+        .withColumn("band", (col("i") / 4).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), ",").as("bkey"))
+      val cands = bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      cands
+        .join(sets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
+        .withColumn("jaccard", jaccardExpr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS th
+        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
+      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
+        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
+            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
+        FROM mh GROUP BY doc_id, band),
+      cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT a, b,
+        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
+      FROM cands JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+      WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+      ORDER BY a, b"""),
+    bench = true)
+
+  private def spark_range_16(s: SparkSession): DataFrame =
+    s.range(0, 16).select(col("id").as("i"))
+
+  /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1. */
+  val simhash = QueryDef("dedup_simhash",
+    (s, d) => {
+      val th = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h", rollHash("w"))
+      val sigs = th
+        .crossJoin(s.range(0, 32).select(col("id").as("i")))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(when(expr("2 * sum((h div cast(pow(2, i) as bigint)) % 2)") >=
+          count(lit(1)), expr("cast(pow(2, i) as bigint)")).otherwise(0L).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("b")).as("simhash"))
+      sigs.alias("x").join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int"))
+        .filter(col("hamming") <= 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(w,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS h
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+      bits AS (SELECT doc_id, i,
+          CASE WHEN 2*SUM((h // (1::BIGINT << i)) % 2) >= COUNT(*)
+            THEN (1::BIGINT << i) ELSE 0 END AS b
+        FROM th, range(0,32) r(i) GROUP BY doc_id, i),
+      sigs AS (SELECT doc_id, SUM(b) AS simhash FROM bits GROUP BY doc_id)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+      ORDER BY a, b"""))
+
+  /** Naive all-pairs n-gram Jaccard (the baseline LSH replaces; kept
+    * oracle-checked and bounded). */
+  val ngramJaccard = QueryDef("dedup_ngram_jaccard",
+    (s, d) => {
+      val sets = shingleSets(s, d)
+      sets.alias("x").join(sets.alias("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.ss").as("a_ss"), col("y.ss").as("b_ss"))
+        .withColumn("jaccard", jaccardExpr)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        WHERE len(t) >= 3)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+        CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /
+          (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
+      FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /
+          (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= 0.5
+      ORDER BY a, b"""),
+    bench = false)
+
+  /** Embedding near-dup: exact double-precision cosine ≥ 0.4 pairs. */
+  val embeddingNearDup = QueryDef("dedup_embedding_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("sqrt(aggregate(embedding, cast(0.0 as double), " +
+            "(a, x) -> a + cast(x as double) * cast(x as double)))").as("nrm"))
+      e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(x.embedding, y.embedding, " +
+            "(p, q) -> cast(p as double) * cast(q as double)), " +
+            "cast(0.0 as double), (a, v) -> a + v)"))
+        .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        list_sum(list_transform(range(1, len(x.embedding)+1),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          / (x.nrm * y.nrm) AS cosine
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+      WHERE list_sum(list_transform(range(1, len(x.embedding)+1),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          / (x.nrm * y.nrm) >= 0.4
+      ORDER BY a, b"""))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Num, Tables}
+
+/** Event-stream (batch) operators over the `events` table: time-window
+  * aggregation, gap-based sessionization, JSON property extraction, and
+  * per-window top-k. The streaming twins live in graft.streaming (same
+  * transformations over readStream — Structured Streaming's batch/stream
+  * unification makes these definitions shared).
+  *
+  * Scale: hourly windows shard naturally on (window, type); sessionization
+  * shuffles once on user_id — the standard keyed-window shape. Skewed
+  * users would be salted (graft docs) but the generator is uniform.
+  */
+object Events {
+  import Num._
+
+  def all: Seq[QueryDef] = Seq(hourly, sessionize, jsonProps, topMinute)
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum. */
+  val hourly = QueryDef("ev_hourly_agg",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(dec(col("value"))).as("sum_value"))
+      .orderBy(col("hour"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Gap-based sessionization (30-min inactivity): per user, number of
+    * sessions and the largest session (by event count). Lag → gap flag →
+    * running sum = session id — the canonical window-function recipe. */
+  val sessionize = QueryDef("ev_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH marked AS (SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+          THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_sessions,
+        MAX(n_events) AS max_session_events
+      FROM per_session GROUP BY user_id ORDER BY user_id"""))
+
+  /** JSON property extraction: sum of props.k per event type. */
+  val jsonProps = QueryDef("ev_json_props",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Busiest minute per event type (windowed top-1). */
+  val topMinute = QueryDef("ev_top_minute",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("minute"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("minute"), col("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, minute, n FROM (
+        SELECT event_type, minute, n, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY n DESC, minute) AS rn
+        FROM (SELECT date_trunc('minute', ts) AS minute, event_type,
+          COUNT(*) AS n FROM events GROUP BY 1, 2))
+      WHERE rn = 1 ORDER BY event_type"""))
+}

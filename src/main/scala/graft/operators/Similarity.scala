@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (north-star extension).
+  *
+  * Two paths, mirroring a production vector pipeline:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is tiny and
+  *     broadcast; the corpus side streams through one codegen'd projection
+  *     — the right baseline at any scale (cost N·k per query, no shuffle
+  *     except the final per-query top-k which AQE keeps local).
+  *   - [[annLsh]]: random-hyperplane LSH — bucket vectors by the sign
+  *     pattern of dot products against H deterministic hyperplanes, then
+  *     search only within the query's bucket. At 100 TB the bucket join
+  *     replaces the full scan; recall is probabilistic (ScalaTest measures
+  *     it against brute force) so the query entry is rows-only, not
+  *     oracle-hashed.
+  *
+  * Cosine math is double-precision, left-to-right fold — bit-identical to
+  * the DuckDB oracle (see Dedup for the convention).
+  */
+object Similarity {
+
+  def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh)
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(
+      "sqrt(aggregate(embedding, cast(0.0 as double), " +
+        "(a, x) -> a + cast(x as double) * cast(x as double)))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(q_emb, embedding, " +
+      "(p, v) -> cast(p as double) * cast(v as double)), " +
+      "cast(0.0 as double), (a, v) -> a + v)"
+
+  /** Exact cosine top-10 for each of the first 5 vectors as queries. */
+  val bruteForceTopK = QueryDef("sim_topk_bruteforce",
+    (s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+        FROM e WHERE vec_id < 5),
+      scored AS (SELECT q.q_id, e.vec_id,
+          list_sum(list_transform(range(1, len(q.q_emb)+1),
+            i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+            / (q.q_nrm * e.nrm) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  /** Number of random hyperplanes → 2^H buckets. */
+  val NumHyperplanes = 6
+
+  /** Deterministic pseudo-random hyperplane component h,i — a fixed affine
+    * formula so driver, tests and a future oracle agree without RNG. */
+  private def hyperplaneComponent(h: String, i: String): String =
+    s"(cast(($h * 37 + $i * 101 + 17) % 97 as double) / 97.0 - 0.5)"
+
+  /** Bucket id: sign-pattern of dot products with the H hyperplanes. */
+  private def bucketExpr: String = {
+    val bits = (0 until NumHyperplanes).map { h =>
+      val dot = s"aggregate(transform(sequence(1, size(embedding)), " +
+        s"i -> cast(element_at(embedding, i) as double) * " +
+        hyperplaneComponent(h.toString, "i") + "), " +
+        "cast(0.0 as double), (a, v) -> a + v)"
+      s"(case when $dot >= 0.0 then ${1 << h} else 0 end)"
+    }
+    bits.mkString(" + ")
+  }
+
+  /** ANN: top-3 neighbors per query vector, searched within the query's
+    * LSH bucket only. Rows-only (recall vs brute force is property-tested). */
+  val annLsh = QueryDef("sim_ann_lsh",
+    (s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+        .withColumn("bucket", expr(bucketExpr))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  /** Exact top-k via brute force, reusable from tests (returns neighbor ids
+    * per query id). */
+  def bruteForce(e: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val en = withNorm(e)
+    val q = en.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    en.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.4 /
+  * north-star extensions): token statistics, global word count (A1 over
+  * tokens), quality scoring, corpus-profile language ID, and rolling-hash
+  * document fingerprinting.
+  *
+  * Scale stance: everything is per-row expression work (codegen) plus one
+  * hash aggregation — no driver-side loops; word count and profiles use
+  * map-side partial aggregation. At 100 TB the only shuffle is the
+  * groupBy on (word) / (lang, word), both low-cardinality here and
+  * salt-able if a vocabulary were skewed.
+  */
+object TextAnalysis {
+
+  def all: Seq[QueryDef] =
+    Seq(tokenStats, wordcount, quality, fingerprint, langid)
+
+  /** Per-document token statistics. All ratios are single divisions of
+    * exact integers → bit-identical in DuckDB. */
+  val tokenStats = QueryDef("text_token_stats",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        (expr("aggregate(t, cast(0 as bigint), (a, w) -> a + length(w))")
+          .cast("double") / size(col("t"))).as("mean_word_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+      CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS DOUBLE)
+        / len(string_split(text,' ')) AS mean_word_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** Global word count — literally number_count (A1) over tokens. */
+  val wordcount = QueryDef("text_wordcount",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")),
+    Some("""SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      GROUP BY w ORDER BY cnt DESC, word"""))
+
+  /** Quality scoring: type-token ratio, stopword ratio, length saturation,
+    * blended into one deterministic score. */
+  val quality = QueryDef("text_quality",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("ttr", size(array_distinct(col("t"))).cast("double") / col("n"))
+      .withColumn("stop_ratio",
+        expr("size(filter(t, w -> w IN ('the', 'a')))").cast("double") / col("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("ttr"),
+        col("stop_ratio"),
+        (col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4 +
+          least(lit(1.0), col("n") / lit(100.0)) * 0.3).as("quality"))
+      .orderBy(col("doc_id")),
+    Some("""WITH q AS (SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+          / len(string_split(text,' ')) AS ttr,
+        CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+          / len(string_split(text,' ')) AS stop_ratio
+      FROM documents)
+      SELECT doc_id, n_tokens, ttr, stop_ratio,
+        ttr*0.3 + (1.0 - stop_ratio)*0.4 +
+        least(1.0, n_tokens/100.0)*0.3 AS quality
+      FROM q ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint (mod 1e9+7 — portable, overflow-free). */
+  val fingerprint = QueryDef("text_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), rollHash("text").as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+        (h,c) -> (h*31+c) % 1000000007) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-profile language ID: per language, take the 10 most
+    * *distinctive* words (by relative-frequency ratio, exact-integer
+    * arithmetic until one final division); classify each document by how
+    * many signature words it contains (integer score — no FP in the
+    * argmax), tie-broken by language name.
+    *
+    * Two-pass heuristic n-gram langid re-expressed as joins/aggregations —
+    * profiles are a tiny broadcast side at any corpus size.
+    */
+  val langid = QueryDef("text_langid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val lt = lw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val gw = lw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+      val gt = lw.agg(sum(col("c")).as("tg"))
+      val ratio = lw.join(lt, "lang").join(gw, "w").crossJoin(broadcast(gt))
+        .select(col("lang"), col("w"),
+          ((col("c").cast("double") / col("t")) /
+            (col("cg").cast("double") / col("tg"))).as("ratio"))
+      val wSig = Window.partitionBy(col("lang"))
+        .orderBy(col("ratio").desc, col("w"))
+      val sig = ratio.withColumn("rn", row_number().over(wSig))
+        .filter(col("rn") <= 10).select(col("lang").as("sig_lang"), col("w"))
+      val docWords = tok.select(col("doc_id"), col("w")).distinct()
+      val scores = docWords.join(broadcast(sig), "w")
+        .groupBy(col("doc_id"), col("sig_lang")).agg(count(lit(1)).as("score"))
+      val langs = sig.select(col("sig_lang")).distinct()
+      val full = docs.select(col("doc_id")).crossJoin(broadcast(langs))
+        .join(scores, Seq("doc_id", "sig_lang"), "left_outer")
+        .na.fill(0L, Seq("score"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("sig_lang"))
+      full.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("sig_lang").as("pred_lang"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
+      lw AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1,2),
+      lt AS (SELECT lang, SUM(c) AS t FROM lw GROUP BY 1),
+      gw AS (SELECT w, SUM(c) AS cg FROM lw GROUP BY 1),
+      gt AS (SELECT SUM(c) AS tg FROM lw),
+      ratio AS (SELECT lang, w,
+          (CAST(c AS DOUBLE)/t) / (CAST(cg AS DOUBLE)/tg) AS ratio
+        FROM lw JOIN lt USING(lang) JOIN gw USING(w), gt),
+      sig AS (SELECT lang AS sig_lang, w FROM (
+          SELECT lang, w, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY ratio DESC, w) AS rn FROM ratio) WHERE rn <= 10),
+      docwords AS (SELECT DISTINCT doc_id, w FROM tok),
+      scores AS (SELECT doc_id, sig_lang, COUNT(*) AS score
+        FROM docwords JOIN sig USING(w) GROUP BY 1,2),
+      langs AS (SELECT DISTINCT sig_lang FROM sig),
+      full_scores AS (SELECT d.doc_id, l.sig_lang,
+          COALESCE(s.score, 0) AS score
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN langs l
+        LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.sig_lang = l.sig_lang)
+      SELECT doc_id, sig_lang AS pred_lang, score FROM (
+        SELECT doc_id, sig_lang, score, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, sig_lang) AS rn
+        FROM full_scores) WHERE rn = 1 ORDER BY doc_id"""))
+}

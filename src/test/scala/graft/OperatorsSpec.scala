@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the pipeline-extension operators that go beyond what
+  * the per-query DuckDB oracles prove. */
+class OperatorsSpec extends SparkSpec {
+
+  val d = sf("sf0.001")
+
+  test("rolling hash matches hand-computed values") {
+    import spark.implicits._
+    // h("ab") = (0*31+97)*31+98 = 3105; h("") = 0
+    val got = Seq("ab", "", "a").toDF("text")
+      .select(TextFunctions.rollHash("text").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3105L, 0L, 97L))
+  }
+
+  test("minhash-LSH finds exactly the naive all-pairs Jaccard result here") {
+    // Planted near-dups have Jaccard ≈ 0.99; with 4 bands × 4 rows the
+    // collision probability at j=0.99 is ≈ 1, so LSH recall on this corpus
+    // must be total — the LSH result equals the quadratic baseline.
+    val lsh = Dedup.minhashLsh.fn(spark, d)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Dedup.ngramJaccard.fn(spark, d)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == naive)
+    assert(naive.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("exact dedup keeps every distinct bag-of-words once") {
+    val docs = Tables.documents(spark, d).count()
+    val res = Dedup.exact.fn(spark, d)
+    assert(res.agg(sum(col("n_dups"))).head().getLong(0) == docs)
+  }
+
+  test("ANN-LSH results are bucket-consistent and scored exactly") {
+    val ann = Similarity.annLsh.fn(spark, d).collect()
+    assert(ann.nonEmpty)
+    val bf = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // every ANN hit's cosine must equal the exact cosine for that pair
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) == 0.0)
+    }
+    // ranks contiguous per query starting at 1
+    ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    // report recall@3 vs brute force (informational — random vectors give
+    // modest angular-LSH recall by construction)
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(f"ANN recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
+  }
+
+  test("simhash pairs are well-formed and deterministic") {
+    // NB: recall against planted near-dups is inherently partial here — a
+    // 31-word vocabulary makes 32-bit simhash noisy (word swaps flip
+    // several bits). Engine parity is proven by the DuckDB oracle; this
+    // test checks structure and determinism.
+    val rows = Dedup.simhash.fn(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 1)
+    }
+    val again = Dedup.simhash.fn(spark, d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+    val planted = Dedup.ngramJaccard.fn(spark, d)
+      .filter(col("jaccard") >= 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (planted.nonEmpty)
+      info(f"simhash(hamming<=1) recall on j>=0.9 pairs = ${(planted & sim).size.toDouble / planted.size}%.2f")
+  }
+}
