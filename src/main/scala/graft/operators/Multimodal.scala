@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, processed by
+  * per-partition batch decoders.
+  *
+  * The container has no image/audio libraries, so the *decoder itself* is a
+  * clearly-marked deterministic stub ([[StubDecoder]]); everything around
+  * it — the schema, the `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`: one decoder instantiation per partition, streamed row
+  * batches), the frame-sampling fan-out, and the partitioning — is real and
+  * is what would carry a true JPEG/PCM decoder at 100 TB. Payload bytes are
+  * synthesized from `documents.text` (UTF-8), which also gives the DuckDB
+  * oracle a handle on the same bytes via `encode()`.
+  */
+object Multimodal {
+
+  def all: Seq[QueryDef] = Seq(decodeMeta, frameSample)
+
+  /** A media row: opaque payload + source metadata. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  /** Decoded metadata (what a real image/audio probe would return). */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+  /** One sampled frame. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Pluggable decoder — the seam where a real codec plugs in. */
+  trait Decoder extends Serializable {
+    def probe(payload: Array[Byte]): (Int, Int, Int) // width, height, frames
+    def frame(payload: Array[Byte], idx: Int): Array[Byte]
+  }
+
+  /** STUB: deterministic fake decode derived from payload length/bytes.
+    * A real deployment swaps this for an actual codec; all Spark-side
+    * plumbing is unchanged. */
+  object StubDecoder extends Decoder {
+    def probe(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      (1 + n % 64, 1 + n % 48, 1 + n / 256)
+    }
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val start = (idx * 256) min payload.length
+      payload.slice(start, (start + 256) min payload.length)
+    }
+  }
+
+  /** The documents table dressed as a media table (payload = UTF-8 bytes). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        concat(lit("kind_"), col("doc_id") % 3).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batch decode: one decoder per partition, rows streamed through it —
+    * the mapInPandas shape. */
+  def decode(media: Dataset[MediaRecord], decoder: Decoder): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init cost paid once (real codecs load models here)
+      val dec = decoder
+      it.map { r =>
+        val (w, h, f) = dec.probe(r.payload)
+        MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Frame sampling fan-out: every `stride`-th frame. */
+  def sampleFrames(media: Dataset[MediaRecord], decoder: Decoder,
+      stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (_, _, frames) = decoder.probe(r.payload)
+      (0 until frames by stride).iterator
+        .map(i => Frame(r.media_id, i, decoder.frame(r.payload, i)))
+    }
+  }
+
+  /** Decoded metadata per media row. The stub's arithmetic is reproduced
+    * byte-exactly by DuckDB over encode(text). */
+  val decodeMeta = QueryDef("mm_decode_meta",
+    (s, d) => decode(mediaTable(s, d), StubDecoder).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id,
+      'kind_' || CAST(doc_id % 3 AS VARCHAR) AS kind,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+      CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height,
+      CAST(1 + octet_length(encode(text)) // 256 AS INT) AS n_frames
+      FROM documents ORDER BY media_id"""))
+
+  /** Frame-sample fan-out counts (every 2nd frame). */
+  val frameSample = QueryDef("mm_frame_sample",
+    (s, d) => sampleFrames(mediaTable(s, d), StubDecoder, 2).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy(col("media_id")),
+    Some("""SELECT media_id, COUNT(*) AS n_sampled,
+      CAST(SUM(frame_len) AS BIGINT) AS sampled_bytes FROM (
+        SELECT doc_id AS media_id,
+          least(256, octet_length(encode(text)) - i*256) AS frame_len
+        FROM documents,
+          LATERAL (SELECT unnest(range(0, 1 + octet_length(encode(text)) // 256, 2)) AS i)
+        WHERE i*256 <= octet_length(encode(text)))
+      GROUP BY media_id ORDER BY media_id"""))
+}

@@ -7,5 +7,6 @@ object Registry {
   def all: Seq[QueryDef] =
     MapReduceQueries.all ++ Relational.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
-      graft.operators.Similarity.all ++ graft.operators.Events.all
+      graft.operators.Similarity.all ++ graft.operators.Events.all ++
+      graft.operators.Multimodal.all ++ StreamingQueries.all
 }

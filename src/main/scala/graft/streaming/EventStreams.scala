@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.4 — the
+  * reference has no streaming; this is north-star scope): the same event
+  * transformations as graft.operators.Events, expressed over unbounded
+  * input. Batch/stream unification means these functions accept either a
+  * `readStream` or a `read` DataFrame.
+  *
+  * Scale design: watermarked windowed aggregation is incremental state in
+  * the state store (no unbounded growth); sessionization uses
+  * `flatMapGroupsWithState` with event-time timeout — the idiomatic
+  * replacement for the reference's driver-managed mutable state (§1.3),
+  * sharded by user key across executors.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + value sums per event type, tolerating
+    * `lateness` of out-of-order data. Works on static or streaming input. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact sum (same convention as the batch catalog) so the
+        // result is reproducible and oracle-comparable
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+      n_events: Long)
+
+  /** Gap-based sessionization with event-time timeout: a session closes
+    * when no event arrives for `gapSec` in event time (watermark-driven).
+    * State is one tiny record per active user — bounded, shardable. */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, evs: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(user, new Timestamp(s.start),
+          new Timestamp(s.last), s.n))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapSec * 1000 =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              closed ::= Session(user, new Timestamp(s.start),
+                new Timestamp(s.last), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapSec * 1000)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Demo entry point: replays the batch events table through a streaming
+    * query (file source would be used in production; here the batch DF
+    * demonstrates the shared transformation). */
+  def runBatchAsStream(spark: SparkSession, sfDir: String): DataFrame =
+    windowedCounts(graft.Tables.events(spark, sfDir))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming behavior: streaming results must agree with the
+  * batch formulation (Spark's unification promise), and event-time-timeout
+  * sessionization must close sessions as the watermark passes the gap. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset well past epoch 0: an event at exactly the initial watermark (0)
+  // would be dropped as late by the state operators
+  def ts(min: Long): Timestamp = new Timestamp((100000L + min) * 60000L)
+
+  test("streaming windowed counts == batch aggregation on the same data") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts(1), 1, "click", 1.0), Ev(ts(5), 2, "view", 2.0),
+      Ev(ts(61), 1, "click", 3.0), Ev(ts(62), 1, "view", 4.0),
+      Ev(ts(125), 3, "click", 5.0))
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_counts")
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "2 hours")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.toSeq.map(_._3).sum == events.size)
+  }
+
+  test("sessionize closes sessions via event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionize(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session)
+    mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(10), 1, "view", 1.0))
+    out.processAllAvailable()
+    // far-future event advances the watermark past user 1's gap → times out
+    mem.addData(Ev(ts(600), 2, "click", 1.0))
+    out.processAllAvailable()
+    mem.addData(Ev(ts(1200), 3, "click", 1.0))
+    out.processAllAvailable()
+    out.stop()
+    val sessions = spark.table("sessions").as[Session].collect()
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1)
+    assert(u1.head.n_events == 2)
+    assert(u1.head.start_ts == ts(0) && u1.head.end_ts == ts(10))
+    // user 2's session closed when user 3's event advanced the watermark
+    assert(sessions.exists(s => s.user_id == 2 && s.n_events == 1))
+  }
+
+  test("sessionize splits on gap within one batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionize(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    // user 5: events at 0 and 100 min → 100min gap > 30min → first session
+    // closes immediately (emitted from the batch, not the timeout)
+    mem.addData(Ev(ts(0), 5, "click", 1.0), Ev(ts(100), 5, "view", 1.0))
+    out.processAllAvailable()
+    out.stop()
+    val sessions = spark.table("sessions2").as[Session].collect()
+    assert(sessions.length == 1)
+    assert(sessions.head.n_events == 1)
+    assert(sessions.head.start_ts == ts(0))
+  }
+}
