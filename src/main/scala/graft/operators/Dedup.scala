@@ -185,18 +185,18 @@ object Dedup {
       ORDER BY a, b"""),
     bench = false)
 
-  /** Embedding near-dup: exact double-precision cosine ≥ 0.4 pairs. */
+  /** Embedding near-dup: exact double-precision cosine ≥ 0.4 pairs.
+    * Dot products run through the native codegen DotProductF32 expression
+    * (graft.functions.VectorFunctions) — same left-to-right double fold,
+    * ~an order of magnitude faster than the higher-order-function form. */
   val embeddingNearDup = QueryDef("dedup_embedding_cosine",
     (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          expr("sqrt(aggregate(embedding, cast(0.0 as double), " +
-            "(a, x) -> a + cast(x as double) * cast(x as double)))").as("nrm"))
+          expr("sqrt(dot_f64(embedding, embedding))").as("nrm"))
       e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(x.embedding, y.embedding, " +
-            "(p, q) -> cast(p as double) * cast(q as double)), " +
-            "cast(0.0 as double), (a, v) -> a + v)"))
+        .withColumn("dot", expr("dot_f64(x.embedding, y.embedding)"))
         .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
         .filter(col("cosine") >= 0.4)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))

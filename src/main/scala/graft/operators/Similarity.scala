@@ -27,15 +27,14 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh)
 
-  private def withNorm(e: DataFrame): DataFrame =
-    e.withColumn("nrm", expr(
-      "sqrt(aggregate(embedding, cast(0.0 as double), " +
-        "(a, x) -> a + cast(x as double) * cast(x as double)))"))
+  /** Norms/dots use the native codegen DotProductF32 (see VectorFunctions)
+    * — bit-equal to the left-to-right double fold the oracles mirror. */
+  private def withNorm(e: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    e.withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(q_emb, embedding, " +
-      "(p, v) -> cast(p as double) * cast(v as double)), " +
-      "cast(0.0 as double), (a, v) -> a + v)"
+  private val dotExpr = "dot_f64(q_emb, embedding)"
 
   /** Exact cosine top-10 for each of the first 5 vectors as queries. */
   val bruteForceTopK = QueryDef("sim_topk_bruteforce",
