@@ -8,5 +8,6 @@ object Registry {
     MapReduceQueries.all ++ Relational.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Events.all ++
-      graft.operators.Multimodal.all ++ StreamingQueries.all
+      graft.operators.Multimodal.all ++ StreamingQueries.all ++
+      Statistics.all
 }

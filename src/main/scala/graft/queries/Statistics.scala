@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Num, Tables}
+import graft.core.Skew
+
+/** Statistical + skew-hygiene queries rounding out the aggregate surface:
+  * exact interpolated percentiles, salted two-phase aggregation (identical
+  * results, skew-proof plan), and approximate distinct (HLL — engine-
+  * specific sketches, so rows-only). */
+object Statistics {
+  import Num._
+
+  def all: Seq[QueryDef] = Seq(saltedAgg, median, approxDistinct)
+
+  /** Two-phase salted aggregation exemplar: same answer as a direct
+    * GROUP BY, shuffle split across 16 sub-keys per key first. */
+  val saltedAgg = QueryDef("q22_salted_agg",
+    (s, d) => Skew.saltedSumCount(
+        Tables.lineitem(s, d), key = "l_returnflag", saltBy = "l_orderkey",
+        sumCol = dec(col("l_quantity")), salts = 16)
+      .select(col("l_returnflag"), col("sum").cast("double").as("sum_qty"),
+        col("cnt"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Exact interpolated median + p90 per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation over sorted
+    * values). */
+  val median = QueryDef("q23_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_extendedprice, 0.9) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** HLL approximate distinct — sketch implementations differ between
+    * engines, so this is a rows-only entry; the exact variant
+    * (q20_count_distinct) is the oracle-checked twin. */
+  val approxDistinct = QueryDef("q24_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag")),
+    None)
+}
