@@ -68,7 +68,7 @@ object MapReduceQueries {
   val ssspSynthetic = QueryDef("sssp_synthetic",
     (s, _) => {
       val edges = ShortestPath.syntheticGraph(s, 1000L)
-      ShortestPath.sssp(edges, source = 0L)
+      ShortestPath.distributedSssp(edges, source = 0L)
         .orderBy(col("node"))
     },
     None, bench = false)

@@ -5,7 +5,7 @@ import graft.QueryDef
 /** Single assembly point for every query module's catalog. */
 object Registry {
   def all: Seq[QueryDef] =
-    MapReduceQueries.all ++ Relational.all ++
+    MapReduceQueries.all ++ Relational.all ++ Relational2.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Events.all ++
       graft.operators.Multimodal.all ++ StreamingQueries.all ++

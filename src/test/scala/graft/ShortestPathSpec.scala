@@ -21,7 +21,7 @@ class ShortestPathSpec extends SparkSpec {
   test("sssp on small.graph matches Dijkstra") {
     val edges = ShortestPath.undirect(
       smallGraph.toDF("src", "dst", "weight"))
-    val got = ShortestPath.sssp(edges, 0L).collect()
+    val got = ShortestPath.distributedSssp(edges, 0L).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val want = ShortestPath.dijkstra(undirected(smallGraph), 0L)
     assert(got == want)
@@ -38,7 +38,7 @@ class ShortestPathSpec extends SparkSpec {
           (rnd.nextInt(20) + 1).toDouble)
       }.filter(e => e._1 != e._2)
       val edges = ShortestPath.undirect(es.toDF("src", "dst", "weight"))
-      val got = ShortestPath.sssp(edges, 0L).collect()
+      val got = ShortestPath.distributedSssp(edges, 0L).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val want = ShortestPath.dijkstra(undirected(es), 0L)
       assert(got == want, s"trial $trial (n=$n)")
@@ -47,7 +47,7 @@ class ShortestPathSpec extends SparkSpec {
 
   test("synthetic graph sssp reaches all nodes") {
     val edges = ShortestPath.syntheticGraph(spark, 200L)
-    val got = ShortestPath.sssp(edges, 0L)
+    val got = ShortestPath.distributedSssp(edges, 0L)
     assert(got.count() == 200L)
     assert(got.filter(col("node") === 0L).head().getDouble(1) == 0.0)
   }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Sources/sinks + physical-layout behavior that matters at 100 TB:
+  * partition pruning on partitioned parquet, bucketed co-located joins
+  * (no shuffle), and CSV/JSON round-trips. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("partitioned parquet write + partition pruning on read") {
+    val dir = tmpDir() + "/li_part"
+    Tables.lineitem(spark, sf("sf0.001"))
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    // count must match an unpartitioned filter
+    val want = Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_returnflag") === "A").count()
+    assert(back.count() == want)
+    // and the scan must prune partitions (only the A directory read)
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("l_returnflag"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = tmpDir()
+    val s2 = spark.newSession()
+    // tables use explicit external paths, so the (static) warehouse dir
+    // is irrelevant; only join configs change, per-session
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val o = Tables.orders(s2, sf("sf0.001"))
+    val l = Tables.lineitem(s2, sf("sf0.001"))
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite")
+      .saveAsTable("orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite")
+      .saveAsTable("lineitem_b")
+    val j = s2.table("orders_b").join(s2.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      "bucketed join should be shuffle-free (co-located by bucket)")
+    assert(j.count() == l.count()) // every lineitem has its order
+  }
+
+  test("CSV round-trip preserves rows and schema-on-read works") {
+    val dir = tmpDir() + "/nation_csv"
+    val n = Tables.nation(spark, sf("sf0.001"))
+    n.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    assert(back.count() == n.count())
+    assert(back.columns.toSeq == n.columns.toSeq)
+    val pairs = back.select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val want = n.select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(pairs == want)
+  }
+
+  test("JSON lines round-trip with nested struct") {
+    val dir = tmpDir() + "/ev_json"
+    val src = Seq((1L, "click", 2.5), (2L, "view", 1.0))
+      .toDF("id", "etype", "v")
+      .withColumn("nested", struct(col("etype"), col("v")))
+    src.write.json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.select(col("nested.etype")).collect()
+      .map(_.getString(0)).toSet == Set("click", "view"))
+  }
+
+  test("SSSP on the reference syn.graph matches serial Dijkstra") {
+    // read-only access to the reference's data file (18,263 nodes,
+    // 23,797 undirected edges) — the reference's own scale workload
+    val path = "/root/reference/sample_apps/shortest_path/syn.graph"
+    assume(new java.io.File(path).exists())
+    val edges = graft.apps.ShortestPath.loadGraph(spark, path)
+    val t0 = System.nanoTime()
+    val got = graft.apps.ShortestPath.sssp(edges, 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    info(f"syn.graph sssp took ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"${got.size} nodes reached")
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.apps.ShortestPath.dijkstra(es.toSeq, 0L)
+    assert(got == want)
+  }
+}
