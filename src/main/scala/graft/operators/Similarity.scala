@@ -25,7 +25,7 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh)
+  def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh, annIvf)
 
   /** Norms/dots use the native codegen DotProductF32 (see VectorFunctions)
     * — bit-equal to the left-to-right double fold the oracles mirror. */
@@ -102,6 +102,54 @@ object Similarity {
           col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
       val scored = e.join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  /** IVF (inverted-file) ANN: partition vectors into K centroid buckets,
+    * probe only the query's `nprobe` nearest buckets. Centroids here are a
+    * deterministic sample (first K vectors) rather than trained k-means —
+    * the index/probe machinery is the deliverable; swapping in trained
+    * centroids changes recall, not the plan. At 100 TB the assignment is
+    * one broadcast-join pass and each query touches K/nprobe-th of the
+    * corpus. Rows-only (recall measured in ScalaTest vs brute force). */
+  val annIvf = QueryDef("sim_ann_ivf",
+    (s, d) => {
+      val K = 16
+      val nprobe = 2
+      val e = withNorm(Tables.embeddings(s, d))
+      val cents = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      // assignment: nearest centroid per vector (exact cosine, tie on c_id)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          expr("dot_f64(c_emb, embedding)") / (col("c_nrm") * col("nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+      // queries probe their nprobe nearest centroid buckets
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          expr("dot_f64(c_emb, q_emb)") / (col("c_nrm") * col("q_nrm")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crank") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"))
+      val scored = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))

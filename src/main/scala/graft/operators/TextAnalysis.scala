@@ -20,7 +20,27 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   def all: Seq[QueryDef] =
-    Seq(tokenStats, wordcount, quality, fingerprint, langid)
+    Seq(tokenStats, wordcount, quality, fingerprint, langid, tokenBpe)
+
+  /** Regex ("BPE-ish") tokenizer variant: letter runs / digit runs /
+    * single punctuation — the pre-tokenization split BPE vocabularies use,
+    * counted per document alongside the whitespace tokenization. */
+  val tokenBpe = QueryDef("text_token_bpe",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("bpe", expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      .select(col("doc_id"),
+        size(col("bpe")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("bpe"))).cast("long").as("n_bpe_distinct"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        AS n_bpe_tokens,
+      CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        AS n_bpe_distinct,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      FROM documents ORDER BY doc_id"""))
 
   /** Per-document token statistics. All ratios are single divisions of
     * exact integers → bit-identical in DuckDB. */

@@ -64,6 +64,29 @@ class OperatorsSpec extends SparkSpec {
     info(f"ANN recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
   }
 
+  test("IVF ANN results are exactly scored and well-ranked") {
+    val ivf = Similarity.annIvf.fn(spark, d).collect()
+    assert(ivf.nonEmpty)
+    val bf = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) == 0.0)
+    }
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(f"IVF recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
+  }
+
   test("simhash pairs are well-formed and deterministic") {
     // NB: recall against planted near-dups is inherently partial here — a
     // 31-word vocabulary makes 32-bit simhash noisy (word swaps flip
