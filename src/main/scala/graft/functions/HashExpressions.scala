@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen polynomial rolling hash: fold h = (h*31 + byte) mod
+  * 1e9+7 over the string's bytes.
+  *
+  * Replaces the composable spelling
+  * `aggregate(transform(sequence(1, length(s)), i -> ascii(substring(s,i,1))), ...)`
+  * which materializes a sequence array and evaluates two lambda frames per
+  * character. Identical results for ASCII input (the corpus guarantee —
+  * FIXTURES.md; byte == codepoint == DuckDB `unicode(c)`), which is what
+  * the oracle parity relies on.
+  */
+case class RollingHashMod(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xffL)) % TextFunctions.HashMod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31 + ($bytes[$i] & 0xffL)) % ${TextFunctions.HashMod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Register `roll_hash(s)` in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "roll_hash", exprs => RollingHashMod(exprs.head), "built-in")
+}

@@ -21,13 +21,10 @@ object TextFunctions {
   val HashMod = 1000000007L
 
   /** Polynomial rolling hash of a string column: fold h = (h*31 + code) mod
-    * HashMod over the characters. `inner` is a SQL expression string. */
-  def rollHashSql(inner: String): String =
-    s"aggregate(transform(sequence(1, length($inner)), i -> " +
-      s"cast(ascii(substring($inner, i, 1)) as bigint)), cast(0 as bigint), " +
-      s"(h, c) -> (h*31 + c) % $HashMod)"
-
-  def rollHash(c: String): Column = expr(rollHashSql(c))
+    * HashMod over the characters. Dispatches to the native codegen
+    * [[RollingHashMod]] expression (callers register it via
+    * [[HashExpressions.register]] once per session). */
+  def rollHash(c: String): Column = expr(s"roll_hash($c)")
 
   /** Whitespace tokens (the corpus is single-space separated — FIXTURES.md). */
   def tokens(text: Column): Column = split(text, " ")

@@ -66,6 +66,7 @@ object Dedup {
     * from band buckets, verified at Jaccard ≥ 0.5. */
   val minhashLsh = QueryDef("dedup_minhash_lsh",
     (s, d) => {
+      graft.functions.HashExpressions.register(s)
       val sets = shingleSets(s, d).cache()
       // (doc_id, i, mh): minhash i = min over shingles of perm_i(rollhash(s))
       val mh = sets
@@ -126,6 +127,7 @@ object Dedup {
   /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1. */
   val simhash = QueryDef("dedup_simhash",
     (s, d) => {
+      graft.functions.HashExpressions.register(s)
       val th = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .withColumn("h", rollHash("w"))

@@ -100,7 +100,7 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint (mod 1e9+7 — portable, overflow-free). */
   val fingerprint = QueryDef("text_fingerprint",
-    (s, d) => Tables.documents(s, d)
+    (s, d) => { graft.functions.HashExpressions.register(s); Tables.documents(s, d) }
       .select(col("doc_id"), rollHash("text").as("fp"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -9,6 +9,7 @@ object Registry {
       Relational3.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Events.all ++
-      graft.operators.Multimodal.all ++ StreamingQueries.all ++
+      graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
+      StreamingQueries.all ++
       Statistics.all
 }

@@ -12,6 +12,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("rolling hash matches hand-computed values") {
     import spark.implicits._
+    graft.functions.HashExpressions.register(spark)
     // h("ab") = (0*31+97)*31+98 = 3105; h("") = 0
     val got = Seq("ab", "", "a").toDF("text")
       .select(TextFunctions.rollHash("text").as("h"))
