@@ -18,7 +18,26 @@ import graft.{QueryDef, Num, Tables}
 object Events {
   import Num._
 
-  def all: Seq[QueryDef] = Seq(hourly, sessionize, jsonProps, topMinute)
+  def all: Seq[QueryDef] =
+    Seq(hourly, sessionize, jsonProps, topMinute, sliding)
+
+  /** Sliding windows (1 h length, 30 min slide): each event lands in two
+    * windows. Spark's window() vs a DuckDB unnest of the two window
+    * starts. */
+  val sliding = QueryDef("ev_sliding_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT window_start, event_type, COUNT(*) AS n FROM (
+        SELECT event_type, unnest([
+          ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND,
+          ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND
+             - INTERVAL 30 MINUTE]) AS window_start
+        FROM events)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Tumbling 1-hour windows per event type: count + exact value sum. */
   val hourly = QueryDef("ev_hourly_agg",
