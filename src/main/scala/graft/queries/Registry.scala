@@ -6,7 +6,7 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     MapReduceQueries.all ++ Relational.all ++ Relational2.all ++
-      Relational3.all ++
+      Relational3.all ++ Relational4.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Events.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
