@@ -164,7 +164,10 @@ object Dedup {
     * oracle-checked and bounded). */
   val ngramJaccard = QueryDef("dedup_ngram_jaccard",
     (s, d) => {
-      val sets = shingleSets(s, d)
+      // the quadratic baseline is deterministically bounded — at any scale
+      // factor the yardstick compares the same 1000-doc prefix; the LSH
+      // variant is the unbounded path
+      val sets = shingleSets(s, d).filter(col("doc_id") < 1000)
       sets.alias("x").join(sets.alias("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           col("x.ss").as("a_ss"), col("y.ss").as("b_ss"))
@@ -176,7 +179,8 @@ object Dedup {
     Some("""WITH sets AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
           j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+          WHERE doc_id < 1000)
         WHERE len(t) >= 3)
       SELECT x.doc_id AS a, y.doc_id AS b,
         CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /

@@ -16,7 +16,30 @@ import graft.apps.{NumberCount, ShortestPath}
 object MapReduceQueries {
 
   def all: Seq[QueryDef] =
-    Seq(mrCountPerKey, mrMinPerKey, numberCount, ssspSynthetic)
+    Seq(mrCountPerKey, mrMinPerKey, mrWordcount, numberCount, ssspSynthetic)
+
+  /** Word count through the literal MR path (map = tokenize+fan-out,
+    * reduce = full-list count) — the text-analysis twin of A1, exercising
+    * unbounded per-element emission through the verify gate. */
+  val mrWordcount = QueryDef("mr_wordcount",
+    (s, d) => {
+      import s.implicits._
+      val texts = Tables.documents(s, d).select(col("text")).as[String]
+      val job = new MapReduceJob[String, String, Int, Long] {
+        def map(in: String): IterableOnce[(String, Int)] =
+          in.split(' ').iterator.map((_, 1)) // fan-out: one emission per token
+        def reduce(key: String, vals: Iterator[Int]): IterableOnce[Long] = {
+          var n = 0L
+          while (vals.hasNext) { vals.next(); n += 1 }
+          Iterator.single(n)
+        }
+      }
+      MapReduce.run(texts, job).toDF("word", "cnt")
+        .orderBy(col("cnt").desc, col("word"))
+    },
+    Some("""SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      GROUP BY w ORDER BY cnt DESC, word"""))
 
   /** A1 count-per-key through the literal full-list-reduce MR path,
     * keyed by integer quantity over lineitem. */
