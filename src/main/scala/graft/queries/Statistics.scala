@@ -11,7 +11,29 @@ import graft.core.Skew
 object Statistics {
   import Num._
 
-  def all: Seq[QueryDef] = Seq(saltedAgg, median, approxDistinct)
+  def all: Seq[QueryDef] = Seq(saltedAgg, median, approxDistinct, hashSample)
+
+  /** Deterministic 10% sample: keep rows whose portable rolling hash of
+    * the key lands in [0, 10) mod 100 — reproducible across engines and
+    * runs (the property `TABLESAMPLE`/`rand()` sampling lacks), which is
+    * what a training-data pipeline needs for stable holdouts. */
+  val hashSample = QueryDef("q39_hash_sample",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      Tables.lineitem(s, d)
+        .filter(expr("roll_hash(cast(l_orderkey as string)) % 100") < 10)
+        .agg(count(lit(1)).as("n_sampled"),
+          sumd(dec(col("l_quantity"))).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    Some("""SELECT COUNT(*) AS n_sampled,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(l_orderkey AS VARCHAR),''),
+          c -> CAST(unicode(c) AS BIGINT))),
+        (h,c) -> (h*31+c) % 1000000007) % 100 < 10"""))
 
   /** Two-phase salted aggregation exemplar: same answer as a direct
     * GROUP BY, shuffle split across 16 sub-keys per key first. */
