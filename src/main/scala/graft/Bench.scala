@@ -18,25 +18,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fns = SparkEntry.queries
-    // JIT/codegen/IO warmup outside the timed loop, so the first timed
-    // query doesn't absorb one-time JVM startup cost
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      fns(SparkEntry.benchQueries.head)(spark, sfDir).write
-        .mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => () }
+    // Full untimed warm-up pass: every query shape once, so the timed pass
+    // measures steady-state execution rather than one-time JVM/JIT/codegen
+    // compilation (round-1 driver data showed the first ~10 timed queries
+    // absorbing ~150 s of warm-up that later identical shapes didn't pay).
+    // Page-cache warmth for the parquet inputs matches the reference's
+    // model, whose input array is in memory before its timed run() begins.
+    SparkEntry.benchQueries.foreach { name =>
+      try fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case t: Throwable => System.err.println(s"[bench] warmup $name: $t")
+      }
+    }
+    var failed = List.empty[String]
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
       try { fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable =>
-        try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      catch { case t1: Throwable =>
+        System.err.println(s"[bench] $name noop-write failed: $t1")
+        try { fns(name)(spark, sfDir).count() } catch { case t2: Throwable =>
+          System.err.println(s"[bench] $name count fallback failed: $t2")
+          failed ::= name
+        }
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

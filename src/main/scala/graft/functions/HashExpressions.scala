@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen polynomial rolling hash: fold h = (h*31 + byte) mod
@@ -19,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHashMod(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // Fail at analysis time on non-string input instead of a ClassCastException
+  // inside generated code. (ExpectsInputTypes isn't usable here:
+  // AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"roll_hash requires a STRING argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -54,5 +63,9 @@ object HashExpressions {
   /** Register `roll_hash(s)` in the session's function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "roll_hash", exprs => RollingHashMod(exprs.head), "built-in")
+      "roll_hash", exprs => {
+        require(exprs.length == 1,
+          s"roll_hash expects exactly 1 argument, got ${exprs.length}")
+        RollingHashMod(exprs.head)
+      }, "built-in")
 }

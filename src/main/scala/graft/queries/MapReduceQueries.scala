@@ -27,7 +27,10 @@ object MapReduceQueries {
       val texts = Tables.documents(s, d).select(col("text")).as[String]
       val job = new MapReduceJob[String, String, Int, Long] {
         def map(in: String): IterableOnce[(String, Int)] =
-          in.split(' ').iterator.map((_, 1)) // fan-out: one emission per token
+          // limit -1 keeps trailing empty tokens, matching DuckDB
+          // string_split and Spark's split() exactly (not just on the
+          // single-spaced corpus)
+          in.split(" ", -1).iterator.map((_, 1))
         def reduce(key: String, vals: Iterator[Int]): IterableOnce[Long] = {
           var n = 0L
           while (vals.hasNext) { vals.next(); n += 1 }

@@ -2,7 +2,10 @@
 """Local mimic of the driver's correctness gate: for each query result
 parquet dumped by graft.Verify, run the oracle SQL in DuckDB over the same
 tables and compare values exactly (columns sorted by name; rows compared
-both as-emitted and sorted, so either driver convention passes).
+in emitted order only — every catalog query ends in a fully deterministic
+ORDER BY, and pd.read_parquet concatenates part files in sorted filename
+order, which matches Spark's partition write order for our single-job
+coalesced outputs).
 
 Usage: compare.py <verify_out_dir> <sf_dir>
 """
