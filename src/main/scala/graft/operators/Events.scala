@@ -19,7 +19,39 @@ object Events {
   import Num._
 
   def all: Seq[QueryDef] =
-    Seq(hourly, sessionize, jsonProps, topMinute, sliding)
+    Seq(hourly, sessionize, jsonProps, topMinute, sliding, rangeJoin)
+
+  /** Interval (range) join: count events of every other type inside the
+    * [-2 min, +3 min) neighborhood of each busy click minute (≥2 clicks).
+    * The interval side is tiny and broadcast, so Spark plans a broadcast
+    * nested loop with the codegen'd range predicate and the fact side
+    * never shuffles; at 100 TB you'd add a coarse time-bucket equi key
+    * (explode the interval into minute buckets) to turn it into an
+    * equi-join + residual filter. DuckDB's IEJoin handles the oracle side
+    * natively. */
+  val rangeJoin = QueryDef("ev_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val busy = ev.filter(col("event_type") === "click")
+        .groupBy(date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .filter(col("n_clicks") >= 2)
+      val others = ev.filter(col("event_type") =!= "click")
+      others.join(broadcast(busy),
+          col("ts") >= col("m") - expr("INTERVAL 2 MINUTES") &&
+            col("ts") < col("m") + expr("INTERVAL 3 MINUTES"))
+        .groupBy(col("m").as("busy_minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("busy_minute"), col("event_type"))
+    },
+    Some("""WITH busy AS (SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1 HAVING COUNT(*) >= 2)
+      SELECT m AS busy_minute, event_type, COUNT(*) AS n
+      FROM events e JOIN busy b
+        ON e.ts >= b.m - INTERVAL 2 MINUTE AND e.ts < b.m + INTERVAL 3 MINUTE
+      WHERE e.event_type <> 'click'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Sliding windows (1 h length, 30 min slide): each event lands in two
     * windows. Spark's window() vs a DuckDB unnest of the two window

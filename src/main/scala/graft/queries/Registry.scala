@@ -6,9 +6,11 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     MapReduceQueries.all ++ Relational.all ++ Relational2.all ++
-      Relational3.all ++ Relational4.all ++
-      graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
-      graft.operators.Similarity.all ++ graft.operators.Events.all ++
+      Relational3.all ++ Relational4.all ++ Relational5.all ++
+      graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
+      graft.operators.Dedup.all ++ graft.operators.Components.all ++
+      graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
+      graft.operators.Events.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++
       Statistics.all

@@ -84,6 +84,18 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming-compatible dedup: earliest event per (user_id, event_type),
+    * as a min-of-struct aggregation — unlike `dropDuplicates` (which keeps
+    * an *arrival-order* first) this is deterministic in event time, so the
+    * batch run is oracle-comparable and the streaming run converges to the
+    * same answer under late data. State per key is one tiny struct. */
+  def earliestPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+
   /** Demo entry point: replays the batch events table through a streaming
     * query (file source would be used in production; here the batch DF
     * demonstrates the shared transformation). */
