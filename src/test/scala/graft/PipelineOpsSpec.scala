@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Clustering, Components}
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Round-2 pipeline operators: connected components against a serial
+  * union-find oracle, k-means assignment invariants, and the streaming
+  * twin of the earliest-per-key dedup. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Serial union-find oracle for component labels. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches union-find on a deterministic random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val got = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges)
+    assert(got == want)
+  }
+
+  test("connectedComponents: chain collapses to one component, min id wins") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10 && got.values.toSet == Set(0L))
+  }
+
+  test("kmeans assignment: seed vectors assign to themselves at distance 0") {
+    val r = Clustering.kmeansAssign.fn(spark, sf("sf0.001"))
+      .filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r.length == 8)
+    r.foreach { case (v, c, d2) =>
+      assert(c == v, s"seed $v assigned to $c")
+      assert(math.abs(d2) < 1e-9, s"seed $v dist2 $d2")
+    }
+  }
+
+  test("streaming earliest-per-key dedup == batch aggregation") {
+    implicit val sc = spark.sqlContext
+    def ts(min: Long): Timestamp = new Timestamp((100000L + min) * 60000L)
+    val events = Seq(
+      Ev(ts(5), 1, "click", 1.0), Ev(ts(1), 1, "click", 2.0),
+      Ev(ts(3), 1, "view", 3.0), Ev(ts(2), 2, "click", 4.0),
+      Ev(ts(9), 2, "click", 5.0))
+    // event_id column is synthesized as the value's int part for the test
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_id", col("value").cast("long"))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.earliestPerKey(withId(mem.toDF()))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = EventStreams.earliestPerKey(withId(events.toDF())).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    // earliest click for user 1 is the ts(1)/id=2 event, not the first-listed
+    assert(batch.contains((1L, "click", ts(1), 2L)))
+  }
+}
