@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape guards: the properties that make these queries viable at
+  * 100 TB are asserted on the physical plan, so a refactor that silently
+  * loses a broadcast, reintroduces a nested loop, or stops pushing
+  * filters fails CI — not just the benchmark. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5_region_revenue: dimension joins are broadcast hash joins") {
+    val p = planString(q("q5_region_revenue"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "small-dim star join must not sort-merge at this scale")
+  }
+
+  test("ev_range_join: interval join plans as equi hash join, not nested loop") {
+    val p = planString(q("ev_range_join"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucketed interval join regressed to a nested loop")
+  }
+
+  test("q41_semi_join: existence check plans as a semi join") {
+    val p = planString(q("q41_semi_join"))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q43_band_join: tiny interval table is broadcast") {
+    val p = planString(q("q43_band_join"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), "band table must broadcast")
+  }
+
+  test("q2_filter_project: predicate and projection reach the parquet scan") {
+    val df = q("q2_filter_project")
+    // AQE wraps executedPlan in AdaptiveSparkPlanExec, which hides its
+    // children from collect until execution — inspect the pre-adaptive plan
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PushedFilters") != "[]",
+      s"no pushed filters: ${scan.metadata("PushedFilters")}")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    assert(scan.schema.fields.length < 10,
+      s"scan reads ${scan.schema.fields.length} columns — pruning lost")
+  }
+
+  test("emb_kmeans_assign: centroid side is broadcast, corpus side never shuffles before scoring") {
+    val p = planString(q("emb_kmeans_assign"))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+}
