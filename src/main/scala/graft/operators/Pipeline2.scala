@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Third wave of pipeline operators: event funnel analysis, corpus-rarity
+  * scoring, CDC-style latest-per-key compaction, and the dedup *apply*
+  * step that materializes the kept corpus.
+  *
+  * Scale stance: the funnel is one shuffle on user_id then per-user min
+  * timestamps (tiny state per key); rarity joins token occurrences to a
+  * corpus-frequency table that's broadcast-sized for any realistic
+  * vocabulary; latest-per-key is the standard window top-1 compaction that
+  * log-structured ingestion runs continuously; dedup-apply is an anti-join
+  * of the corpus against the (small) drop list.
+  */
+object Pipeline2 {
+
+  def all: Seq[QueryDef] = Seq(funnel, rarity, latestPerKey, dedupApply)
+
+  /** Conversion funnel view → click → purchase: per stage, users who
+    * reached it in order (each stage's first occurrence strictly after the
+    * previous stage's). Integer counts — exact everywhere. */
+  val funnel = QueryDef("ev_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_purchase"))
+      perUser.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1)).as("n_view_click_purchase"))
+    },
+    Some("""WITH per_user AS (SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+      SELECT COUNT(t_view) AS n_view,
+        COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+          AS n_view_click_purchase
+      FROM per_user"""))
+
+  /** Token-rarity scoring (data-quality signal for LM corpora): per
+    * document, the mean and minimum corpus frequency of its tokens —
+    * integer sums and one final division, exact in both engines. */
+  val rarity = QueryDef("text_rarity",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      tok.join(broadcast(freq), "w")
+        .groupBy(col("doc_id"))
+        .agg((sum(col("f")).cast("double") / count(lit(1))).as("mean_freq"),
+          min(col("f")).as("min_freq"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        FROM documents),
+      freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
+      SELECT doc_id, CAST(SUM(f) AS DOUBLE) / COUNT(*) AS mean_freq,
+        MIN(f) AS min_freq
+      FROM tok JOIN freq USING (w) GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** CDC compaction: latest order per customer (by date, then key) — the
+    * window top-1 every log-structured table maintenance job runs. */
+  val latestPerKey = QueryDef("q44_latest_per_key",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey"""))
+
+  /** Dedup apply: the corpus with exact duplicates dropped — keep the
+    * min-doc_id representative of every normalized-text group (the
+    * materialization step downstream training jobs consume). Anti-join
+    * shape: corpus minus the drop list. */
+  val dedupApply = QueryDef("dedup_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = docs
+        .withColumn("norm", array_join(array_sort(tokens(col("text"))), " "))
+        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM (
+        SELECT doc_id,
+          array_to_string(list_sort(string_split(text,' ')),' ') AS norm
+        FROM documents) GROUP BY norm)
+      ORDER BY doc_id"""))
+}
