@@ -63,24 +63,34 @@ object Dedup {
         size(array_intersect(col("a_ss"), col("b_ss")))))
 
   /** MinHash + LSH near-dup: K=16 signature, 4 bands × 4 rows, candidates
-    * from band buckets, verified at Jaccard ≥ 0.5. */
+    * from band buckets, verified at Jaccard ≥ 0.5.
+    *
+    * All 16 min-hashes are computed as 16 `min` aggregates in ONE groupBy
+    * over the shingle rows — one shuffle with full map-side partial
+    * aggregation. (The first cut crossJoined each shingle with
+    * `range(16)`, multiplying the shuffled rows 16×; at 100 TB that factor
+    * is the difference between one corpus-sized shuffle and sixteen.) */
   val minhashLsh = QueryDef("dedup_minhash_lsh",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
       val sets = shingleSets(s, d).cache()
-      // (doc_id, i, mh): minhash i = min over shingles of perm_i(rollhash(s))
+      // (doc_id, m0..m15): minhash i = min over shingles of perm_i(rollhash)
+      val minCols = (0 until 16).map(i =>
+        min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
       val mh = sets
         .select(col("doc_id"), explode(col("ss")).as("sh"))
         .withColumn("th", rollHash("sh"))
-        .crossJoin(spark_range_16(s))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(expr(minhashPermSql("th", "i"))).as("mh"))
-      // band key: 4 consecutive minhashes joined as a string
-      val bands = mh
-        .withColumn("band", (col("i") / 4).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("bkey"))
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+      // band key: 4 consecutive minhashes joined as a string; stack
+      // unpivots the 4 band columns without leaving codegen
+      val bandCols = (0 until 4).map { b =>
+        concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)
+          .as(s"bkey$b")
+      }
+      val bands = mh.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id",
+          "stack(4, 0, bkey0, 1, bkey1, 2, bkey2, 3, bkey3) AS (band, bkey)")
       val cands = bands.alias("x").join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -121,23 +131,28 @@ object Dedup {
       ORDER BY a, b"""),
     bench = true)
 
-  private def spark_range_16(s: SparkSession): DataFrame =
-    s.range(0, 16).select(col("id").as("i"))
-
-  /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1. */
+  /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1.
+    *
+    * All 32 bit-majority votes are 32 `sum` aggregates in ONE groupBy over
+    * the token rows (plus a count) — one shuffle, map-side partials, no
+    * 32× row multiplication (which the first crossJoin-with-range cut
+    * paid). The signature is then assembled per doc in a single codegen'd
+    * projection. */
   val simhash = QueryDef("dedup_simhash",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
       val th = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .withColumn("h", rollHash("w"))
+      val bitSums = (0 until 32).map(i =>
+        sum(expr(s"(h div ${1L << i}L) % 2")).as(s"s$i"))
       val sigs = th
-        .crossJoin(s.range(0, 32).select(col("id").as("i")))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(when(expr("2 * sum((h div cast(pow(2, i) as bigint)) % 2)") >=
-          count(lit(1)), expr("cast(pow(2, i) as bigint)")).otherwise(0L).as("b"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("b")).as("simhash"))
+        .agg(count(lit(1)).as("cnt"), bitSums: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(i =>
+            when(lit(2) * col(s"s$i") >= col("cnt"), lit(1L << i))
+              .otherwise(0L)).reduce(_ + _).as("simhash"))
       sigs.alias("x").join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
         .withColumn("hamming",
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int"))
