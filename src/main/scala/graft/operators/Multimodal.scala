@@ -19,7 +19,7 @@ import graft.{QueryDef, Tables}
   */
 object Multimodal {
 
-  def all: Seq[QueryDef] = Seq(decodeMeta, frameSample)
+  def all: Seq[QueryDef] = Seq(decodeMeta, frameSample, resizeQ, featuresQ)
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
@@ -83,6 +83,71 @@ object Multimodal {
         .map(i => Frame(r.media_id, i, decoder.frame(r.payload, i)))
     }
   }
+
+  /** A resized media row (stub: halved dims, every-4th-byte resample). */
+  case class Resized(media_id: Long, out_w: Int, out_h: Int,
+      n_out_bytes: Long, checksum: Long)
+  /** One feature-histogram bin (16-bin byte histogram). */
+  case class FeatureBin(media_id: Long, bin: Int, n: Long)
+
+  /** Resize: per-partition batch transform (decoder shape). The stub
+    * halves the probed dimensions and resamples every 4th payload byte;
+    * the checksum is the engine-wide rolling hash over the resampled
+    * bytes, so the DuckDB oracle reproduces it exactly. */
+  def resize(media: Dataset[MediaRecord], decoder: Decoder): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = decoder
+      it.map { r =>
+        val (w, h, _) = dec.probe(r.payload)
+        var hash = 0L
+        var i = 0
+        var n = 0L
+        while (i < r.payload.length) {
+          hash = (hash * 31 + (r.payload(i) & 0xffL)) % 1000000007L
+          n += 1
+          i += 4
+        }
+        Resized(r.media_id, math.max(1, w / 2), math.max(1, h / 2), n, hash)
+      }
+    }
+  }
+
+  /** Feature extraction: 16-bin byte histogram per payload — the stub for
+    * an embedding/feature model; per-row work, no shuffle. */
+  def features(media: Dataset[MediaRecord]): Dataset[FeatureBin] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val counts = new Array[Long](16)
+      r.payload.foreach(b => counts((b & 0xff) / 16) += 1)
+      counts.iterator.zipWithIndex.collect {
+        case (c, bin) if c > 0 => FeatureBin(r.media_id, bin, c)
+      }
+    }
+  }
+
+  /** Stub resize over every media row, oracle-checked byte-exactly. */
+  val resizeQ = QueryDef("mm_resize",
+    (s, d) => resize(mediaTable(s, d), StubDecoder).toDF()
+      .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id,
+      CAST(greatest(1, (1 + octet_length(encode(text)) % 64) // 2) AS INT) AS out_w,
+      CAST(greatest(1, (1 + octet_length(encode(text)) % 48) // 2) AS INT) AS out_h,
+      CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_out_bytes,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, octet_length(encode(text)) + 1, 4),
+          i -> CAST(unicode(text[i]) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % 1000000007) AS checksum
+      FROM documents ORDER BY media_id"""))
+
+  /** Byte-histogram features per media row (zero bins omitted). */
+  val featuresQ = QueryDef("mm_features",
+    (s, d) => features(mediaTable(s, d)).toDF()
+      .orderBy(col("media_id"), col("bin")),
+    Some("""SELECT doc_id AS media_id, CAST(unicode(c) // 16 AS INT) AS bin,
+        COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Decoded metadata per media row. The stub's arithmetic is reproduced
     * byte-exactly by DuckDB over encode(text). */

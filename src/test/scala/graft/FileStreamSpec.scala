@@ -1,0 +1,41 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** File-source streaming: the same windowedCounts transformation over a
+  * `readStream.parquet` directory source (the production ingestion shape —
+  * files land in a directory, the stream discovers and processes them)
+  * must agree with the batch run over the same files. */
+class FileStreamSpec extends SparkSpec {
+
+  test("readStream over a parquet directory == batch over the same files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // two separate files so the source discovers multiple splits
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/b0")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_win")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("file_win").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventStreams.windowedCounts(
+        spark.read.option("recursiveFileLookup", "true").parquet(dir))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
