@@ -47,10 +47,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // two timed passes, report per-query min: steady-state latency robust
-    // to a stray GC pause / codegen-cache eviction landing on one query
+    // to a stray GC pause / codegen-cache eviction landing on one query.
+    // On a heavily contended machine one pass can take minutes — skip the
+    // second pass then, so total bench wall-clock stays bounded.
     val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results =
+      if (p1.map(_._2).sum <= 150.0) {
+        val p2 = timedPass()
+        p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      } else p1
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -59,4 +59,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = planString(q("emb_kmeans_assign"))
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
+    // rank-filter top-k must not sort whole partitions: Spark 4's
+    // InferWindowGroupLimit plans Partial+Final per-group heap limits
+    // around the shuffle — the reason no custom top-k operator is needed
+    // (SURVEY.md §7.3)
+    for (name <- Seq("ev_top_minute", "q17_top_parts_per_brand",
+        "sim_topk_bruteforce", "q44_latest_per_key")) {
+      val p = planString(q(name))
+      assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1500)}")
+    }
+  }
 }
