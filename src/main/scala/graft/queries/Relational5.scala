@@ -16,7 +16,8 @@ import graft.{Num, QueryDef, Tables}
   */
 object Relational5 {
 
-  def all: Seq[QueryDef] = Seq(groupingSetsQ, semiJoin, movingRange, bandJoin)
+  def all: Seq[QueryDef] =
+    Seq(groupingSetsQ, semiJoin, movingRange, bandJoin, fullOuter, unpivot)
 
   /** GROUPING SETS ((flag,status),(flag),()) — finer-than-rollup control
     * over which aggregate combinations materialize. */
@@ -76,6 +77,59 @@ object Relational5 {
         SUM(day_rev) OVER (ORDER BY day_idx
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
       FROM daily ORDER BY o_orderdate"""))
+
+  /** Full-outer join of two independent daily aggregates (orders placed
+    * vs lineitems shipped) — days present on either side survive with
+    * zeroed gaps. */
+  val fullOuter = QueryDef("q46_full_outer",
+    (s, d) => {
+      val placed = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_placed"))
+      val shipped = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(count(lit(1)).as("n_shipped"))
+      placed.join(shipped, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT COALESCE(p.day, s.day) AS day,
+        COALESCE(n_placed, 0) AS n_placed,
+        COALESCE(n_shipped, 0) AS n_shipped
+      FROM (SELECT o_orderdate AS day, COUNT(*) AS n_placed
+            FROM orders GROUP BY 1) p
+      FULL OUTER JOIN (SELECT l_shipdate AS day, COUNT(*) AS n_shipped
+            FROM lineitem GROUP BY 1) s
+      ON p.day = s.day ORDER BY day"""))
+
+  /** Unpivot (wide→long): per-returnflag quantity sums by status columns,
+    * melted back to rows with stack(). */
+  val unpivot = QueryDef("q47_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Num.sumd(when(col("l_linestatus") === "F", Num.dec(col("l_quantity"))))
+          .as("qty_f"),
+        Num.sumd(when(col("l_linestatus") === "O", Num.dec(col("l_quantity"))))
+          .as("qty_o"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'F', qty_f, 'O', qty_o) AS (l_linestatus, qty)")
+      .filter(col("qty").isNotNull)
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""WITH wide AS (SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+        CAST(SUM(CASE WHEN l_linestatus = 'O'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, l_linestatus, qty FROM (
+        SELECT l_returnflag, 'F' AS l_linestatus, qty_f AS qty FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'O' AS l_linestatus, qty_o AS qty FROM wide)
+      WHERE qty IS NOT NULL
+      ORDER BY l_returnflag, l_linestatus"""))
 
   /** Non-equi band join: lineitems classified into price bands by a
     * broadcast interval table (the range-join shape; with a 10-row bound
