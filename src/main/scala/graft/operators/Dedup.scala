@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
@@ -153,11 +153,27 @@ object Dedup {
           (0 until 32).map(i =>
             when(lit(2) * col(s"s$i") >= col("cnt"), lit(1L << i))
               .otherwise(0L)).reduce(_ + _).as("simhash"))
-      sigs.alias("x").join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
+        // pigeonhole bands: a pair at Hamming ≤ 1 differs in at most one
+        // half, so it agrees EXACTLY on the other — equi-joins on the two
+        // 16-bit halves find every qualifying pair with no all-pairs
+        // stage. (The quadratic self-join this replaces went 1.25 s → 15.6 s
+        // on an 8× corpus in graft.tools.ScaleSmoke; this is the exact
+        // same output, found by hash join.)
+        .withColumn("lo", col("simhash") % 65536L)
+        .withColumn("hi", expr("simhash div 65536"))
+      // the two band joins are disjoint by construction (the hi join only
+      // takes pairs whose lo halves differ), so no dedup shuffle is needed
+      def half(b: String, extra: Column) = sigs.alias("x").join(sigs.alias("y"),
+          col(s"x.$b") === col(s"y.$b") && col("x.doc_id") < col("y.doc_id") &&
+            extra)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      half("lo", lit(true))
+        .unionAll(half("hi", col("x.lo") =!= col("y.lo")))
         .withColumn("hamming",
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int"))
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
         .filter(col("hamming") <= 1)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+        .select(col("a"), col("b"), col("hamming"))
         .orderBy(col("a"), col("b"))
     },
     Some("""WITH th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),

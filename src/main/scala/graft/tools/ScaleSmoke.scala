@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+
+/** Scale-up smoke: replicate the sf0.1 tables `mult`× (with key offsets so
+  * cardinalities really grow), write them as a synthetic scale-factor
+  * directory, and time the headline operators against it.
+  *
+  * This is the direct experiment behind the 100 TB design claims: if an
+  * operator's runtime scales ~linearly with the corpus here (and its plan
+  * keeps the same shuffle structure), the partition strategy holds; a
+  * quadratic candidate-pair blowup or a lost broadcast shows up
+  * immediately.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.ScaleSmoke [mult] [queries...]"
+  */
+object ScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(8)
+    val queries =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q3_top_customers", "text_wordcount",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ev_hourly_agg", "ev_range_join", "sim_topk_bruteforce",
+        "emb_kmeans_assign", "stream_dedup", "ev_funnel")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft_scale_x$mult"
+    buildScaledDir(spark, src, dir, mult)
+
+    val fns = SparkEntry.queries
+    // warm-up then timed, same discipline as Bench
+    queries.foreach { n =>
+      try fns(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      catch { case t: Throwable => System.err.println(s"[scale] warmup $n: $t") }
+    }
+    val results = queries.map { n =>
+      val t0 = System.nanoTime()
+      try fns(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      catch { case t: Throwable => System.err.println(s"[scale] $n: $t") }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_x$mult","value":${results.map(_._2).sum},"unit":"sec","queries":$qs}""")
+    spark.stop()
+  }
+
+  /** Union `mult` key-offset copies of each table into `dir` (small dims
+    * copied unchanged). Offsets keep every key space disjoint, so join
+    * fan-outs and group counts genuinely scale. */
+  def buildScaledDir(spark: SparkSession, src: String, dir: String,
+      mult: Int): Unit = {
+    if (new java.io.File(s"$dir/_built_$mult").exists()) return
+    // events.parquet is TIMESTAMP(NANOS); read it as raw nanos (the scaled
+    // copy then carries a plain int64 ts, which Tables.events converts the
+    // same way)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val OFF = 1000000000L
+    def scaled(name: String, keyCols: Seq[String]): DataFrame = {
+      val base = Tables.load(spark, src, name)
+      (0 until mult).map { i =>
+        keyCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * OFF)))
+      }.reduce(_ unionAll _)
+    }
+    val specs: Seq[(String, Seq[String])] = Seq(
+      "region" -> Nil, "nation" -> Nil, "part" -> Nil, "supplier" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "events" -> Seq("event_id", "user_id"))
+    specs.foreach { case (name, keys) =>
+      val df = if (name == "events") {
+        // preserve the raw nanos column so Tables.events' conversion applies
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        (0 until mult).map { i =>
+          keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        }.reduce(_ unionAll _)
+      } else if (keys.isEmpty) Tables.load(spark, src, name)
+      else scaled(name, keys)
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    new java.io.File(s"$dir/_built_$mult").createNewFile()
+  }
+}
