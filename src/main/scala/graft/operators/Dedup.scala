@@ -31,7 +31,8 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   def all: Seq[QueryDef] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
+      embeddingNearDupLsh)
 
   /** Exact dedup on bag-of-words normal form: groupBy(normalized text) →
     * keeper = min doc_id, group size. */
@@ -248,6 +249,41 @@ object Dedup {
           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
           / (x.nrm * y.nrm) AS cosine
       FROM e x JOIN e y ON x.vec_id < y.vec_id
+      WHERE list_sum(list_transform(range(1, len(x.embedding)+1),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          / (x.nrm * y.nrm) >= 0.4
+      ORDER BY a, b"""))
+
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[embeddingNearDup]]'s all-pairs yardstick: candidate pairs come only
+    * from same-hyperplane-bucket equi-joins (deterministic hyperplanes, so
+    * oracle-checked; recall vs the exact variant is inherent to the 6-bit
+    * bucketing, exactly as in web-scale near-dup pipelines). */
+  val embeddingNearDupLsh = QueryDef("dedup_embedding_lsh",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+        .withColumn("bucket", expr(Similarity.bucketExpr))
+      e.alias("x").join(e.alias("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot", expr("dot_f64(x.embedding, y.embedding)"))
+        .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
+        ${Similarity.bucketSqlDuck("embedding")} AS bucket
+        FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        list_sum(list_transform(range(1, len(x.embedding)+1),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          / (x.nrm * y.nrm) AS cosine
+      FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
       WHERE list_sum(list_transform(range(1, len(x.embedding)+1),
           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
           / (x.nrm * y.nrm) >= 0.4

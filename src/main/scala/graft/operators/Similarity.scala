@@ -79,8 +79,9 @@ object Similarity {
   private def hyperplaneComponent(h: String, i: String): String =
     s"(cast(($h * 37 + $i * 101 + 17) % 97 as double) / 97.0 - 0.5)"
 
-  /** Bucket id: sign-pattern of dot products with the H hyperplanes. */
-  private def bucketExpr: String = {
+  /** Bucket id: sign-pattern of dot products with the H hyperplanes.
+    * Shared with [[Dedup.embeddingNearDupLsh]]. */
+  private[operators] def bucketExpr: String = {
     val bits = (0 until NumHyperplanes).map { h =>
       val dot = s"aggregate(transform(sequence(1, size(embedding)), " +
         s"i -> cast(element_at(embedding, i) as double) * " +
@@ -95,7 +96,7 @@ object Similarity {
     * hyperplane formula so the two spellings cannot drift apart. The dot
     * is a left-to-right double fold in both engines, so the sign (and
     * hence the bucket) is bit-identical. */
-  private def bucketSqlDuck(col: String): String = {
+  private[operators] def bucketSqlDuck(col: String): String = {
     val bits = (0 until NumHyperplanes).map { h =>
       val dot = s"list_sum(list_transform(range(1, len($col)+1), " +
         s"i -> CAST($col[i] AS DOUBLE) * " +
