@@ -11,7 +11,63 @@ import graft.core.Skew
 object Statistics {
   import Num._
 
-  def all: Seq[QueryDef] = Seq(saltedAgg, median, approxDistinct, hashSample)
+  def all: Seq[QueryDef] =
+    Seq(saltedAgg, median, approxDistinct, hashSample, corrStats)
+
+  /** Variance / stddev / correlation from exact decimal power sums — the
+    * built-in `corr`/`stddev` use engine-specific merge formulas whose FP
+    * accumulation order differs, so they can't be hash-compared; the
+    * textbook sums formulation is exact until one double conversion per
+    * term, identical in both engines (and it's also the map-side-combinable
+    * shape a distributed engine wants: each partition contributes five
+    * exact partial sums). */
+  val corrStats = QueryDef("q48_corr_stats",
+    (s, d) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"),
+          sum(q * q).as("sqq"), sum(p * p).as("spp"),
+          sum(q * p).as("sqp"))
+      // each exact decimal sum converts to double ONCE, then all arithmetic
+      // is IEEE double with identical expression shape in both engines —
+      // no decimal-width inference hazards (Spark caps products at
+      // precision 38; DuckDB errors on width overflow)
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val varQ = nd * dbl("sqq") - dbl("sq") * dbl("sq")
+      val varP = nd * dbl("spp") - dbl("sp") * dbl("sp")
+      g.select(col("l_returnflag"), col("n"),
+          (dbl("sq") / nd).as("mean_qty"),
+          sqrt(varQ / (nd * (nd - lit(1.0)))).as("stddev_qty"),
+          ((nd * dbl("sqp") - dbl("sq") * dbl("sp")) /
+            (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+          (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+           sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+      FROM g ORDER BY l_returnflag"""))
 
   /** Deterministic 10% sample: keep rows whose portable rolling hash of
     * the key lands in [0, 10) mod 100 — reproducible across engines and
