@@ -55,19 +55,26 @@ object Statistics {
             CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
         SUM(CAST(l_quantity AS DECIMAL(12,2)) *
             CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
-      FROM lineitem GROUP BY l_returnflag)
+      FROM lineitem GROUP BY l_returnflag),
+      -- decimal→double must round ONCE: DuckDB's direct cast goes
+      -- int128→double→/10^scale (two roundings, 1 ulp off Spark's
+      -- correctly-rounded BigDecimal conversion for sums > 2^53); the
+      -- VARCHAR route is correctly-rounded parsing, bit-equal to Spark
+      gd AS (SELECT l_returnflag, n,
+        CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd,
+        CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS spd,
+        CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqqd,
+        CAST(CAST(spp AS VARCHAR) AS DOUBLE) AS sppd,
+        CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS sqpd
+      FROM g)
       SELECT l_returnflag, n,
-        CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-        sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
-              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        sqd / CAST(n AS DOUBLE) AS mean_qty,
+        sqrt((CAST(n AS DOUBLE) * sqqd - sqd * sqd)
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
-        (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
-          - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
-          (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
-              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
-           sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
-      FROM g ORDER BY l_returnflag"""))
+        (CAST(n AS DOUBLE) * sqpd - sqd * spd) /
+          (sqrt(CAST(n AS DOUBLE) * sqqd - sqd * sqd) *
+           sqrt(CAST(n AS DOUBLE) * sppd - spd * spd)) AS corr_qty_price
+      FROM gd ORDER BY l_returnflag"""))
 
   /** Deterministic 10% sample: keep rows whose portable rolling hash of
     * the key lands in [0, 10) mod 100 — reproducible across engines and
