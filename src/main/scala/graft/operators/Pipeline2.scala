@@ -18,7 +18,39 @@ import graft.functions.TextFunctions._
   */
 object Pipeline2 {
 
-  def all: Seq[QueryDef] = Seq(funnel, rarity, latestPerKey, dedupApply)
+  def all: Seq[QueryDef] =
+    Seq(funnel, rarity, latestPerKey, dedupApply, retention)
+
+  /** Cohort retention: per first-seen-day cohort, users active again
+    * exactly 1 / within 7 days later. Two shuffles (user grouping, then
+    * cohort grouping over a users×days distinct relation) — the standard
+    * product-analytics shape, exact integers throughout. */
+  val retention = QueryDef("ev_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val activeDays = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      firstDay.join(activeDays, "user_id")
+        .withColumn("age", datediff(col("day"), col("d0")))
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"),
+          countDistinct(when(col("age") === 1, col("user_id"))).as("d1"),
+          countDistinct(when(col("age").between(1, 7), col("user_id")))
+            .as("d7"))
+        .orderBy(col("d0"))
+    },
+    Some("""WITH first_day AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      SELECT d0, COUNT(DISTINCT user_id) AS cohort_size,
+        COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 1
+          THEN user_id END) AS d1,
+        COUNT(DISTINCT CASE WHEN datediff('day', d0, day) BETWEEN 1 AND 7
+          THEN user_id END) AS d7
+      FROM first_day JOIN active USING (user_id)
+      GROUP BY d0 ORDER BY d0"""))
 
   /** Conversion funnel view → click → purchase: per stage, users who
     * reached it in order (each stage's first occurrence strictly after the
