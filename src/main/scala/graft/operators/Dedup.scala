@@ -139,27 +139,33 @@ object Dedup {
     * 32× row multiplication (which the first crossJoin-with-range cut
     * paid). The signature is then assembled per doc in a single codegen'd
     * projection. */
+  /** 32-bit SimHash signature per document: all 32 bit-majority votes as
+    * aggregate columns in one groupBy. Shared by the catalog query and
+    * the banding-correctness test. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val th = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", rollHash("w"))
+    val bitSums = (0 until 32).map(i =>
+      sum(expr(s"(h div ${1L << i}L) % 2")).as(s"s$i"))
+    th.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cnt"), bitSums: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(lit(2) * col(s"s$i") >= col("cnt"), lit(1L << i))
+            .otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
+
   val simhash = QueryDef("dedup_simhash",
     (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val th = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("h", rollHash("w"))
-      val bitSums = (0 until 32).map(i =>
-        sum(expr(s"(h div ${1L << i}L) % 2")).as(s"s$i"))
-      val sigs = th
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("cnt"), bitSums: _*)
-        .select(col("doc_id"),
-          (0 until 32).map(i =>
-            when(lit(2) * col(s"s$i") >= col("cnt"), lit(1L << i))
-              .otherwise(0L)).reduce(_ + _).as("simhash"))
-        // pigeonhole bands: a pair at Hamming ≤ 1 differs in at most one
-        // half, so it agrees EXACTLY on the other — equi-joins on the two
-        // 16-bit halves find every qualifying pair with no all-pairs
-        // stage. (The quadratic self-join this replaces went 1.25 s → 15.6 s
-        // on an 8× corpus in graft.tools.ScaleSmoke; this is the exact
-        // same output, found by hash join.)
+      // pigeonhole bands: a pair at Hamming ≤ 1 differs in at most one
+      // half, so it agrees EXACTLY on the other — equi-joins on the two
+      // 16-bit halves find every qualifying pair with no all-pairs
+      // stage. (The quadratic self-join this replaces went 1.25 s → 15.6 s
+      // on an 8× corpus in graft.tools.ScaleSmoke; this is the exact
+      // same output, found by hash join. DedupSpec proves set equality.)
+      val sigs = simhashSignatures(s, d)
         .withColumn("lo", col("simhash") % 65536L)
         .withColumn("hi", expr("simhash div 65536"))
       // the two band joins are disjoint by construction (the hi join only
