@@ -50,7 +50,11 @@ object Bench {
     // to a stray GC pause / codegen-cache eviction landing on one query.
     // On a heavily contended machine one pass can take minutes — skip the
     // second pass then, so total bench wall-clock stays bounded.
+    // drop cached frames queries registered (each invocation caches fresh
+    // entries the session would otherwise accumulate across passes)
+    spark.catalog.clearCache()
     val p1 = timedPass()
+    spark.catalog.clearCache()
     val results =
       if (p1.map(_._2).sum <= 150.0) {
         val p2 = timedPass()

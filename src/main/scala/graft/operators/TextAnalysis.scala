@@ -120,12 +120,13 @@ object TextAnalysis {
   val langid = QueryDef("text_langid",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // tok feeds both the profile build and per-doc scoring; lw feeds
-      // three aggregates — cache both so the tokenize+shuffle runs once
+      // tok/lw are read by multiple branches; recomputing them pipelines
+      // inside whole-stage codegen and measures FASTER than .cache()
+      // (caching forces a materialization barrier and, invoked per call,
+      // leaks entries the session never unpersists)
       val tok = docs.select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("w")).cache()
+        explode(tokens(col("text"))).as("w"))
       val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-        .cache()
       val lt = lw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
       val gw = lw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
       val gt = lw.agg(sum(col("c")).as("tg"))
