@@ -24,9 +24,11 @@ object ScaleSmoke {
     val queries =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q3_top_customers", "text_wordcount",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ev_hourly_agg", "ev_range_join", "sim_topk_bruteforce",
-        "emb_kmeans_assign", "stream_dedup", "ev_funnel")
+        "text_langid", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_lsh", "ev_hourly_agg", "ev_range_join",
+        "ev_asof_busy_hour", "ev_retention", "sim_topk_bruteforce",
+        "emb_kmeans_assign", "stream_dedup", "ev_funnel", "q48_corr_stats",
+        "q44_latest_per_key", "sample_stratified", "text_rarity")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -42,15 +44,17 @@ object ScaleSmoke {
     buildScaledDir(spark, src, dir, mult)
 
     val fns = SparkEntry.queries
-    // warm-up then timed, same discipline as Bench
+    // warm-up then timed, same discipline (and cache hygiene) as Bench
     queries.foreach { n =>
       try fns(n)(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case t: Throwable => System.err.println(s"[scale] warmup $n: $t") }
     }
+    spark.catalog.clearCache()
     val results = queries.map { n =>
       val t0 = System.nanoTime()
       try fns(n)(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case t: Throwable => System.err.println(s"[scale] $n: $t") }
+      spark.catalog.clearCache()
       n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
