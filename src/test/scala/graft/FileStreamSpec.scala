@@ -38,4 +38,33 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-static join: streaming events enriched by a static dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.write.parquet(s"$dir/ev")
+    val schema = spark.read.parquet(s"$dir/ev").schema
+    // static dimension: event_type -> category (broadcastable at any scale;
+    // Structured Streaming re-plans the join per micro-batch)
+    val dim = spark.createDataFrame(Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")))
+      .toDF("event_type", "category")
+
+    def enrichedCounts(events: org.apache.spark.sql.DataFrame) =
+      events.join(dim, "event_type")
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+
+    val q = enrichedCounts(spark.readStream.schema(schema).parquet(s"$dir/ev"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = enrichedCounts(spark.read.parquet(s"$dir/ev")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum == ev.count())
+  }
 }
