@@ -18,7 +18,31 @@ import graft.functions.TextFunctions._
   */
 object TextPipeline {
 
-  def all: Seq[QueryDef] = Seq(topBigrams, piiScrub, stratifiedSample)
+  def all: Seq[QueryDef] =
+    Seq(topBigrams, piiScrub, stratifiedSample, invertedIndex)
+
+  /** Inverted index (word → posting list): document frequency plus the
+    * first 20 postings, serialized as a string so the result stays
+    * hashable for the driver's comparator. The classic MapReduce output
+    * shape — explode, distinct, one grouped aggregation; posting lists
+    * are truncated deterministically (sorted, first 20), which is also the
+    * right scale behavior (full postings for stopwords would be corpus-
+    * sized rows). */
+  val invertedIndex = QueryDef("text_inverted_index",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"), col("doc_id"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+          x => x.cast("string"))).as("postings"))
+      .orderBy(col("w")),
+    Some("""SELECT w, COUNT(*) AS df,
+        array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+      FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS w, doc_id
+        FROM documents)
+      GROUP BY w ORDER BY w"""))
 
   /** Top-30 word bigrams across the corpus (vocabulary profiling). */
   val topBigrams = QueryDef("text_top_bigrams",
