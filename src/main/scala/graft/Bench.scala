@@ -34,18 +34,27 @@ object Bench {
     // full-heap collection
     System.gc()
     var failed = List.empty[String]
-    def timedPass(): Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
-      val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case t1: Throwable =>
-        System.err.println(s"[bench] $name noop-write failed: $t1")
-        try { fns(name)(spark, sfDir).count() } catch { case t2: Throwable =>
-          System.err.println(s"[bench] $name count fallback failed: $t2")
-          if (!failed.contains(name)) failed ::= name
-        }
+    // per query: (time, succeeded). A failed pass's time is the
+    // time-to-exception, which must never win the min against a
+    // successful pass's real runtime.
+    def timedPass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.benchQueries.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+            true
+          } catch { case t1: Throwable =>
+            System.err.println(s"[bench] $name noop-write failed: $t1")
+            try { fns(name)(spark, sfDir).count(); true }
+            catch { case t2: Throwable =>
+              System.err.println(s"[bench] $name count fallback failed: $t2")
+              if (!failed.contains(name)) failed ::= name
+              false
+            }
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     // two timed passes, report per-query min: steady-state latency robust
     // to a stray GC pause / codegen-cache eviction landing on one query.
     // On a heavily contended machine one pass can take minutes — skip the
@@ -58,8 +67,14 @@ object Bench {
     val results =
       if (p1.map(_._2).sum <= 150.0) {
         val p2 = timedPass()
-        p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-      } else p1
+        p1.zip(p2).map { case ((n, a, okA), (_, b, okB)) =>
+          n -> ((okA, okB) match {
+            case (true, false) => a
+            case (false, true) => b
+            case _ => math.min(a, b)
+          })
+        }
+      } else p1.map { case (n, t, _) => n -> t }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

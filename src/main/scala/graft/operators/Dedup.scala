@@ -142,17 +142,23 @@ object Dedup {
   /** 32-bit SimHash signature per document: all 32 bit-majority votes as
     * aggregate columns in one groupBy. Shared by the catalog query and
     * the banding-correctness test. */
+  /** Effective signature width: roll_hash values are < HashMod < 2^30, so
+    * bits 30/31 of any token hash are identically zero — computing their
+    * majority votes would be dead work. The DuckDB oracle spells all 32
+    * for clarity; its top two bits are provably 0, so signatures agree. */
+  private val SimHashBits = 30
+
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val th = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", rollHash("w"))
-    val bitSums = (0 until 32).map(i =>
+    val bitSums = (0 until SimHashBits).map(i =>
       sum(expr(s"(h div ${1L << i}L) % 2")).as(s"s$i"))
     th.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("cnt"), bitSums: _*)
       .select(col("doc_id"),
-        (0 until 32).map(i =>
+        (0 until SimHashBits).map(i =>
           when(lit(2) * col(s"s$i") >= col("cnt"), lit(1L << i))
             .otherwise(0L)).reduce(_ + _).as("simhash"))
   }
@@ -160,11 +166,12 @@ object Dedup {
   val simhash = QueryDef("dedup_simhash",
     (s, d) => {
       // pigeonhole bands: a pair at Hamming ≤ 1 differs in at most one
-      // half, so it agrees EXACTLY on the other — equi-joins on the two
-      // 16-bit halves find every qualifying pair with no all-pairs
-      // stage. (The quadratic self-join this replaces went 1.25 s → 15.6 s
-      // on an 8× corpus in graft.tools.ScaleSmoke; this is the exact
-      // same output, found by hash join. DedupSpec proves set equality.)
+      // half, so it agrees EXACTLY on the other — equi-joins on the
+      // 16-bit low / 14-bit high halves find every qualifying pair with
+      // no all-pairs stage. (The quadratic self-join this replaces went
+      // 1.25 s → 15.6 s on an 8× corpus in graft.tools.ScaleSmoke; this
+      // is the exact same output, found by hash join. DedupSpec proves
+      // set equality.)
       val sigs = simhashSignatures(s, d)
         .withColumn("lo", col("simhash") % 65536L)
         .withColumn("hi", expr("simhash div 65536"))
@@ -229,36 +236,60 @@ object Dedup {
       ORDER BY a, b"""),
     bench = false)
 
-  /** Embedding near-dup: exact double-precision cosine ≥ 0.4 pairs.
-    * Dot products run through the native codegen DotProductF32 expression
-    * (graft.functions.VectorFunctions) — same left-to-right double fold,
-    * ~an order of magnitude faster than the higher-order-function form. */
-  val embeddingNearDup = QueryDef("dedup_embedding_cosine",
-    (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          expr("sqrt(dot_f64(embedding, embedding))").as("nrm"))
-      e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("dot", expr("dot_f64(x.embedding, y.embedding)"))
-        .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
-        .orderBy(col("a"), col("b"))
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding,
+  /** Shared pair builder for the two embedding near-dup variants: cosine
+    * ≥ 0.4 pairs, with candidate generation controlled by `bucketed`
+    * (false = exact all-pairs yardstick; true = same-LSH-bucket equi-join,
+    * the scale path). One definition each for the Spark plan and the
+    * DuckDB oracle, so the cosine convention and threshold cannot drift
+    * between the variants. Dot products run through the native codegen
+    * DotProductF32 expression — same left-to-right double fold as the
+    * oracle, ~an order of magnitude faster than the higher-order form. */
+  private def embeddingPairs(s: SparkSession, d: String,
+      bucketed: Boolean): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = Tables.embeddings(s, d)
+      .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+    val e = if (bucketed) base.withColumn("bucket", expr(Similarity.bucketExpr))
+      else base
+    val cond =
+      if (bucketed) col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id")
+      else col("x.vec_id") < col("y.vec_id")
+    e.alias("x").join(e.alias("y"), cond)
+      .withColumn("dot", expr("dot_f64(x.embedding, y.embedding)"))
+      .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def embeddingPairsSql(bucketed: Boolean): String = {
+    val bucketCol =
+      if (bucketed) s",\n        ${Similarity.bucketSqlDuck("embedding")} AS bucket"
+      else ""
+    val joinCond =
+      if (bucketed) "x.bucket = y.bucket AND x.vec_id < y.vec_id"
+      else "x.vec_id < y.vec_id"
+    s"""WITH e AS (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding,
-          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm$bucketCol
         FROM embeddings)
       SELECT x.vec_id AS a, y.vec_id AS b,
         list_sum(list_transform(range(1, len(x.embedding)+1),
           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
           / (x.nrm * y.nrm) AS cosine
-      FROM e x JOIN e y ON x.vec_id < y.vec_id
+      FROM e x JOIN e y ON $joinCond
       WHERE list_sum(list_transform(range(1, len(x.embedding)+1),
           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
           / (x.nrm * y.nrm) >= 0.4
-      ORDER BY a, b"""))
+      ORDER BY a, b"""
+  }
+
+  /** Embedding near-dup: exact double-precision cosine ≥ 0.4 pairs
+    * (all-pairs yardstick; bounded corpus). */
+  val embeddingNearDup = QueryDef("dedup_embedding_cosine",
+    (s, d) => embeddingPairs(s, d, bucketed = false),
+    Some(embeddingPairsSql(bucketed = false)))
 
   /** LSH-bucketed embedding near-dup — the scale path for
     * [[embeddingNearDup]]'s all-pairs yardstick: candidate pairs come only
@@ -266,32 +297,6 @@ object Dedup {
     * oracle-checked; recall vs the exact variant is inherent to the 6-bit
     * bucketing, exactly as in web-scale near-dup pipelines). */
   val embeddingNearDupLsh = QueryDef("dedup_embedding_lsh",
-    (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
-        .withColumn("bucket", expr(Similarity.bucketExpr))
-      e.alias("x").join(e.alias("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .withColumn("dot", expr("dot_f64(x.embedding, y.embedding)"))
-        .withColumn("cosine", col("dot") / (col("x.nrm") * col("y.nrm")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cosine"))
-        .orderBy(col("a"), col("b"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, embedding,
-        sqrt(list_sum(list_transform(embedding,
-          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
-        ${Similarity.bucketSqlDuck("embedding")} AS bucket
-        FROM embeddings)
-      SELECT x.vec_id AS a, y.vec_id AS b,
-        list_sum(list_transform(range(1, len(x.embedding)+1),
-          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-          / (x.nrm * y.nrm) AS cosine
-      FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-      WHERE list_sum(list_transform(range(1, len(x.embedding)+1),
-          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-          / (x.nrm * y.nrm) >= 0.4
-      ORDER BY a, b"""))
+    (s, d) => embeddingPairs(s, d, bucketed = true),
+    Some(embeddingPairsSql(bucketed = true)))
 }

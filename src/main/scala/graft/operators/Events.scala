@@ -30,9 +30,12 @@ object Events {
     * residual filter — a hash join instead of a nested loop. The naive
     * broadcast-nested-loop spelling (`ts BETWEEN lo AND hi` alone) was
     * measured 25× slower at sf0.1 (37 s vs 1.5 s: 273M codegen'd interval
-    * comparisons), and unlike BNL the bucketed join also survives an
-    * interval side too big to broadcast. DuckDB's IEJoin handles the
-    * oracle side natively. */
+    * comparisons). It's the equi-join SHAPE that survives scale: a
+    * nested loop requires the interval side broadcast, an equi join
+    * doesn't — the explicit broadcast hint below fits this minutes-scale
+    * bucket table and would simply be dropped (yielding a shuffled hash
+    * join) for an interval side beyond driver memory. DuckDB's IEJoin
+    * handles the oracle side natively. */
   val rangeJoin = QueryDef("ev_range_join",
     (s, d) => {
       val ev = Tables.events(s, d)

@@ -40,7 +40,10 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = s"/tmp/graft_scale_x$mult"
+    // dir is keyed on the SOURCE sf dir as well as the multiplier, so a
+    // run against a different corpus never reuses stale scaled tables
+    val srcKey = src.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/tmp/graft_scale_${srcKey}_x$mult"
     buildScaledDir(spark, src, dir, mult)
 
     val fns = SparkEntry.queries
@@ -54,8 +57,9 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       try fns(n)(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case t: Throwable => System.err.println(s"[scale] $n: $t") }
-      spark.catalog.clearCache()
-      n -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // teardown outside the measured window
+      n -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
