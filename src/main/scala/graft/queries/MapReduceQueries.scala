@@ -16,7 +16,41 @@ import graft.apps.{NumberCount, ShortestPath}
 object MapReduceQueries {
 
   def all: Seq[QueryDef] =
-    Seq(mrCountPerKey, mrMinPerKey, mrWordcount, numberCount, ssspSynthetic)
+    Seq(mrCountPerKey, mrMinPerKey, mrWordcount, mrTop3PerKey, numberCount,
+      ssspSynthetic)
+
+  /** Non-associative full-list reduce exemplar (F5): top-3 prices per
+    * return flag through the literal MR path — the reduce genuinely needs
+    * the whole value list (no combiner exists), exactly the contract
+    * `flatMapGroups` preserves. The declarative twin is the
+    * WindowGroupLimit plan (q17); this entry proves the MR surface
+    * handles reduces that aren't folds. */
+  val mrTop3PerKey = QueryDef("mr_top3_per_key",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .as[(String, Double)]
+      val job = new MapReduceJob[(String, Double), String, Double, (Int, Double)] {
+        def map(in: (String, Double)): IterableOnce[(String, Double)] =
+          Iterator.single(in)
+        def reduce(key: String, vals: Iterator[Double]): IterableOnce[(Int, Double)] = {
+          val top = vals.foldLeft(List.empty[Double]) { (acc, v) =>
+            (v :: acc).sorted(Ordering[Double].reverse).take(3)
+          }
+          top.iterator.zipWithIndex.map { case (v, i) => (i + 1, v) }
+        }
+      }
+      MapReduce.run(pairs, job)
+        .select(col("_1").as("l_returnflag"),
+          col("_2._1").as("rank"), col("_2._2").as("price"))
+        .orderBy(col("l_returnflag"), col("rank"))
+    },
+    Some("""SELECT l_returnflag, CAST(rn AS INT) AS rank, price FROM (
+        SELECT l_returnflag, l_extendedprice AS price, ROW_NUMBER() OVER (
+          PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rn
+        FROM lineitem)
+      WHERE rn <= 3 ORDER BY l_returnflag, rank"""))
 
   /** Word count through the literal MR path (map = tokenize+fan-out,
     * reduce = full-list count) — the text-analysis twin of A1, exercising

@@ -25,9 +25,9 @@ class CatalogSpec extends AnyFunSuite {
 
   test("catalog counts match the documented contract") {
     val all = graft.queries.Registry.all
-    assert(all.size == 90, s"catalog size ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 87,
+    assert(all.size == 91, s"catalog size ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 88,
       s"oracle-backed ${all.count(_.oracle.isDefined)}")
-    assert(all.count(_.bench) == 87, s"bench ${all.count(_.bench)}")
+    assert(all.count(_.bench) == 88, s"bench ${all.count(_.bench)}")
   }
 }
