@@ -67,6 +67,35 @@ object ShortestPath {
     undirect(ring.unionAll(skip)).where(col("src") =!= col("dst"))
   }
 
+  /** DuckDB oracle for [[syntheticGraph]]+[[distributedSssp]]: rebuild the
+    * same ring+skip edge relation from `range(n)` and solve shortest paths
+    * with a bounded recursive CTE. All edge weights are positive integers,
+    * so candidate distances are integers too; pruning candidates above
+    * `bound` keeps the (node, dist) pair space finite — the recursion
+    * provably terminates — while any true shortest path (every prefix sum
+    * ≤ its final dist ≤ source eccentricity) survives as long as
+    * `bound` ≥ the source's eccentricity (20 for n=1000, verified by
+    * Dijkstra; callers pass 2× headroom). MIN-per-node over the surviving
+    * pairs is exactly `dist[]`.
+    */
+  def syntheticOracleSql(n: Long, source: Long, bound: Int): String =
+    s"""WITH RECURSIVE
+      ids AS (SELECT range AS id FROM range($n)),
+      base AS (
+        SELECT id AS src, (id + 1) % $n AS dst, CAST(1.0 AS DOUBLE) AS w FROM ids
+        UNION ALL
+        SELECT id, (id * 7 + 11) % $n, CAST((id % 10) + 1 AS DOUBLE) FROM ids),
+      edges AS (
+        SELECT src, dst, w FROM base WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM base WHERE src <> dst),
+      paths(node, dist) AS (
+        SELECT CAST($source AS BIGINT), CAST(0.0 AS DOUBLE)
+        UNION
+        SELECT e.dst, p.dist + e.w FROM paths p JOIN edges e ON p.node = e.src
+        WHERE p.dist + e.w <= $bound)
+      SELECT node, MIN(dist) AS dist FROM paths GROUP BY node ORDER BY node"""
+
   /** Single-source shortest paths. Returns `(node, dist)` for every node
     * reachable from `source`. One row per reached node; unordered (the
     * reference guarantees no order either, README.txt:55-58).

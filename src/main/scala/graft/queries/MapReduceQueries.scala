@@ -115,21 +115,27 @@ object MapReduceQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   /** The reference flagship: seeded 10M-int histogram
-    * (number_count/main.cpp). No DuckDB table backs the generated data →
-    * rows-only check; ScalaTest proves MR == groupBy.count. */
+    * (number_count/main.cpp). The generator is an index-positional LCG
+    * (NumberCount.genInts) that DuckDB regenerates from `range(10M)` with
+    * the identical integer recurrence — so the flagship gets a real
+    * hash-checked oracle, not a rows-only pass. ScalaTest additionally
+    * proves MR == groupBy.count on the same stream. */
   val numberCount = QueryDef("number_count",
     (s, _) => NumberCount.runIdiomatic(NumberCount.genInts(s, 10000000L))
       .orderBy(col("value")),
-    None)
+    Some(NumberCount.oracleSql(10000000L)))
 
   /** Iterative SSSP (shortest_path app) over a deterministic synthetic
-    * graph — driver fixpoint loop, join-based relaxation. Non-SQL
-    * (iterative) → rows-only; Dijkstra parity is proven in ScalaTest. */
+    * graph — driver fixpoint loop, join-based relaxation. The oracle is a
+    * bounded recursive CTE over the same closed-form edge relation
+    * (ShortestPath.syntheticOracleSql); Dijkstra parity is additionally
+    * proven in ScalaTest. */
   val ssspSynthetic = QueryDef("sssp_synthetic",
     (s, _) => {
       val edges = ShortestPath.syntheticGraph(s, 1000L)
       ShortestPath.distributedSssp(edges, source = 0L)
         .orderBy(col("node"))
     },
-    None, bench = false)
+    Some(ShortestPath.syntheticOracleSql(1000L, 0L, bound = 40)),
+    bench = false)
 }
