@@ -112,7 +112,10 @@ object ShortestPath {
     * dominates the fixed overhead.
     */
   def sssp(edges: DataFrame, source: Long,
-      localCutover: Long = 5000000L,
+      // 1M edges ≈ 24 MB of (long,long,double) rows — comfortably inside
+      // any driver heap while still covering every "small graph" case;
+      // beyond it the per-superstep work amortizes Spark's fixed job cost
+      localCutover: Long = 1000000L,
       broadcastThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -12,7 +12,8 @@ object Statistics {
   import Num._
 
   def all: Seq[QueryDef] =
-    Seq(saltedAgg, median, approxDistinct, hashSample, corrStats)
+    Seq(saltedAgg, median, approxPercentile, approxDistinct, hashSample,
+      corrStats)
 
   /** Variance / stddev / correlation from exact decimal power sums — the
     * built-in `corr`/`stddev` use engine-specific merge formulas whose FP
@@ -125,6 +126,20 @@ object Statistics {
       quantile_cont(l_quantity, 0.5) AS median_qty,
       quantile_cont(l_extendedprice, 0.9) AS p90_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sketch-based percentiles — the 100 TB path for quantiles, pairing
+    * with exact q23 the way q24 (HLL) pairs with exact q20: exact
+    * `percentile` buffers every group value (whole-column state at scale),
+    * while `approx_percentile` (Greenwald-Khanna) keeps bounded state and
+    * is map-side combinable. Sketches are engine-specific → rows-only;
+    * the exact twin is the oracle-checked one. */
+  val approxPercentile = QueryDef("q49_approx_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"))
+      .orderBy(col("l_returnflag")),
+    None)
 
   /** HLL approximate distinct — sketch implementations differ between
     * engines, so this is a rows-only entry; the exact variant

@@ -1,0 +1,111 @@
+package graft
+
+import graft.core.Skew
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Proves the salted-join skew mitigation on data that is actually skewed:
+  * 90% of a 2M-row fact table shares one key. The assertion is structural
+  * (max shuffle-read records per task), not wall-clock, so it cannot flake
+  * under machine contention — if salting ever stops spreading the hot key
+  * across tasks, the ratio check fails.
+  *
+  * AQE's own skew-join splitting is disabled for the measurement: it is
+  * the built-in fix for sort-merge joins, and the manual pattern exists
+  * precisely for the plans it doesn't cover (see Skew.saltedJoin doc).
+  */
+class SkewSpec extends SparkSpec {
+
+  private def skewedFact: DataFrame =
+    spark.range(0, 2000000, 1, 8).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+
+  private def dim: DataFrame =
+    spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+
+  /** Runs `action` and returns the max shuffle-read record count any
+    * single task saw while it ran. */
+  private def maxTaskShuffleRead(action: => Unit): Long = {
+    var mx = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          mx = math.max(mx, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // listener delivery is async with no public drain API: poll until
+      // the max is stable for a beat (bounded at 5 s)
+      var last = -1L
+      var spins = 0
+      while (mx != last && spins < 50) {
+        last = mx; Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    mx
+  }
+
+  test("salted join spreads a 90%-hot key and returns identical results") {
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkewJoin = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    // the suite default of 4 shuffle partitions would re-collide several
+    // sub-keys into one partition and understate the spread
+    conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val direct = skewedFact.join(dim, Seq("k"))
+      val salted = Skew.saltedJoin(skewedFact, dim, key = "k", saltBy = "v",
+        salts = 8)
+
+      // identical results (fingerprint: count + exact sums; collecting 2M
+      // joined rows is pointless)
+      def fingerprint(df: DataFrame) =
+        df.agg(count(lit(1)), sum(col("v")), sum(length(col("name"))))
+          .head()
+      assert(fingerprint(direct) == fingerprint(salted))
+
+      // the salted plan joins on (k, _salt) — assert the shape so a
+      // regression to a plain-key join fails loudly
+      val saltedPlan = Skew.saltedJoin(skewedFact, dim, "k", "v", 8)
+        .queryExecution.optimizedPlan.toString
+      assert(saltedPlan.contains("_salt"),
+        "salted join must key the join on the salt column")
+
+      // structural skew measurement: hot key 0 holds ~1.8M rows; direct
+      // shuffles them all into one task, salting spreads them over 16
+      // sub-keys. Require at least a 3x reduction in the max per-task
+      // shuffle read (measured ~5x).
+      val directMax = maxTaskShuffleRead(
+        direct.write.mode("overwrite").format("noop").save())
+      val saltedMax = maxTaskShuffleRead(
+        Skew.saltedJoin(skewedFact, dim, "k", "v", salts = 16)
+          .write.mode("overwrite").format("noop").save())
+      info(s"max task shuffle-read records: direct=$directMax salted=$saltedMax")
+      assert(saltedMax * 3 <= directMax,
+        s"salting no longer spreads the hot key: direct=$directMax salted=$saltedMax")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkewJoin)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    val direct = skewedFact.groupBy(col("k"))
+      .agg(sum(col("v")).as("sum"), count(lit(1)).as("cnt"))
+      .orderBy(col("k")).collect().toSeq
+    val salted = Skew.saltedSumCount(skewedFact, key = "k", saltBy = "v",
+        sumCol = col("v"), salts = 16)
+      .orderBy(col("k")).collect().toSeq
+    assert(direct == salted)
+  }
+}
