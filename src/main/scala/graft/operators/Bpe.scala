@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Real byte-pair-encoding: iterative pair-merge vocabulary learning over
+  * the documents corpus, then greedy encoding with the learned merges —
+  * the operator an LLM-data user means by "tokenize" (the pre-existing
+  * `text_token_bpe` only counts pre-tokenization splits).
+  *
+  * Algorithm (Sennrich et al. 2016, the standard corpus-BPE loop):
+  *   1. pre-tokenize into words, count word frequencies;
+  *   2. represent each word as a symbol sequence (initially characters);
+  *   3. per round: count adjacent symbol pairs corpus-wide (weighted by
+  *      word freq), merge the most frequent pair everywhere; repeat.
+  *
+  * Spark-first shape: the word/state table is the superstep state (the A7
+  * pattern SSSP uses); each round is one tiny aggregation job (argmax
+  * collect, like SSSP's fixpoint count) plus one narrow projection. The
+  * corpus is scanned ONCE — the initial word-frequency aggregation — and
+  * eagerly checkpointed; everything after runs on the (vocabulary-sized)
+  * state, which is exactly why corpus BPE scales: rounds cost O(vocab),
+  * not O(corpus), no matter how many documents feed the word counts.
+  *
+  * Engine-reproducibility trick that makes the whole loop ORACLE-CHECKED:
+  * a word's state is a two-space-separated symbol string bracketed by
+  * double spaces ("␣␣h␣␣e␣␣y␣␣"), so merging pair (a,b) is
+  * `replace(state, '␣a␣␣b␣', '␣ab␣')` — leftmost non-overlapping
+  * replacement IS greedy BPE merge order, the separator invariant is
+  * self-restoring, and consecutive matches ("␣a␣␣b␣␣a␣␣b␣" → "␣ab␣␣ab␣")
+  * chain correctly. `replace`/`trim`/`split` behave identically in Spark
+  * and DuckDB (BpeSpec pins the overlap cases), so the DuckDB oracle is
+  * the same loop unrolled into chained CTEs with a LIMIT-1 argmax per
+  * round. Ties break on (count DESC, left ASC, right ASC) — exact on the
+  * ASCII corpus in both engines.
+  */
+object Bpe {
+
+  def all: Seq[QueryDef] = Seq(vocabQuery, encodeQuery)
+
+  /** Merge rounds to learn. Vocabulary-sized work per round; 10 rounds
+    * keeps the unrolled oracle SQL readable. */
+  val NumMerges = 10
+
+  private val Sep = "  " // two-space symbol separator (see class doc)
+
+  /** (word, freq) for the corpus, plus the initial character-level state
+    * string. One corpus scan; checkpointed eagerly so the merge rounds
+    * never re-read the documents table. */
+  private def initialWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("state",
+        concat(lit(Sep), array_join(split(col("word"), ""), Sep), lit(Sep)))
+      .localCheckpoint(true)
+
+  /** Adjacent-pair counts over the current states, ready for argmax. */
+  private def pairCounts(states: DataFrame): DataFrame =
+    states
+      .withColumn("syms", split(trim(col("state")), Sep))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Run the merge loop: returns (learned merges, final states). Each
+    * round: one argmax job on the vocabulary-sized pair table, then a
+    * narrow replace projection chained onto the state. */
+  private def learn(s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var states = initialWords(s, d)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to NumMerges) {
+      val top = pairCounts(states)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, c))
+        // literal (non-regex) replace — same leftmost non-overlapping
+        // semantics as DuckDB's replace(), no escaping hazards
+        states = states.withColumn("state",
+          call_function("replace", col("state"),
+            lit(s" $a$Sep$b "), lit(s" $a$b ")))
+      }
+    }
+    (merges.result(), states)
+  }
+
+  /** The learned merge table: one row per round. */
+  val vocabQuery = QueryDef("text_bpe_vocab",
+    (s, d) => {
+      val (merges, _) = learn(s, d)
+      import s.implicits._
+      merges.toDF("rank", "lhs", "rhs", "cnt").orderBy(col("rank"))
+    },
+    Some(oracleVocabSql),
+    bench = false) // driver-loop rounds: a correctness exemplar, not a throughput query
+
+  /** Greedy BPE encoding of every document with the learned merges:
+    * tokens-per-document (the size signal a training pipeline batches by).
+    * Re-derives the vocabulary (shares [[learn]]), then joins each word
+    * occurrence to its final token count — one corpus re-scan, one
+    * broadcastable vocabulary join. */
+  val encodeQuery = QueryDef("text_bpe_encode",
+    (s, d) => {
+      val (_, states) = learn(s, d)
+      val wordTokens = states.select(col("word"),
+        size(split(trim(col("state")), Sep)).cast("long").as("word_tokens"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(wordTokens), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("word_tokens")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(oracleEncodeSql),
+    bench = false)
+
+  // ---- generated DuckDB oracle: the same loop, unrolled ----
+
+  /** words CTE + states_0. */
+  private def sqlBase: String =
+    s"""words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    states_0 AS (
+      SELECT word, freq,
+        '$Sep' || array_to_string(string_split(word, ''), '$Sep') || '$Sep' AS state
+      FROM words)"""
+
+  /** pairs_k + best_k + states_k for one unrolled round. */
+  private def sqlRound(k: Int): String = {
+    val prev = s"states_${k - 1}"
+    s"""pairs_$k AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq) AS cnt
+      FROM (SELECT freq, string_split(trim(state), '$Sep') AS syms FROM $prev),
+        UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY 1, 2),
+    best_$k AS (
+      SELECT lhs, rhs, cnt FROM pairs_$k
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    states_$k AS (
+      SELECT s.word, s.freq,
+        replace(s.state, ' ' || b.lhs || '$Sep' || b.rhs || ' ',
+          ' ' || b.lhs || b.rhs || ' ') AS state
+      FROM $prev s CROSS JOIN best_$k b)"""
+  }
+
+  private def oracleVocabSql: String = {
+    val rounds = (1 to NumMerges).map(sqlRound).mkString(",\n    ")
+    val unions = (1 to NumMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM best_$k")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $sqlBase,
+    $rounds
+    SELECT rank, lhs, rhs, cnt FROM (
+      $unions) ORDER BY rank"""
+  }
+
+  private def oracleEncodeSql: String = {
+    val rounds = (1 to NumMerges).map(sqlRound).mkString(",\n    ")
+    s"""WITH $sqlBase,
+    $rounds,
+    wordtok AS (
+      SELECT word, CAST(len(string_split(trim(state), '$Sep')) AS BIGINT) AS word_tokens
+      FROM states_$NumMerges),
+    docwords AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT d.doc_id, CAST(SUM(w.word_tokens) AS BIGINT) AS n_tokens
+    FROM docwords d JOIN wordtok w ON d.word = w.word
+    WHERE d.word <> ''
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+  }
+}
