@@ -32,7 +32,61 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
-      embeddingNearDupLsh)
+      embeddingNearDupLsh, paragraph)
+
+  /** Sub-document dedup: whole-document near-dup passes keep one copy of a
+    * page, but production corpus cleaning also strips CONTENT repeated
+    * across different pages (boilerplate headers, licence blocks, quoted
+    * passages). Granularity here is disjoint 8-word blocks — the windowed
+    * flavor of paragraph dedup, which needs no delimiter convention in the
+    * corpus. Every block is hashed with the portable rolling hash, the
+    * global first occurrence (min (doc_id, blk_idx)) is the keeper, and
+    * each document reports how many of its blocks a cleaner would drop.
+    *
+    * Scale shape: one corpus scan → block fan-out (size/W rows per doc) →
+    * one shuffle keyed by block hash (well-distributed by construction;
+    * a pathological hot block — think empty boilerplate — is exactly what
+    * [[graft.core.Skew.saltedJoin]] handles) → per-doc re-aggregation.
+    * No self-join, no candidate explosion: cost is linear in corpus size,
+    * unlike pairwise near-dup. ScaleSmoke covers linearity at 8×. */
+  val paragraph = QueryDef("dedup_paragraph",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val W = 8
+      val blocks = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(t) / $W.0) as int) - 1, 1), " +
+            s"i -> array_join(slice(t, i * $W + 1, $W), ' '))")))
+        .withColumnRenamed("pos", "blk_idx")
+        .withColumnRenamed("col", "blk")
+        .withColumn("bhash", rollHash("blk"))
+      val firstSeen = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bhash")).orderBy(col("doc_id"), col("blk_idx"))
+      blocks.withColumn("rn", row_number().over(firstSeen))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      blocks AS (
+        SELECT doc_id, i AS blk_idx,
+          array_to_string(t[(i*8+1):least((i+1)*8, len(t))], ' ') AS blk
+        FROM docs, UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS r(i)),
+      hashed AS (
+        SELECT doc_id, blk_idx, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(blk, ''), c -> CAST(unicode(c) AS BIGINT))),
+          (h, c) -> (h*31+c) % 1000000007) AS bhash
+        FROM blocks),
+      ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          PARTITION BY bhash ORDER BY doc_id, blk_idx) AS rn
+        FROM hashed)
+      SELECT doc_id, COUNT(*) AS n_blocks,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Exact dedup on bag-of-words normal form: groupBy(normalized text) →
     * keeper = min doc_id, group size. */
