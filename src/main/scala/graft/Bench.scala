@@ -1,6 +1,80 @@
 package graft
 
+import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-phase execution metrics for one query — the Spark analogue of the
+  * reference's `__TIMING__` map/merge/reduce breakdown (firebird.h:185-230):
+  * scan == map input, shuffle == merge, aggregate == reduce. Scraped from
+  * the executed plan's SQLMetrics after each warm-up action (the warm-up
+  * pass runs the identical workload, and draining the async listener there
+  * keeps the timed passes unpolluted). */
+final case class PhaseStats(
+    var scanRows: Long = 0, var scanMs: Long = 0,
+    var shuffleRows: Long = 0, var shuffleBytes: Long = 0,
+    var aggMs: Long = 0) {
+  def json: String =
+    s"""{"scan_rows":$scanRows,"scan_ms":$scanMs,"shuffle_rows":$shuffleRows,""" +
+      s""""shuffle_bytes":$shuffleBytes,"agg_ms":$aggMs}"""
+}
+
+/** QueryExecutionListener that attributes every execution's plan metrics
+  * to the query name set via [[expect]]. Delivery is async; [[drain]]
+  * polls until the expected action's event lands (bounded). */
+final class PhaseCollector extends QueryExecutionListener {
+  private val events = new ConcurrentLinkedQueue[QueryExecution]()
+  val stats = scala.collection.mutable.LinkedHashMap.empty[String, PhaseStats]
+  @volatile private var current: String = ""
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    events.add(qe)
+  override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+
+  def expect(name: String): Unit = { current = name }
+
+  /** Fold every event that has arrived for the current query into its
+    * stats, waiting up to `timeoutMs` for at least one. */
+  def drain(timeoutMs: Long = 2000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var seen = false
+    while (!seen && System.currentTimeMillis() < deadline) {
+      if (events.isEmpty) Thread.sleep(10)
+      while (!events.isEmpty) { seen = true; fold(events.poll()) }
+    }
+    // late stragglers from multi-action queries
+    while (!events.isEmpty) fold(events.poll())
+  }
+
+  /** Recursively flatten, stepping through AQE wrapper nodes whose real
+    * children are not in `children`. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def fold(qe: QueryExecution): Unit = {
+    val st = stats.getOrElseUpdate(current, PhaseStats())
+    flatten(qe.executedPlan).foreach { node =>
+      def m(key: String): Long =
+        node.metrics.get(key).map(_.value).filter(_ > 0).getOrElse(0L)
+      val name = node.nodeName
+      if (name.contains("Scan")) {
+        st.scanRows += m("numOutputRows")
+        st.scanMs += m("scanTime")
+      } else if (name.contains("Exchange") && !name.contains("Broadcast")) {
+        st.shuffleRows += m("shuffleRecordsWritten")
+        st.shuffleBytes += m("shuffleBytesWritten") max m("dataSize")
+      } else if (name.contains("Aggregate")) {
+        st.aggMs += m("aggTime")
+      }
+    }
+  }
+}
 
 /** Driver-run benchmark: headline queries at SPARK_GRAFT_SF_DIR (sf0.1),
   * one JSON result line on stdout. */
@@ -24,12 +98,21 @@ object Bench {
     // absorbing ~150 s of warm-up that later identical shapes didn't pay).
     // Page-cache warmth for the parquet inputs matches the reference's
     // model, whose input array is in memory before its timed run() begins.
+    // the warm-up pass doubles as the per-phase metrics pass (F9 parity):
+    // same workload, and the async listener drain never touches the timed
+    // passes
+    val phases = new PhaseCollector
+    spark.listenerManager.register(phases)
     SparkEntry.benchQueries.foreach { name =>
-      try fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
+      phases.expect(name)
+      try {
+        fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        phases.drain()
+      } catch {
         case t: Throwable => System.err.println(s"[bench] warmup $name: $t")
       }
     }
+    spark.listenerManager.unregister(phases)
     // drain warm-up garbage so the first timed query doesn't absorb a
     // full-heap collection
     System.gc()
@@ -79,7 +162,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val ph = phases.stats.map { case (k, v) => "\"" + k + "\":" + v.json }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"phases":$ph,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
