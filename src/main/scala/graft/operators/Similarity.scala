@@ -86,25 +86,14 @@ object Similarity {
     * Hamming distance 1 (flip each of the H sign bits). */
   val ProbeMasks: Seq[Int] = 0 +: (0 until NumHyperplanes).map(1 << _)
 
-  /** Deterministic pseudo-random hyperplane component h,i — a fixed affine
-    * formula so driver, tests and the oracle agree without RNG. */
-  private def hyperplaneComponent(h: String, i: String): String =
-    s"(cast(($h * 37 + $i * 101 + 17) % 97 as double) / 97.0 - 0.5)"
-
   /** Bucket id for hash table `t`: sign-pattern of dot products with that
-    * table's H hyperplanes. `bucketExpr(0)` is shared with
-    * [[Dedup.embeddingNearDupLsh]]. */
-  private[operators] def bucketExpr(t: Int): String = {
-    val bits = (0 until NumHyperplanes).map { h =>
-      val hp = t * NumHyperplanes + h
-      val dot = s"aggregate(transform(sequence(1, size(embedding)), " +
-        s"i -> cast(element_at(embedding, i) as double) * " +
-        hyperplaneComponent(hp.toString, "i") + "), " +
-        "cast(0.0 as double), (a, v) -> a + v)"
-      s"(case when $dot >= 0.0 then ${1 << h} else 0 end)"
-    }
-    bits.mkString(" + ")
-  }
+    * table's H hyperplanes, via the native fused-loop
+    * [[graft.functions.HyperplaneBucket]] expression (bit-equal to the
+    * higher-order `aggregate(transform(...))` spelling it replaced — the
+    * hyperplane formula lives in the expression's doc). `bucketExpr(0)` is
+    * shared with [[Dedup.embeddingNearDupLsh]]. */
+  private[operators] def bucketExpr(t: Int): String =
+    s"hp_bucket(embedding, $t, $NumHyperplanes)"
   private[operators] def bucketExpr: String = bucketExpr(0)
 
   /** The same bucket id in DuckDB's dialect — generated from the same
