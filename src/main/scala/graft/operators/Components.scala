@@ -26,8 +26,68 @@ object Components {
 
   def all: Seq[QueryDef] = Seq(dedupComponents)
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the adversarial-
+    * chain-proof variant: converges in O(log n) rounds on ANY graph shape,
+    * where [[connectedComponents]]' label propagation needs O(diameter).
+    * Each round is two join+aggregate passes over the (shrinking) edge
+    * set; when the set stabilizes it is a union of stars whose centers
+    * are the component minima.
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighbor (or itself) — long tails collapse toward minima
+    *    without ever growing the edge set;
+    *  - small-star: with edges directed larger→smaller, every node
+    *    re-points its smaller neighbors (and itself) at the minimum.
+    *
+    * Returns `(node, component)`; component = min node id reachable.
+    * ComponentsSpec proves equality with label propagation and that a
+    * 256-node path graph converges in ≤ 12 rounds (vs 255 supersteps). */
+  def connectedComponentsStar(edges: DataFrame): DataFrame =
+    starLoop(edges)._1
+
+  private[graft] def starLoop(edges: DataFrame): (DataFrame, Int) = {
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < 50) {
+      rounds += 1
+      // large-star over the symmetric neighborhoods
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("minv"))
+        .select(col("u"), least(col("minv"), col("u")).as("m"))
+      val ls = sym.join(mL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over larger→smaller edges (ls already points down;
+      // canonicalize anyway so the invariant is local, not inherited)
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mS = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = dir.join(mS, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the edge set is stable (set equality via anti-join —
+      // the per-round twin of SSSP's improvement count)
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+    }
+    // stable state is a union of stars: children appear as u, centers
+    // only as v (a center is its own component)
+    val children = e.select(col("u").as("node"), col("v").as("component"))
+    val centers = e.select(col("v").as("node")).distinct()
+      .withColumn("component", col("node"))
+    (children.unionAll(centers).distinct(), rounds)
+  }
+
   /** Min-label propagation over an undirected edge list `(a, b)`.
-    * Returns `(node, component)` with component = min node id reachable. */
+    * Returns `(node, component)` with component = min node id reachable.
+    * O(diameter) supersteps — fine for near-dup clusters (tiny diameters);
+    * [[connectedComponentsStar]] is the general-graph scale path. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
@@ -64,7 +124,10 @@ object Components {
   val dedupComponents = QueryDef("dedup_components",
     (s, d) => {
       val pairs = Dedup.minhashLsh.fn(s, d).select(col("a"), col("b"))
-      val comp = connectedComponents(pairs)
+      // ships the O(log n)-round star algorithm; ComponentsSpec proves it
+      // equal to min-label propagation, and the DuckDB recursive-CTE
+      // oracle checks the result independently
+      val comp = connectedComponentsStar(pairs)
       val sizes = comp.groupBy(col("component"))
         .agg(count(lit(1)).as("csize"))
       comp.join(sizes, "component")

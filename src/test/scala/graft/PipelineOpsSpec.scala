@@ -45,6 +45,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 10 && got.values.toSet == Set(0L))
   }
 
+  test("star components match union-find and label propagation") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val star = Components.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == unionFind(edges))
+    val prop = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star components collapse a 256-node path in O(log n) rounds") {
+    // the adversarial case for label propagation: diameter 255 would need
+    // 255 supersteps; large-star/small-star must stay logarithmic
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Components.starLoop(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 256 && got.values.toSet == Set(0L))
+    info(s"converged in $rounds rounds (diameter 255)")
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds")
+  }
+
   test("kmeans assignment: seed vectors assign to themselves at distance 0") {
     val r = Clustering.kmeansAssign.fn(spark, sf("sf0.001"))
       .filter(col("vec_id") < 8)
