@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators: the two standard decisions a training-data
+  * pipeline makes beyond pairwise dedup —
+  *
+  *   - benchmark DECONTAMINATION: flag documents whose n-grams overlap a
+  *     held-out evaluation set (so eval data never leaks into training);
+  *     here the holdout is the doc_id < 50 prefix, standing in for an
+  *     external benchmark corpus.
+  *   - composite KEEP/DROP filter: one deterministic decision per document
+  *     composed from the established signals (exact-dup keeper, length
+  *     bounds, stopword ratio), with the first failing check as the
+  *     audit reason.
+  *
+  * Scale shape, both ops: per-row expression work + one hash aggregation
+  * or semi-join on well-distributed keys — linear, no self-joins. The
+  * contamination check is one corpus-sized shuffle on n-gram hash; the
+  * holdout side is tiny (broadcastable) at any realistic benchmark size.
+  */
+object Curation {
+
+  def all: Seq[QueryDef] = Seq(decontaminate, keepFilter)
+
+  /** 8-gram overlap of every corpus document against the holdout prefix.
+    * Hashing happens after per-doc `array_distinct` on the shingle
+    * strings, so counts are per distinct n-gram — identical in both
+    * engines even under hash collisions (same hash, same strings). */
+  val decontaminate = QueryDef("text_decontaminate",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val sh = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(shinglesSql("t", 8)))).as("sh"))
+        .withColumn("h", rollHash("sh"))
+      val benchSet = sh.filter(col("doc_id") < 50).select(col("h")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 50)
+      val hits = corpus.join(benchSet, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_ngrams"),
+          coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / col("n_ngrams"))
+            .as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val gram = (0 until 8).map(k => s"t[j + $k]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+          j -> $gram)) AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 8),
+      ex AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+          (h, c) -> (h*31+c) % 1000000007) AS h
+        FROM (SELECT doc_id, unnest(ss) AS g FROM sh)),
+      bench AS (SELECT DISTINCT h FROM ex WHERE doc_id < 50),
+      agg AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+          CAST(SUM(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated
+        FROM ex WHERE doc_id >= 50 GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, n_contaminated,
+        CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination
+      FROM agg ORDER BY doc_id"""
+    })
+
+  /** Composite keep/drop decision with an audit reason: duplicate (not the
+    * exact-dup keeper) → too_short → too_long → low_quality (stopword
+    * ratio), first failure wins. */
+  val keepFilter = QueryDef("corpus_keep_filter",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("stop_ratio",
+          expr("size(filter(t, w -> w IN ('the', 'a')))").cast("double") / col("n"))
+        .withColumn("norm", array_join(array_sort(col("t")), " "))
+      val keepers = base.groupBy(col("norm")).agg(min(col("doc_id")).as("keeper"))
+      base.join(keepers, "norm")
+        .withColumn("reason",
+          when(col("doc_id") =!= col("keeper"), "duplicate")
+            .when(col("n") < 20, "too_short")
+            .when(col("n") > 1000, "too_long")
+            .when(col("stop_ratio") > 0.5, "low_quality")
+            .otherwise("ok"))
+        .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio,
+          array_to_string(list_sort(string_split(text, ' ')), ' ') AS norm
+        FROM documents),
+      keepers AS (SELECT norm, MIN(doc_id) AS keeper FROM base GROUP BY norm),
+      flagged AS (SELECT b.doc_id,
+          CASE WHEN b.doc_id <> k.keeper THEN 'duplicate'
+            WHEN b.n < 20 THEN 'too_short'
+            WHEN b.n > 1000 THEN 'too_long'
+            WHEN b.stop_ratio > 0.5 THEN 'low_quality'
+            ELSE 'ok' END AS reason
+        FROM base b JOIN keepers k ON b.norm = k.norm)
+      SELECT doc_id, reason = 'ok' AS keep, reason
+      FROM flagged ORDER BY doc_id"""))
+}

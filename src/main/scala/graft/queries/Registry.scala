@@ -8,7 +8,7 @@ object Registry {
     MapReduceQueries.all ++ Relational.all ++ Relational2.all ++
       Relational3.all ++ Relational4.all ++ Relational5.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
-      graft.operators.Bpe.all ++
+      graft.operators.Bpe.all ++ graft.operators.Curation.all ++
       graft.operators.Pipeline2.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
