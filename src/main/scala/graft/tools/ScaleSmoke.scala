@@ -28,7 +28,9 @@ object ScaleSmoke {
         "dedup_embedding_lsh", "ev_hourly_agg", "ev_range_join",
         "ev_asof_busy_hour", "ev_retention", "sim_topk_bruteforce",
         "emb_kmeans_assign", "stream_dedup", "ev_funnel", "q48_corr_stats",
-        "q44_latest_per_key", "sample_stratified", "text_rarity")
+        "q44_latest_per_key", "sample_stratified", "text_rarity",
+        "dedup_paragraph", "text_decontaminate", "corpus_keep_filter",
+        "sim_ann_lsh")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

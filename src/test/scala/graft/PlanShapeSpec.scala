@@ -60,6 +60,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("text_decontaminate: holdout check plans as a semi join, no nested loop") {
+    val p = planString(q("text_decontaminate"))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("NestedLoop"),
+      "n-gram containment must stay an equi semi join on the hash")
+  }
+
+  test("dedup_paragraph: linear shape — no join at all, one window + aggs") {
+    val p = planString(q("dedup_paragraph"))
+    assert(!p.contains("Join"),
+      "sub-document dedup must not self-join; candidate pairs are the quadratic trap")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("sim_ann_lsh: probes broadcast so the corpus never shuffles for the bucket join") {
+    val p = planString(q("sim_ann_lsh"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "bucket-probe join must not shuffle the corpus side")
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
