@@ -25,19 +25,27 @@ object Curation {
 
   def all: Seq[QueryDef] = Seq(decontaminate, keepFilter)
 
+  /** (doc_id, h): distinct 8-gram rolling hashes per document. Shared by
+    * the batch decontamination query and the streaming twin
+    * ([[graft.streaming.DocStreams.flagContaminated]]) — batch/stream
+    * unification, same as EventStreams. */
+  private[graft] def ngramHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(shinglesSql("t", 8)))).as("sh"))
+      .withColumn("h", rollHash("sh"))
+  }
+
   /** 8-gram overlap of every corpus document against the holdout prefix.
     * Hashing happens after per-doc `array_distinct` on the shingle
     * strings, so counts are per distinct n-gram — identical in both
     * engines even under hash collisions (same hash, same strings). */
   val decontaminate = QueryDef("text_decontaminate",
     (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val sh = Tables.documents(s, d)
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"),
-          explode(array_distinct(expr(shinglesSql("t", 8)))).as("sh"))
-        .withColumn("h", rollHash("sh"))
+      val sh = ngramHashes(Tables.documents(s, d))
       val benchSet = sh.filter(col("doc_id") < 50).select(col("h")).distinct()
       val corpus = sh.filter(col("doc_id") >= 50)
       val hits = corpus.join(benchSet, Seq("h"), "left_semi")

@@ -39,6 +39,36 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontamination == batch over the same document files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dckpt").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.filter(col("doc_id") % 2 === 0 && col("doc_id") >= 50).write.parquet(s"$dir/b0")
+    docs.filter(col("doc_id") % 2 === 1 && col("doc_id") >= 50).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    // static holdout side: the doc_id < 50 prefix's distinct n-gram hashes
+    val holdout = graft.operators.Curation
+      .ngramHashes(docs.filter(col("doc_id") < 50))
+      .select(col("h")).distinct()
+
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = graft.streaming.DocStreams.flagContaminated(stream, holdout)
+      .writeStream.format("memory").queryName("doc_flags")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("doc_flags").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.streaming.DocStreams.flagContaminated(
+        spark.read.option("recursiveFileLookup", "true").parquet(dir), holdout)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "planted holdout copies should be flagged")
+  }
+
   test("stream-static join: streaming events enriched by a static dimension") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ev = Tables.events(spark, sf("sf0.001"))
