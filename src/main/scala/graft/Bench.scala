@@ -26,12 +26,17 @@ final case class PhaseStats(
   * to the query name set via [[expect]]. Delivery is async; [[drain]]
   * polls until the expected action's event lands (bounded). */
 final class PhaseCollector extends QueryExecutionListener {
-  private val events = new ConcurrentLinkedQueue[QueryExecution]()
+  // events are tagged with the expected query name AT ARRIVAL, so a
+  // straggler folded after the next expect() still lands on the query
+  // whose window it arrived in (delivery is async; an event arriving
+  // after its query's drain deadline is the residual misattribution
+  // window — acceptable for diagnostics, noted here)
+  private val events = new ConcurrentLinkedQueue[(String, QueryExecution)]()
   val stats = scala.collection.mutable.LinkedHashMap.empty[String, PhaseStats]
   @volatile private var current: String = ""
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-    events.add(qe)
+    events.add((current, qe))
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
 
   def expect(name: String): Unit = { current = name }
@@ -57,8 +62,9 @@ final class PhaseCollector extends QueryExecutionListener {
     case _ => p +: p.children.flatMap(flatten)
   }
 
-  private def fold(qe: QueryExecution): Unit = {
-    val st = stats.getOrElseUpdate(current, PhaseStats())
+  private def fold(tagged: (String, QueryExecution)): Unit = {
+    val (name, qe) = tagged
+    val st = stats.getOrElseUpdate(name, PhaseStats())
     flatten(qe.executedPlan).foreach { node =>
       def m(key: String): Long =
         node.metrics.get(key).map(_.value).filter(_ > 0).getOrElse(0L)
@@ -68,7 +74,10 @@ final class PhaseCollector extends QueryExecutionListener {
         st.scanMs += m("scanTime")
       } else if (name.contains("Exchange") && !name.contains("Broadcast")) {
         st.shuffleRows += m("shuffleRecordsWritten")
-        st.shuffleBytes += m("shuffleBytesWritten") max m("dataSize")
+        // dataSize only: the uncompressed in-memory estimate, one
+        // consistent unit across queries (shuffleBytesWritten is
+        // compressed on-disk bytes — incommensurable)
+        st.shuffleBytes += m("dataSize")
       } else if (name.contains("Aggregate")) {
         st.aggMs += m("aggTime")
       }

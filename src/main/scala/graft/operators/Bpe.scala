@@ -136,7 +136,11 @@ object Bpe {
         '$Sep' || array_to_string(string_split(word, ''), '$Sep') || '$Sep' AS state
       FROM words)"""
 
-  /** pairs_k + best_k + states_k for one unrolled round. */
+  /** pairs_k + best_k + states_k for one unrolled round. states_k joins
+    * best_k with LEFT JOIN ON TRUE + COALESCE (not CROSS JOIN) so a
+    * merge-exhausted corpus — empty pairs_k before round NumMerges — keeps
+    * its states instead of collapsing to zero rows, matching the Spark
+    * loop's `if (top.nonEmpty)` behavior. */
   private def sqlRound(k: Int): String = {
     val prev = s"states_${k - 1}"
     s"""pairs_$k AS (
@@ -149,9 +153,9 @@ object Bpe {
       ORDER BY cnt DESC, lhs, rhs LIMIT 1),
     states_$k AS (
       SELECT s.word, s.freq,
-        replace(s.state, ' ' || b.lhs || '$Sep' || b.rhs || ' ',
-          ' ' || b.lhs || b.rhs || ' ') AS state
-      FROM $prev s CROSS JOIN best_$k b)"""
+        COALESCE(replace(s.state, ' ' || b.lhs || '$Sep' || b.rhs || ' ',
+          ' ' || b.lhs || b.rhs || ' '), s.state) AS state
+      FROM $prev s LEFT JOIN best_$k b ON TRUE)"""
   }
 
   private def oracleVocabSql: String = {

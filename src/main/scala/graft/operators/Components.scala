@@ -76,6 +76,11 @@ object Components {
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
     }
+    // the star-shape extraction below is only valid at a fixpoint — fail
+    // loudly rather than return silently-wrong labels (50 rounds covers
+    // graphs far beyond any realistic corpus; convergence is O(log n))
+    require(converged,
+      s"star components did not converge within $rounds rounds")
     // stable state is a union of stars: children appear as u, centers
     // only as v (a center is its own component)
     val children = e.select(col("u").as("node"), col("v").as("component"))

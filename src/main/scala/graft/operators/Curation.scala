@@ -45,7 +45,10 @@ object Curation {
     * engines even under hash collisions (same hash, same strings). */
   val decontaminate = QueryDef("text_decontaminate",
     (s, d) => {
-      val sh = ngramHashes(Tables.documents(s, d))
+      // three subtrees consume the hashed shingles (holdout set, hit
+      // counts, totals) — cache so the corpus-sized tokenize+hash pass
+      // runs once, not three times (harnesses clearCache between queries)
+      val sh = ngramHashes(Tables.documents(s, d)).cache()
       val benchSet = sh.filter(col("doc_id") < 50).select(col("h")).distinct()
       val corpus = sh.filter(col("doc_id") >= 50)
       val hits = corpus.join(benchSet, Seq("h"), "left_semi")

@@ -117,9 +117,9 @@ object Similarity {
     * LSH — [[NumTables]] independent hyperplane tables OR'd together, each
     * probed at the query's bucket plus all Hamming-distance-1 buckets
     * ([[ProbeMasks]]). Single-table single-probe recall measured 0.12 on
-    * this corpus; L=3 tables × 7 probes lifts it above 0.6 while still
-    * touching only ~L·(H+1)/2^H of the corpus per query (vs the full scan
-    * at 100 TB). The corpus is scanned ONCE (all table buckets in one
+    * this corpus; L=[[NumTables]] tables × 7 probes lifts it to ~0.68
+    * while still touching only ~L·(H+1)/2^H of the corpus per query (vs
+    * the full scan at 100 TB). The corpus is scanned ONCE (all table buckets in one
     * projection, fanned out by posexplode); probes are broadcast, so the
     * corpus never shuffles — only the small candidate set does (distinct +
     * top-k). Hyperplanes are a fixed affine formula (no RNG), so the whole

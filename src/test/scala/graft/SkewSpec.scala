@@ -29,7 +29,8 @@ class SkewSpec extends SparkSpec {
   /** Runs `action` and returns the max shuffle-read record count any
     * single task saw while it ran. */
   private def maxTaskShuffleRead(action: => Unit): Long = {
-    var mx = 0L
+    // written from the listener-bus thread, read from the test thread
+    @volatile var mx = 0L
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
