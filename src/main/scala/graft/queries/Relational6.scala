@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Num, Tables}
+
+/** Round-3 relational breadth: the three classic TPC-H shapes the catalog
+  * did not yet exercise — min-per-group JOIN-BACK (Q2's physical pattern,
+  * distinct from the window top-1 in q17/q44), the double-EXISTS
+  * wait-analysis (Q21: semi join AND anti join against the same relation),
+  * and conditional-aggregate market share (Q8's ratio-of-sums). */
+object Relational6 {
+  import Num._
+
+  def all: Seq[QueryDef] = Seq(minCostSupplier, waitingSuppliers, marketShare)
+
+  /** TPC-H Q2 shape: cheapest supplier per part via aggregate + join-back
+    * on the (group, min) equality — at scale this is two shuffles on
+    * partkey and no per-group sort, the alternative plan family to the
+    * window top-1 (the join-back wins when groups are huge and only the
+    * minima survive). Equality on the min price is exact: the joined
+    * value IS an input value, no arithmetic. */
+  val minCostSupplier = QueryDef("q50_min_cost_supplier",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val minp = l.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      val atMin = l.join(minp, Seq("l_partkey"))
+        .where(col("l_extendedprice") === col("min_price"))
+        .groupBy(col("l_partkey"), col("min_price"))
+        .agg(min(col("l_suppkey")).as("s_suppkey"))
+      atMin.join(Tables.supplier(s, d), Seq("s_suppkey"))
+        .select(col("l_partkey"), col("min_price"), col("s_suppkey"),
+          col("s_name"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""WITH minp AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey),
+      at_min AS (
+        SELECT l.l_partkey, m.min_price, MIN(l.l_suppkey) AS s_suppkey
+        FROM lineitem l JOIN minp m ON l.l_partkey = m.l_partkey
+          AND l.l_extendedprice = m.min_price
+        GROUP BY l.l_partkey, m.min_price)
+      SELECT a.l_partkey, a.min_price, a.s_suppkey, s.s_name
+      FROM at_min a JOIN supplier s ON a.s_suppkey = s.s_suppkey
+      ORDER BY a.l_partkey"""))
+
+  /** TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    * multi-supplier order — a semi join (some other supplier shipped the
+    * order) AND an anti join (no other supplier shipped late) against the
+    * same relation. Late = shipped more than 25 days after the order
+    * date. Both existence checks plan as broadcast/shuffled hash joins at
+    * scale; nothing is correlated row-at-a-time. */
+  val waitingSuppliers = QueryDef("q51_waiting_suppliers",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("interval 25 days"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = l.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey")).distinct()
+      val lateOthers = late.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val waiting = late
+        .join(others,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_anti")
+      waiting.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 25 DAY),
+      waiting AS (
+        SELECT w.l_orderkey, w.l_suppkey FROM late w
+        WHERE EXISTS (SELECT 1 FROM lineitem x
+            WHERE x.l_orderkey = w.l_orderkey AND x.l_suppkey <> w.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late y
+            WHERE y.l_orderkey = w.l_orderkey AND y.l_suppkey <> w.l_suppkey))
+      SELECT s_name, numwait FROM (
+        SELECT l_suppkey, COUNT(*) AS numwait FROM waiting GROUP BY l_suppkey)
+      JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY numwait DESC, s_name LIMIT 10"""))
+
+  /** TPC-H Q8 shape: one brand's revenue share per order year — ratio of
+    * two conditional decimal-exact sums, one IEEE division at the end.
+    * Map-side combinable all the way; the ratio never touches decimal
+    * width rules (both sums convert to double once). */
+  val marketShare = QueryDef("q52_market_share",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val p = Tables.part(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("p_brand") === "Brand#1",
+            revenue(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            .as("brand_revenue"),
+          sumd(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("total_revenue"))
+        .select(col("o_year"),
+          (col("brand_revenue") / col("total_revenue")).as("mkt_share"),
+          col("brand_revenue"), col("total_revenue"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""SELECT o_year, brand_revenue / total_revenue AS mkt_share,
+        brand_revenue, total_revenue
+      FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CASE WHEN p_brand = 'Brand#1' THEN ${Num.sqlRevenue}
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS brand_revenue,
+          CAST(SUM(${Num.sqlRevenue}) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY year(o_orderdate))
+      ORDER BY o_year"""))
+}
