@@ -60,8 +60,10 @@ object Relational6 {
       val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .where(col("l_shipdate") > col("o_orderdate") + expr("interval 25 days"))
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // no distinct: semi/anti join right sides tolerate duplicates, and
+      // the dedup shuffle would cost more than it saves
       val others = l.select(col("l_orderkey").as("x_orderkey"),
-        col("l_suppkey").as("x_suppkey")).distinct()
+        col("l_suppkey").as("x_suppkey"))
       val lateOthers = late.select(col("l_orderkey").as("x_orderkey"),
         col("l_suppkey").as("x_suppkey"))
       val waiting = late
