@@ -113,26 +113,62 @@ object Statistics {
       COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Exact interpolated median + p90 per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`, both linear interpolation over sorted
-    * values). */
+  /** Exact interpolated median + p90 per group, computed by the
+    * distributed two-phase narrowing in [[graft.operators.Quantiles]]
+    * instead of the whole-group buffer of the built-in `percentile` —
+    * the shuffle carries coarse histograms plus ~2/256 of the rows, not
+    * every value. The oracle spells the identical order-statistic +
+    * interpolation formula (same IEEE expression both engines), so the
+    * result is still bit-equal to `percentile`/`quantile_cont`. */
   val median = QueryDef("q23_percentiles",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+    (s, d) => graft.operators.Quantiles.exactPercentiles(
+        Tables.lineitem(s, d), "l_returnflag",
+        Seq(graft.operators.Quantiles.Spec("l_quantity", 0.5, "median_qty"),
+          graft.operators.Quantiles.Spec("l_extendedprice", 0.9, "p90_price")))
       .orderBy(col("l_returnflag")),
-    Some("""SELECT l_returnflag,
-      quantile_cont(l_quantity, 0.5) AS median_qty,
-      quantile_cont(l_extendedprice, 0.9) AS p90_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    Some("""WITH s AS (SELECT l_returnflag AS g, COUNT(l_quantity) AS nq,
+        COUNT(l_extendedprice) AS np FROM lineitem GROUP BY l_returnflag),
+      r AS (SELECT g,
+        CAST(0.5 AS DOUBLE) * CAST(nq - 1 AS DOUBLE) AS rkq,
+        CAST(FLOOR(CAST(0.5 AS DOUBLE) * CAST(nq - 1 AS DOUBLE)) AS BIGINT) AS kloq,
+        CAST(CEIL(CAST(0.5 AS DOUBLE) * CAST(nq - 1 AS DOUBLE)) AS BIGINT) AS khiq,
+        CAST(0.9 AS DOUBLE) * CAST(np - 1 AS DOUBLE) AS rkp,
+        CAST(FLOOR(CAST(0.9 AS DOUBLE) * CAST(np - 1 AS DOUBLE)) AS BIGINT) AS klop,
+        CAST(CEIL(CAST(0.9 AS DOUBLE) * CAST(np - 1 AS DOUBLE)) AS BIGINT) AS khip
+        FROM s),
+      oq AS (SELECT l_returnflag AS g, l_quantity AS v,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS idx
+        FROM lineitem WHERE l_quantity IS NOT NULL),
+      vq AS (SELECT oq.g,
+        MAX(CASE WHEN idx = kloq THEN v END) AS vloq,
+        MAX(CASE WHEN idx = khiq THEN v END) AS vhiq
+        FROM oq JOIN r ON oq.g = r.g WHERE idx = kloq OR idx = khiq
+        GROUP BY oq.g),
+      op AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS idx
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      vp AS (SELECT op.g,
+        MAX(CASE WHEN idx = klop THEN v END) AS vlop,
+        MAX(CASE WHEN idx = khip THEN v END) AS vhip
+        FROM op JOIN r ON op.g = r.g WHERE idx = klop OR idx = khip
+        GROUP BY op.g)
+      SELECT r.g AS l_returnflag,
+        CASE WHEN kloq = khiq THEN vloq
+          ELSE (CAST(khiq AS DOUBLE) - rkq) * vloq
+             + (rkq - CAST(kloq AS DOUBLE)) * vhiq END AS median_qty,
+        CASE WHEN klop = khip THEN vlop
+          ELSE (CAST(khip AS DOUBLE) - rkp) * vlop
+             + (rkp - CAST(klop AS DOUBLE)) * vhip END AS p90_price
+      FROM r JOIN vq ON r.g = vq.g JOIN vp ON r.g = vp.g
+      ORDER BY l_returnflag"""))
 
-  /** Sketch-based percentiles — the 100 TB path for quantiles, pairing
-    * with exact q23 the way q24 (HLL) pairs with exact q20: exact
-    * `percentile` buffers every group value (whole-column state at scale),
-    * while `approx_percentile` (Greenwald-Khanna) keeps bounded state and
-    * is map-side combinable. Sketches are engine-specific → rows-only;
-    * the exact twin is the oracle-checked one. */
+  /** Sketch-based percentiles, pairing with exact q23 the way q24 (HLL)
+    * pairs with exact q20: `approx_percentile` (Greenwald-Khanna) keeps
+    * bounded state and is map-side combinable, the single-pass answer
+    * when an ε-error is acceptable; q23's two-phase narrowing is now the
+    * exact answer at the same scale (bounded state, two extra passes).
+    * Sketches are engine-specific → rows-only; the exact twin is the
+    * oracle-checked one. */
   val approxPercentile = QueryDef("q49_approx_percentile",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))

@@ -81,6 +81,14 @@ class PlanShapeSpec extends SparkSpec {
       "bucket-probe join must not shuffle the corpus side")
   }
 
+  test("q23_percentiles: no whole-group percentile buffer — stats sides broadcast") {
+    val p = planString(q("q23_percentiles"))
+    assert(!p.toLowerCase.contains("percentile"),
+      "built-in percentile's per-group value buffer was reintroduced — " +
+        "q23 must keep the two-phase narrowing (operators/Quantiles.scala)")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
