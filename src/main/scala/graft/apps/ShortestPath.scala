@@ -23,9 +23,11 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes for the 100 TB target:
   *   - edges are the big side: they stay partitioned; the (small, shrinking)
   *     frontier is the probe side of the join each superstep.
-  *   - lineage is cut with an eager `localCheckpoint` every superstep
-  *     supersteps — without this the plan grows unboundedly over hundreds of
-  *     iterations (the hazard the reference's shared memory never sees).
+  *   - lineage AND inherited stats are cut every superstep
+  *     (core.Iterative.cutLineage) — without this the plan grows
+  *     unboundedly over hundreds of iterations and the join-product size
+  *     estimate overflows (the hazard the reference's shared memory
+  *     never sees).
   *   - `persist(MEMORY_AND_DISK)` on dist/frontier: each is read twice per
   *     superstep (join + count).
   */
@@ -127,6 +129,13 @@ object ShortestPath {
     } else distributedSssp(e, source, broadcastThreshold)
   }
 
+  /** Superstep state cut: lineage AND stats — see
+    * [[graft.core.Iterative.cutLineage]] for why plain `localCheckpoint`
+    * is not enough (its inherited join-product stats compound until the
+    * BigInt estimate overflows on syn.graph's 279 supersteps). */
+  private def cutLineage(df: DataFrame): DataFrame =
+    graft.core.Iterative.cutLineage(df)
+
   /** The fully distributed superstep loop (reference main.cpp:178-188
     * re-expressed; see class doc). Exercised directly by tests and by the
     * `sssp_synthetic` catalog entry. */
@@ -141,13 +150,14 @@ object ShortestPath {
 
     // dist: best-known distance per discovered node (≅ dist[], main.cpp:159-163,
     // but sparse — undiscovered nodes are absent instead of +inf).
-    // Both superstep states are eagerly localCheckpoint'ed: without cutting
+    // Both superstep states are eagerly cut via cutLineage: without cutting
     // lineage EVERY superstep the logical plan doubles per iteration (the
     // full_outer join references both prior states) and plan
-    // compilation/explain blows up long before the data does. On a real
-    // cluster swap localCheckpoint for checkpoint(reliable dir) to also
-    // survive executor loss.
-    var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint(true)
+    // compilation/explain blows up long before the data does — and the
+    // checkpoint's inherited stats compound (see cutLineage). On a real
+    // cluster swap the inner localCheckpoint for checkpoint(reliable dir)
+    // to also survive executor loss.
+    var dist = cutLineage(Seq((source, 0.0)).toDF("node", "dist"))
     // frontier: nodes whose dist improved last superstep (≅ the recycled
     // output->input array, main.cpp:186).
     var frontier = dist
@@ -179,17 +189,16 @@ object ShortestPath {
           Seq("node"), "left_outer")
         .where(col("cur").isNull || col("cand") < col("cur"))
         .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint(true)
-      frontierCount = improved.count()
+      val improvedCk = cutLineage(improved)
+      frontierCount = improvedCk.count()
 
       // Fold improvements into dist (replaces the reduce-side dist[] write,
       // main.cpp:54).
       if (frontierCount > 0) {
-        val newDist = dist.withColumnRenamed("dist", "cur")
-          .join(improved.withColumnRenamed("dist", "imp"), Seq("node"), "full_outer")
-          .select(col("node"), least(col("cur"), col("imp")).as("dist"))
-          .localCheckpoint(true)
-        frontier = improved
+        val newDist = cutLineage(dist.withColumnRenamed("dist", "cur")
+          .join(improvedCk.withColumnRenamed("dist", "imp"), Seq("node"), "full_outer")
+          .select(col("node"), least(col("cur"), col("imp")).as("dist")))
+        frontier = improvedCk
         dist = newDist
         distCount += frontierCount // upper bound on discovered nodes
       }

@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared support for superstep driver loops (the A7 pattern:
+  * SSSP, star connected components, Lloyd training, BPE merges). */
+object Iterative {
+
+  /** Cut lineage AND stats between supersteps.
+    *
+    * `localCheckpoint` alone rewrites the checkpointed relation's
+    * statistics from the pre-checkpoint plan (`LogicalRDD.fromDataset` →
+    * `rewriteStatsAndConstraints`). In an iterative join loop that
+    * estimate is a PRODUCT over the round's join inputs
+    * (`SizeInBytesOnlyStatsPlanVisitor.default`), so the inherited
+    * sizeInBytes compounds doubly-exponentially round over round: on the
+    * reference's 279-superstep syn.graph the byte-count BigInt eventually
+    * overflows `BigInteger`'s supported range (`ArithmeticException:
+    * BigInteger would overflow supported range`) — and long before dying,
+    * planning crawls under million-bit BigInt arithmetic.
+    *
+    * Rebuilding the frame from the checkpointed RDD resets stats to
+    * defaults. Nothing is lost: checkpointed frames never carried useful
+    * stats (loop code hints its broadcast sides explicitly for exactly
+    * that reason). On a real cluster, swap the inner `localCheckpoint`
+    * for `checkpoint` against a reliable dir to also survive executor
+    * loss. */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}

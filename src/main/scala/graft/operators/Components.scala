@@ -12,7 +12,8 @@ import graft.QueryDef
   * every node takes the min of its own label and its neighbors' labels;
   * fixpoint when no label changes. Same driver-loop pattern as
   * [[graft.apps.ShortestPath]] (the reference's A7 superstep shape),
-  * with eager `localCheckpoint` per superstep to stop lineage growth.
+  * with an eager lineage+stats cut per superstep (Iterative.cutLineage)
+  * to stop plan and stats-estimate growth.
   *
   * Scale stance: label propagation converges in O(component diameter)
   * supersteps; near-dup components are overwhelmingly tiny (pairs/triples),
@@ -47,8 +48,9 @@ object Components {
     starLoop(edges)._1
 
   private[graft] def starLoop(edges: DataFrame): (DataFrame, Int) = {
-    var e = edges.select(col("a").as("u"), col("b").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var e = graft.core.Iterative.cutLineage(
+      edges.select(col("a").as("u"), col("b").as("v"))
+        .where(col("u") =!= col("v")).distinct())
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < 50) {
@@ -69,12 +71,12 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mS.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+      val nextCk = graft.core.Iterative.cutLineage(next)
       // fixpoint: the edge set is stable (set equality via anti-join —
       // the per-round twin of SSSP's improvement count)
-      converged = next.count() == e.count() &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
-      e = next
+      converged = nextCk.count() == e.count() &&
+        nextCk.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = nextCk
     }
     // the star-shape extraction below is only valid at a fixpoint — fail
     // loudly rather than return silently-wrong labels (50 rounds covers
@@ -97,9 +99,9 @@ object Components {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .persist()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = graft.core.Iterative.cutLineage(
+      sym.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym
@@ -110,12 +112,12 @@ object Components {
         .join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
+      val nextCk = graft.core.Iterative.cutLineage(next)
+      changed = nextCk.alias("n")
         .join(labels.alias("o"), "node")
         .where(col("n.label") < col("o.label"))
         .count()
-      labels = next
+      labels = nextCk
     }
     sym.unpersist()
     labels.withColumnRenamed("label", "component")

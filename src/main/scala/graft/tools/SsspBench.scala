@@ -19,11 +19,24 @@ object SsspBench {
     spark.sparkContext.setLogLevel("ERROR")
     val edges = ShortestPath.loadGraph(spark, path)
     println(s"edges: ${edges.count()}")
+    val distributed = args.contains("--distributed")
     val t0 = System.nanoTime()
-    val dist = ShortestPath.sssp(edges, 0L)
+    val dist =
+      if (distributed) ShortestPath.distributedSssp(edges, 0L)
+      else ShortestPath.sssp(edges, 0L)
     val n = dist.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"SSSP_RESULT nodes=$n time=$secs%.1fs")
+    println(f"SSSP_RESULT nodes=$n time=$secs%.1fs distributed=$distributed")
+    // Dijkstra parity audit (the reference's serial solve, main.cpp:108-140)
+    val got = dist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val es = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = ShortestPath.dijkstra(es, 0L)
+    val keys = (got.keySet ++ want.keySet).toSeq.sorted
+    val bad = keys.filter(k => got.get(k) != want.get(k))
+    println(s"SSSP_PARITY mismatches=${bad.size} of ${keys.size}")
+    bad.take(20).foreach(k =>
+      println(s"  node=$k distributed=${got.get(k)} dijkstra=${want.get(k)}"))
     dist.orderBy(col("node")).show(5)
     spark.stop()
   }
