@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
-/** Native codegen dot product for `array<float>` embedding columns.
+/** Native codegen dot product for `array<float>` / `array<double>`
+  * embedding columns (either side may be either width — trained IVF
+  * centroids are double while the corpus stays float32).
   *
   * The composable alternative — `aggregate(zip_with(a, b, (x,y) -> ...))`
   * — allocates an intermediate array and walks higher-order-function
@@ -16,25 +18,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * This expression generates a tight primitive loop inside whole-stage
   * codegen instead. Semantics are identical: elementwise
   * double(a[i])*double(b[i]), summed left-to-right in double — the exact
-  * convention the DuckDB oracles mirror, so results stay bit-equal.
-  *
-  * Preference order per the engine's design rules: built-ins first, custom
-  * `Expression` where built-ins can't deliver the plan — this is the
-  * latter.
+  * convention the DuckDB oracles mirror, so results stay bit-equal
+  * (float→double widening is exact, so a float32 side reads the same
+  * values the oracle's CAST(x AS DOUBLE) produces).
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if Seq(l, r).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f64 requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
       i += 1
     }
     s
@@ -45,11 +63,13 @@ case class DotProductF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def rd(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${rd(a, isFloat(left))} * ${rd(b, isFloat(right))};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -24,7 +24,7 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh, annIvf)
+  def all: Seq[QueryDef] = Seq(bruteForceTopK, annLsh, annIvf, annIvfTrained)
 
   /** Norms/dots use the native codegen DotProductF32 (see VectorFunctions)
     * — bit-equal to the left-to-right double fold the oracles mirror. */
@@ -270,6 +270,190 @@ object Similarity {
         SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
           PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         FROM scored) WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  /** Cluster count / Lloyd rounds for [[annIvfTrained]]. Three rounds is
+    * enough to move every centroid off its seed vector (verified by the
+    * ScalaTest recall probe); more rounds change recall, not the plan. */
+  val IvfK = 16
+  val IvfRounds = 3
+
+  /** K-means (Lloyd) training for IVF centroids — the A7 superstep pattern
+    * (`ShortestPath.distributedSssp` shape): per round one broadcast-join
+    * assignment pass over the corpus, one hash-agg centroid update, and a
+    * K×D-double collect back to the driver (centroids are driver state in
+    * any k-means — MLlib's included; this is the BPE argmax precedent, not
+    * a distributed-op smell).
+    *
+    * Everything is deterministic and bit-reproducible in DuckDB:
+    *   - init = the first K vectors (cast to double once);
+    *   - assignment = max cosine, ties on c_id;
+    *   - centroid mean folds each cluster's values in `vec_id` order
+    *     (sort_array + left fold), then one division by the exact integer
+    *     count — the same order DuckDB's `list_sum(list(x ORDER BY
+    *     vec_id))` folds, so centroids match bit-for-bit round by round.
+    *   - an emptied cluster keeps its previous centroid (COALESCE in the
+    *     oracle).
+    *
+    * Scale note: the sorted fold shuffles each cluster's per-dimension
+    * value list to one task — that is the oracle-parity configuration. At
+    * 100 TB swap the `sort_array(collect_list(...))` fold for plain
+    * `avg(x)` (order-free partial aggregation, no per-group state): same
+    * plan shape, same clustering up to float rounding, no bit-parity.
+    */
+  def trainCentroids(e0: DataFrame, k: Int, rounds: Int): Seq[(Long, Seq[Double])] = {
+    val s = e0.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    // cast once: every fold below is double×double, matching the oracle's
+    // e2 CTE (float→double widening is exact)
+    val e = e0.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+      .withColumn("nrm", expr("sqrt(dot_f64(emb, emb))"))
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    for (_ <- 0 until rounds) {
+      val cdf = broadcast(cents.toDF("c_id", "c_emb")
+        .withColumn("c_nrm", expr("sqrt(dot_f64(c_emb, c_emb))")))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.crossJoin(cdf)
+        .withColumn("ccos",
+          expr("dot_f64(c_emb, emb)") / (col("c_nrm") * col("nrm")))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("c_id"), col("vec_id"), col("emb"))
+      val means = assigned
+        .select(col("c_id"), col("vec_id"), posexplode(col("emb")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sort_array(collect_list(
+          struct(col("vec_id").as("v"), col("col").as("x")))).as("vals"))
+        .select(col("c_id"), col("pos"),
+          (expr("aggregate(vals, 0d, (a, s) -> a + s.x)") /
+            size(col("vals"))).as("m"))
+        .groupBy(col("c_id"))
+        .agg(sort_array(collect_list(
+          struct(col("pos").as("p"), col("m").as("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, s -> s.m)").as("ce"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents
+  }
+
+  /** The Lloyd loop above, unrolled into DuckDB CTEs (`c0 → cR`): per
+    * round an assignment CTE (same cosine/tie rule), a per-(cluster, dim)
+    * ordered-fold mean, and a COALESCE against the prior round for emptied
+    * clusters. Generated from the same constants so the two spellings
+    * cannot drift (the [[bucketSqlDuck]] convention). */
+  private def ivfTrainSqlDuck(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e2 AS (SELECT vec_id,
+        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e2 WHERE vec_id < $k)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      n$r AS (SELECT c_id, c_emb,
+          sqrt(list_sum(list_transform(c_emb, v -> v * v))) AS c_nrm FROM c$r),
+      a$r AS (SELECT c_id, vec_id, emb FROM (
+          SELECT c.c_id, x.vec_id, x.emb, ROW_NUMBER() OVER (
+            PARTITION BY x.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(x.emb)+1),
+                i -> c.c_emb[i] * x.emb[i])) / (c.c_nrm * x.nrm) DESC,
+              c.c_id) AS rk
+          FROM e2 x CROSS JOIN n$r c) WHERE rk = 1),
+      s$r AS (SELECT c_id, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+          FROM (SELECT c_id, vec_id, unnest(emb) AS x,
+              unnest(range(1, len(emb)+1)) AS i FROM a$r)
+          GROUP BY c_id, i),
+      c${r + 1} AS (SELECT p.c_id, COALESCE(s.ce, p.c_emb) AS c_emb FROM c$r p
+          LEFT JOIN (SELECT c_id, list(m ORDER BY i) AS ce FROM s$r
+            GROUP BY c_id) s ON p.c_id = s.c_id)"""
+    }
+    sb.toString
+  }
+
+  /** IVF with k-means-trained centroids — [[annIvf]]'s probe machinery on
+    * [[trainCentroids]]' output instead of the first-K sample (the verdict
+    * round-3 depth item). Same search shape: one broadcast assignment
+    * pass, queries probe their `nprobe` nearest cells, exact cosine rerank
+    * inside the probed cells. Fully deterministic → oracle-checked; recall
+    * vs brute force additionally asserted in ScalaTest alongside the
+    * untrained variant's. */
+  val annIvfTrained = QueryDef("sim_ann_ivf_trained",
+    (s, d) => {
+      val nprobe = 2
+      graft.functions.VectorFunctions.register(s)
+      import s.implicits._
+      val trained = trainCentroids(Tables.embeddings(s, d), IvfK, IvfRounds)
+      val cents = broadcast(trained.toDF("c_id", "c_emb")
+        .withColumn("c_nrm", expr("sqrt(dot_f64(c_emb, c_emb))")))
+      val e = withNorm(Tables.embeddings(s, d))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("c_cos",
+          expr("dot_f64(c_emb, embedding)") / (col("c_nrm") * col("nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val probes = q.crossJoin(cents)
+        .withColumn("c_cos",
+          expr("dot_f64(c_emb, q_emb)") / (col("c_nrm") * col("q_nrm")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crank") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"))
+      val scored = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      s"""WITH ${ivfTrainSqlDuck(IvfK, IvfRounds)},
+      cf AS (SELECT c_id, c_emb,
+          sqrt(list_sum(list_transform(c_emb, v -> v * v))) AS c_nrm
+          FROM c$IvfRounds),
+      assigned AS (SELECT vec_id, emb, nrm, c_id FROM (
+          SELECT x.vec_id, x.emb, x.nrm, c.c_id, ROW_NUMBER() OVER (
+            PARTITION BY x.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(x.emb)+1),
+                i -> c.c_emb[i] * x.emb[i])) / (c.c_nrm * x.nrm) DESC,
+              c.c_id) AS crank
+          FROM e2 x CROSS JOIN cf c) WHERE crank = 1),
+      probes AS (SELECT q_id, q_emb, q_nrm, c_id FROM (
+          SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(q.emb)+1),
+                i -> c.c_emb[i] * q.emb[i])) / (c.c_nrm * q.nrm) DESC,
+              c.c_id) AS crank
+          FROM e2 q CROSS JOIN cf c WHERE q.vec_id < 20) WHERE crank <= 2),
+      scored AS (SELECT p.q_id, a.vec_id,
+          list_sum(list_transform(range(1, len(p.q_emb)+1),
+            i -> p.q_emb[i] * a.emb[i])) / (p.q_nrm * a.nrm) AS cosine
+        FROM assigned a JOIN probes p ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 3 ORDER BY q_id, rank"""
+    },
+    // driver-loop training rounds — correctness exemplar, out of the
+    // headline bench like the BPE superstep loop
+    bench = false)
 
   /** Exact top-k via brute force, reusable from tests (returns neighbor ids
     * per query id). */

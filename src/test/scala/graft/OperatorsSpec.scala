@@ -91,6 +91,40 @@ class OperatorsSpec extends SparkSpec {
     info(f"IVF recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
   }
 
+  test("trained IVF: Lloyd moves centroids, scores stay exact, recall measured") {
+    // centroids genuinely move off their seed vectors
+    val seeds = Tables.embeddings(spark, d)
+      .filter(col("vec_id") < Similarity.IvfK)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val trained = Similarity.trainCentroids(
+      Tables.embeddings(spark, d), Similarity.IvfK, Similarity.IvfRounds)
+    assert(trained.size == Similarity.IvfK)
+    val moved = trained.count { case (cid, c) => c != seeds(cid) }
+    info(s"$moved of ${trained.size} centroids moved during training")
+    assert(moved > 0, "Lloyd iterations left every centroid on its seed")
+
+    val ivf = Similarity.annIvfTrained.fn(spark, d).collect()
+    assert(ivf.nonEmpty)
+    // every reported cosine is the exact brute-force score for that pair
+    val bf = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) == 0.0)
+    }
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 20L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf3 & hit).size.toDouble / bf3.size
+    info(f"trained-IVF recall@3 = $recall%.2f")
+    assert(recall >= 0.6, f"trained-IVF recall@3 $recall%.2f below 0.6")
+  }
+
   test("simhash pairs are well-formed and deterministic") {
     // NB: recall against planted near-dups is inherently partial here — a
     // 31-word vocabulary makes 32-bit simhash noisy (word swaps flip
