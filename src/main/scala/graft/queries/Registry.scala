@@ -16,5 +16,5 @@ object Registry {
       graft.operators.Events.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++
-      Statistics.all
+      Statistics.all ++ graft.sources.Sinks.all
 }

@@ -69,6 +69,49 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty, "planted holdout copies should be flagged")
   }
 
+  test("refreshable holdout: n-grams added between microbatches flag later docs only") {
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_rdocs").toString
+    val holdDir = java.nio.file.Files.createTempDirectory("graft_rhold").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt").toString
+    val phraseA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val phraseB = "one two three four five six seven eight"
+    def docsDF(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // holdout v1 covers phraseA only
+    docsDF(1000L -> phraseA).write.mode("append").parquet(holdDir)
+    // batch 0: doc 1 (contaminated vs v1), doc 2 (phraseB — clean for now)
+    docsDF(1L -> phraseA, 2L -> phraseB).write.parquet(s"$docsDir/b0")
+    val schema = spark.read.parquet(s"$docsDir/b0").schema
+
+    val flagged = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(docsDir)
+    val q = graft.streaming.DocStreams.flagContaminatedRefreshing(
+      stream, holdDir, ckpt,
+      (df, id) => {
+        val ids = df.collect().map(_.getLong(0)).toSet
+        flagged.synchronized { flagged(id) = flagged.getOrElse(id, Set()) ++ ids }
+      })
+    try {
+      q.processAllAvailable()
+      // the holdout GROWS between microbatches; then more docs arrive
+      docsDF(1001L -> phraseB).write.mode("append").parquet(holdDir)
+      docsDF(3L -> phraseB,
+        4L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+        .write.parquet(s"$docsDir/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = flagged.values.flatten.toSet
+    assert(all.contains(1L), "doc 1 shares an 8-gram with holdout v1")
+    assert(all.contains(3L),
+      "doc 3 is contaminated only via the REFRESHED holdout — a frozen " +
+        "static side would miss it")
+    assert(!all.contains(2L),
+      "doc 2 was processed before the holdout update — must have passed")
+    assert(!all.contains(4L), "doc 4 shares no 8-gram with any holdout")
+  }
+
   test("stream-static join: streaming events enriched by a static dimension") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ev = Tables.events(spark, sf("sf0.001"))

@@ -89,6 +89,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("sink_bucketed_roundtrip: partition predicate prunes directories; co-bucketed join needs no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.sources.Sinks.sinkTable(spark, sf("sf0.001"))
+    // partition pruning: a filter on the partition column becomes a
+    // partitionFilter on the scan (no data filter, no full scan)
+    val pruned = t.filter(col("l_returnflag") === "R")
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "l_returnflag predicate did not prune partitions")
+    // co-bucketed self-join on the bucket key: no shuffle on either side
+    // (disable auto-broadcast so the sort-merge path — the 100 TB shape,
+    // where neither side broadcasts — is what gets planned)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = t.select(col("l_orderkey"), col("l_quantity"))
+      val b = t.select(col("l_orderkey"), col("l_extendedprice"))
+      val jp = a.join(b, Seq("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin"), jp.take(2000))
+      assert(!jp.contains("ShuffleExchange") && !jp.contains("Exchange hashpartitioning"),
+        s"co-bucketed join reshuffled:\n${jp.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits

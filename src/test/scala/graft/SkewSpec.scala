@@ -100,6 +100,51 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join splitting also beats the naive max-task load (A/B vs salting)") {
+    // When to use which (the A/B this test pins down): AQE's skewJoin
+    // splits oversized shuffle partitions of sort-merge joins AT RUNTIME —
+    // zero code change, the right default on a cluster. Manual salting
+    // (previous test) is for the plans AQE skew handling doesn't cover:
+    // shuffle-hash joins, stateful streaming joins, and pre-shuffle
+    // aggregation pressure. Same corpus, same structural metric, so the
+    // two mitigations are directly comparable.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkewJoin = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevThresh = conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevAdvisory = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "32")
+    // the hot partition here is ~30 MB; the production defaults (256 MB
+    // threshold / 64 MB advisory target) are sized for real executors, so
+    // scale both down to keep the test corpus past the trigger
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    try {
+      def run(skewJoinOn: Boolean): Long = {
+        conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn.toString)
+        maxTaskShuffleRead(
+          skewedFact.join(dim, Seq("k"))
+            .write.mode("overwrite").format("noop").save())
+      }
+      val naiveMax = run(skewJoinOn = false)
+      val aqeMax = run(skewJoinOn = true)
+      info(s"max task shuffle-read records: naive=$naiveMax aqe=$aqeMax")
+      assert(aqeMax * 3 <= naiveMax,
+        s"AQE skew-join split stopped spreading the hot key: " +
+          s"naive=$naiveMax aqe=$aqeMax")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkewJoin)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        prevThresh)
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+    }
+  }
+
   test("salted aggregation equals direct aggregation on skewed keys") {
     val direct = skewedFact.groupBy(col("k"))
       .agg(sum(col("v")).as("sum"), count(lit(1)).as("cnt"))
