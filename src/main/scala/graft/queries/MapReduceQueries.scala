@@ -35,8 +35,11 @@ object MapReduceQueries {
         def map(in: (String, Double)): IterableOnce[(String, Double)] =
           Iterator.single(in)
         def reduce(key: String, vals: Iterator[Double]): IterableOnce[(Int, Double)] = {
+          // bounded descending insertion: O(n·k) for the top-k, no
+          // per-value re-sort of the accumulator
           val top = vals.foldLeft(List.empty[Double]) { (acc, v) =>
-            (v :: acc).sorted(Ordering[Double].reverse).take(3)
+            val (ge, lt) = acc.span(_ >= v)
+            (ge ::: v :: lt).take(3)
           }
           top.iterator.zipWithIndex.map { case (v, i) => (i + 1, v) }
         }

@@ -116,6 +116,47 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sink_range_layout: sorted layout lets the scan skip non-matching row groups") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val d = sf("sf0.001")
+    import graft.sources.Sinks.epochMicros
+    def monthSlice(df: DataFrame): DataFrame =
+      df.filter(col("ship_us") >= epochMicros("1998-06-01") &&
+        col("ship_us") < epochMicros("1998-07-01"))
+    // scan output rows = what survives parquet row-group/page pruning —
+    // the executed plan's own metric, measured by running THIS df's plan
+    def scanOutputRows(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val sortedPath = graft.sources.Sinks.writeRangeLayout(spark, d)
+    val unsortedPath = sortedPath + "_unsorted"
+    // same columns/types as the range layout so the only difference is
+    // the physical ordering — both sides get the same pushdown chance
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        org.apache.spark.sql.functions.unix_micros(
+          col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").parquet(unsortedPath)
+    val total = spark.read.parquet(unsortedPath).count()
+    val sortedRows = scanOutputRows(monthSlice(spark.read.parquet(sortedPath)))
+    val unsortedRows = scanOutputRows(monthSlice(spark.read.parquet(unsortedPath)))
+    info(s"scan output rows: sorted=$sortedRows unsorted=$unsortedRows total=$total")
+    // the month slice straddles one range boundary → 2 of 8 files read
+    // (~total/4); anything near `total` means pruning is gone
+    assert(sortedRows * 3 <= unsortedRows,
+      s"range-sorted layout no longer prunes: sorted=$sortedRows " +
+        s"unsorted=$unsortedRows (total $total)")
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
