@@ -102,6 +102,29 @@ object Sinks {
     path
   }
 
+  /** Small-file compaction — the third layout op a 100 TB pipeline owns
+    * (alongside the bucketed-join and range-scan layouts): streaming
+    * ingestion and fine-grained task parallelism fragment tables into
+    * files far below the row-group sweet spot, and every downstream scan
+    * then pays per-file open/footer costs. One repartition pass rewrites
+    * the dataset into `ceil(rows / targetRecordsPerFile)` files; a
+    * `maxRecordsPerFile` cap at 2× the target guards against a skewed
+    * partition overshooting (an exact cap would split every partition
+    * that lands one row over the round-robin average). Returns the
+    * planned file count (SourcesSpec asserts the output matches it and
+    * the rows survive byte-exactly). */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): Long = {
+    val df = s.read.parquet(inPath)
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    df.repartition(files.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 2 * targetRecordsPerFile)
+      .parquet(outPath)
+    files
+  }
+
   /** Range-sorted layout: `repartitionByRange` + `sortWithinPartitions`
     * on the hot filter column before the parquet write gives every file
     * and row group a tight min/max envelope on that column, so a

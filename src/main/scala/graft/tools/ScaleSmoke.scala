@@ -30,7 +30,8 @@ object ScaleSmoke {
         "emb_kmeans_assign", "stream_dedup", "ev_funnel", "q48_corr_stats",
         "q44_latest_per_key", "sample_stratified", "text_rarity",
         "dedup_paragraph", "text_decontaminate", "corpus_keep_filter",
-        "sim_ann_lsh")
+        "sim_ann_lsh", "q23_percentiles", "sim_ann_ivf",
+        "sink_bucketed_roundtrip", "sink_range_layout")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

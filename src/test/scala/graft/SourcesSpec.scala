@@ -84,6 +84,24 @@ class SourcesSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("click", "view"))
   }
 
+  test("compaction rewrites a fragmented table into the planned file count, losslessly") {
+    val frag = tmpDir() + "/docs_frag"
+    val out = tmpDir() + "/docs_compact"
+    // fragment: 64 files for 500 docs (the streaming-ingest pathology)
+    Tables.documents(spark, sf("sf0.001")).repartition(64)
+      .write.parquet(frag)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag) == 64)
+    val planned = graft.sources.Sinks.compact(spark, frag, out, 100L)
+    assert(planned == 5, s"500 rows / 100 per file -> 5, got $planned")
+    assert(parts(out) == 5, s"output has ${parts(out)} files")
+    // lossless: same rows (doc_id is a key)
+    val a = spark.read.parquet(frag).orderBy(col("doc_id")).collect().toSeq
+    val b = spark.read.parquet(out).orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+  }
+
   test("SSSP on the reference syn.graph matches serial Dijkstra") {
     // read-only access to the reference's data file (18,263 nodes,
     // 23,797 undirected edges) — the reference's own scale workload
