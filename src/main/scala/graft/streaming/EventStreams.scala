@@ -96,6 +96,29 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
         col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
 
+  /** Stream-stream interval join (the attribution shape): every purchase
+    * joins the same user's clicks from the preceding hour. Both sides
+    * carry watermarks AND the join condition bounds the event-time
+    * distance, so the state store provably discards each side's rows once
+    * the other side's watermark passes the interval — bounded state, the
+    * requirement for joining two unbounded streams at ingestion scale.
+    * Inner join ⇒ matches emit as soon as both rows arrive (no watermark
+    * wait), so the streaming result converges to the batch join —
+    * StreamingSpec proves set equality. Accepts static frames too. */
+  def attributeToClicks(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Demo entry point: replays the batch events table through a streaming
     * query (file source would be used in production; here the batch DF
     * demonstrates the shared transformation). */

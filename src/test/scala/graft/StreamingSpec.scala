@@ -80,4 +80,62 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.n_events == 1)
     assert(sessions.head.start_ts == ts(0))
   }
+
+  test("stream-stream interval join == batch join; out-of-interval clicks excluded") {
+    implicit val sc = spark.sqlContext
+    val purchases = Seq(
+      Ev(ts(120), 1, "purchase", 9.99),   // user 1 buys at t+120min
+      Ev(ts(200), 2, "purchase", 5.00))   // user 2 buys at t+200min
+    val clicks = Seq(
+      Ev(ts(70), 1, "click", 0.0),    // 50 min before purchase -> attributed
+      Ev(ts(119), 1, "click", 0.0),   // 1 min before -> attributed
+      Ev(ts(30), 1, "click", 0.0),    // 90 min before -> OUTSIDE the hour
+      Ev(ts(121), 1, "click", 0.0),   // after the purchase -> excluded
+      Ev(ts(199), 2, "click", 0.0),   // other user, inside -> attributed
+      Ev(ts(150), 3, "click", 0.0))   // never purchases -> no output
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = EventStreams.attributeToClicks(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    pMem.addData(purchases: _*)
+    cMem.addData(clicks: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))
+    val streamed = spark.table("attrib").collect().map(key).toSet
+    val batch = EventStreams.attributeToClicks(
+      purchases.toDF(), clicks.toDF()).collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.map(t => (t._1, t._3)) ==
+      Set((1L, ts(70)), (1L, ts(119)), (2L, ts(199))))
+  }
+
+  test("parquet file sink: streaming writes land as readable files equal to the batch result") {
+    implicit val sc = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_psinkck").toString
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0),
+      Ev(ts(3), 1, "purchase", 3.5))
+    // stateless projection -> append-mode parquet sink with checkpoint:
+    // the production ingestion tail (files are the handoff to the batch
+    // layout ops in graft.sources.Sinks)
+    val q = mem.toDF()
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue)).toSet
+    assert(back == Set((1L, "click", 1.0), (2L, "view", 2.0),
+      (1L, "purchase", 3.5)))
+  }
 }
