@@ -22,9 +22,14 @@ object Iterative {
     * Rebuilding the frame from the checkpointed RDD resets stats to
     * defaults. Nothing is lost: checkpointed frames never carried useful
     * stats (loop code hints its broadcast sides explicitly for exactly
-    * that reason). On a real cluster, swap the inner `localCheckpoint`
-    * for `checkpoint` against a reliable dir to also survive executor
-    * loss. */
+    * that reason). Cost: `ck.rdd` + `createDataFrame` add an
+    * InternalRow→Row→InternalRow conversion per downstream read of the
+    * cut state — the public-API price of resetting stats (the
+    * internal-row path is private[sql]); measured acceptable on the
+    * 279-superstep syn.graph (~0.26 s/superstep all-in, ~10× faster
+    * than the BigInt-stat planning it replaced). On a real cluster,
+    * swap the inner `localCheckpoint` for `checkpoint` against a
+    * reliable dir to also survive executor loss. */
   def cutLineage(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)

@@ -55,7 +55,10 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("state",
         concat(lit(Sep), array_join(split(col("word"), ""), Sep), lit(Sep)))
-      .localCheckpoint(true)
+      // lazy: materializes on the first of the ~10 merge-round jobs and
+      // is reused after; eager would run a corpus scan at query-CONSTRUCTION
+      // time (plan-only callers like Explain would pay a job for nothing)
+      .localCheckpoint(false)
 
   /** Adjacent-pair counts over the current states, ready for argmax. */
   private def pairCounts(states: DataFrame): DataFrame =
@@ -69,10 +72,24 @@ object Bpe {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Run the merge loop: returns (learned merges, final states). Each
-    * round: one argmax job on the vocabulary-sized pair table, then a
-    * narrow replace projection chained onto the state. */
-  private def learn(s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+  /** One merge applied to the state column: literal (non-regex) replace —
+    * same leftmost non-overlapping semantics as DuckDB's replace(), no
+    * escaping hazards. */
+  private def applyMerge(st: DataFrame, a: String, b: String): DataFrame =
+    st.withColumn("state",
+      call_function("replace", col("state"),
+        lit(s" $a$Sep$b "), lit(s" $a$b ")))
+
+  /** Replay learned merges over the initial word states — a pure chain of
+    * narrow replace projections, no driver round-trips. */
+  private def applyMerges(st: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(st) { case (acc, (_, a, b, _)) => applyMerge(acc, a, b) }
+
+  /** Run the merge loop: returns the learned merges. Each round: one
+    * argmax job on the vocabulary-sized pair table, then a narrow replace
+    * projection chained onto the state. */
+  private def learn(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     var states = initialWords(s, d)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to NumMerges) {
@@ -82,28 +99,29 @@ object Bpe {
       if (top.nonEmpty) {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, a, b, c))
-        // literal (non-regex) replace — same leftmost non-overlapping
-        // semantics as DuckDB's replace(), no escaping hazards
-        states = states.withColumn("state",
-          call_function("replace", col("state"),
-            lit(s" $a$Sep$b "), lit(s" $a$b ")))
+        states = applyMerge(states, a, b)
       }
     }
-    (merges.result(), states)
+    merges.result()
   }
 
   /** Memoized [[learn]] per (session, data dir): vocab + encode share one
     * 10-round merge loop instead of paying the driver round-trips twice
-    * (20 → 10 argmax jobs per Verify run). Keyed weakly on the session so
-    * a retired session's entry — and the plan referencing it — can be
-    * collected; the test corpus under a dir is immutable, so dir is a
-    * sound cache key. Holds lazy plans only, no CacheManager entries. */
+    * (20 → 10 argmax jobs per Verify run). The cached value is ONLY the
+    * driver-side merge list — plain tuples with no reference back to the
+    * session — so the weak key genuinely becomes collectible when the
+    * session retires (a memoized DataFrame would strongly reference the
+    * session through its plan and pin the entry forever, per
+    * WeakHashMap's value-references-key caveat). Callers that need the
+    * merged states replay [[applyMerges]] — projections only, no argmax
+    * jobs. The test corpus under a dir is immutable, so dir is a sound
+    * cache key. */
   private val learned =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (Seq[(Int, String, String, Long)], DataFrame)]]()
+      scala.collection.mutable.Map[String, Seq[(Int, String, String, Long)]]]()
 
   private def learnMemo(
-      s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) =
+      s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     learned.synchronized {
       val per = learned.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
@@ -113,7 +131,7 @@ object Bpe {
   /** The learned merge table: one row per round. */
   val vocabQuery = QueryDef("text_bpe_vocab",
     (s, d) => {
-      val (merges, _) = learnMemo(s, d)
+      val merges = learnMemo(s, d)
       import s.implicits._
       merges.toDF("rank", "lhs", "rhs", "cnt").orderBy(col("rank"))
     },
@@ -127,7 +145,7 @@ object Bpe {
     * broadcastable vocabulary join. */
   val encodeQuery = QueryDef("text_bpe_encode",
     (s, d) => {
-      val (_, states) = learnMemo(s, d)
+      val states = applyMerges(initialWords(s, d), learnMemo(s, d))
       val wordTokens = states.select(col("word"),
         size(split(trim(col("state")), Sep)).cast("long").as("word_tokens"))
       Tables.documents(s, d)

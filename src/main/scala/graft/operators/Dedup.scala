@@ -137,7 +137,9 @@ object Dedup {
       // the same one-shot materialization with blocks owned by the RDD —
       // the ContextCleaner frees them on GC, no session-lifetime state.
       // CacheHygieneSpec pins the no-cache-entry invariant catalog-wide.
-      val sets = shingleSets(s, d).localCheckpoint()
+      // Lazy (false): materializes with the first action instead of at
+      // query-construction time, so plan-only callers (Explain) stay free.
+      val sets = shingleSets(s, d).localCheckpoint(false)
       // (doc_id, m0..m15): minhash i = min over shingles of perm_i(rollhash)
       val minCols = (0 until 16).map(i =>
         min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))

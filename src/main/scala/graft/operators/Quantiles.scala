@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed exact interpolated percentiles via two-phase boundary
+/** Distributed exact interpolated percentiles via iterative boundary
   * narrowing — the scale-safe replacement for `percentile()`'s
   * whole-group value buffer.
   *
@@ -13,34 +13,41 @@ import org.apache.spark.sql.functions._
   * buffer). On a 100 TB column that is whole-column state on as many
   * tasks as there are groups — the one aggregate shape in this engine
   * that cannot survive a scale-up. The classic distributed-selection fix
-  * (Blum et al. style median-of-medians adapted to MPP engines) needs
-  * only bounded state per task:
+  * (median-of-medians style selection adapted to MPP engines) needs only
+  * bounded state per task:
   *
   *  1. '''Range stats''' — one map-side-combined pass for per-group
-  *     `(count, min, max)`: output is one row per group.
-  *  2. '''Coarse histogram''' — bucket each value into one of `B`
-  *     equi-width ranges and count per `(group, bucket)`: the shuffle
-  *     carries at most `B × groups` rows per map task, never raw values.
-  *     A running sum over the (tiny) histogram locates the bucket that
-  *     contains each target order statistic and how many values fall
-  *     below it.
-  *  3. '''Narrowed sort''' — only rows in the ≤2 needed buckets per
-  *     group (~`2/B` of the data) are pulled, ranked by a window sort
-  *     within their bucket, and the two order statistics around the
-  *     target rank are read off exactly.
+  *     `(count, min, max)`: output is one row per group, and the two
+  *     0-indexed target ranks `klo`/`khi` around `rank = p·(n−1)`.
+  *  2. '''Narrowing rounds''' (the A7 driver-loop pattern) — per target
+  *     rank, bucket the in-range values into `B` equi-width ranges and
+  *     count per bucket: the shuffle carries at most `B × states` rows
+  *     per map task, never raw values. The bucket containing the target
+  *     rank becomes the next round's range — bounded NOT by the
+  *     arithmetic sub-range but by the bucket's actual data `min`/`max`
+  *     (aggregated in the same pass), which makes the next round's
+  *     membership test exact (no floating-point boundary fuzz) and makes
+  *     progress provable: when a range still holds distinct values, its
+  *     min and max always land in different buckets, so the located
+  *     bucket strictly shrinks. A range that collapses (`lo == hi`) IS
+  *     the answer — mass-at-a-point never reaches a sort. Rounds repeat
+  *     until every state is resolved or small (`sortThreshold`), so an
+  *     outlier-stretched value range — where one equi-width round would
+  *     leave ~everything in one bucket — just takes more rounds
+  *     (geometric in the range ratio), never an unbounded sort. A loud
+  *     64-round cap falls back to sorting whatever remains (graceful,
+  *     never wrong).
+  *  3. '''Narrowed sort''' — only rows of the final small ranges are
+  *     ranked by a window sort and the order statistics around the
+  *     target rank read off exactly.
   *
   * The interpolation `(khi − rank)·v_lo + (rank − klo)·v_hi` is the same
   * IEEE expression Spark's own `Percentile.getPercentile` uses, and the
   * DuckDB oracle spells the identical formula over `ROW_NUMBER`-derived
   * order statistics, so results stay bit-exact with the built-in on both
-  * engines.
-  *
-  * Bucket assignment is monotone in the value (`floor((v−min)/width)`
-  * clamped to `B−1`), so bucket-major + in-bucket ordering equals global
-  * ordering and the narrowed ranks are exact — no approximation anywhere.
-  * Degenerate groups (all values equal → zero width) collapse to bucket 0,
-  * which is then sorted whole; correct, and the quantile of a constant
-  * column is that constant regardless.
+  * engines. Groups whose values are all NULL keep their output row with
+  * a NULL percentile (same as the built-in): the final frame is an outer
+  * join against the distinct group universe.
   *
   * Reference analog: `sample_apps/number_count/main.cpp:49-57` reduces
   * per-key counts; this is the same partial-aggregate discipline applied
@@ -54,29 +61,32 @@ object Quantiles {
 
   /** Exact interpolated percentiles per `group`, one output column per
     * spec. `buckets` trades narrowing sharpness against histogram size;
-    * 256 keeps the phase-2 shuffle at `256 × groups` rows while pulling
-    * only ~0.8% of raw rows into the phase-3 sort. */
+    * `sortThreshold` caps how many rows any final window sort may see
+    * (the per-task state bound). */
   def exactPercentiles(
       df: DataFrame,
       group: String,
       specs: Seq[Spec],
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256,
+      sortThreshold: Long = 100000L): DataFrame = {
     require(specs.nonEmpty, "need at least one percentile spec")
     require(buckets >= 2, "need at least two buckets to narrow")
-    specs.map(onePercentile(df, group, _, buckets))
-      .reduce(_.join(_, Seq(group)))
+    // outer-join the per-spec results onto the full group universe so an
+    // all-NULL group surfaces as NULL, exactly like the built-in
+    val groups = df.select(col(group)).distinct()
+    specs.map(onePercentile(df, group, _, buckets, sortThreshold))
+      .foldLeft(groups)((acc, sp) => acc.join(sp, Seq(group), "left_outer"))
   }
 
-  private def onePercentile(
-      df: DataFrame, group: String, sp: Spec, buckets: Int): DataFrame = {
+  private def onePercentile(df: DataFrame, group: String, sp: Spec,
+      buckets: Int, sortThreshold: Long): DataFrame = {
     require(sp.p >= 0.0 && sp.p <= 1.0, s"percentile out of range: ${sp.p}")
     // nulls are ignored, matching percentile()/quantile_cont semantics
     val rows = df
       .select(col(group).as("g"), col(sp.valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
 
-    // Phase 1: (count, min, max) per group + the two target 0-indexed
-    // ranks klo/khi around rank = p·(n−1).
+    // Phase 1: (count, min, max) per group + the target ranks.
     val stats = rows.groupBy(col("g"))
       .agg(count(col("v")).as("n"), min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
@@ -84,47 +94,69 @@ object Quantiles {
       .withColumn("klo", floor(col("rk")))
       .withColumn("khi", ceil(col("rk")))
 
-    // Monotone equi-width bucket index; clamp keeps v = vmax in range.
-    val width = (col("vmax") - col("vmin")) / lit(buckets.toDouble)
-    val bucket = when(col("vmax") <= col("vmin"), lit(0))
-      .otherwise(least(
-        floor((col("v") - col("vmin")) / width).cast("int"),
-        lit(buckets - 1)))
+    // Narrowing state: one row per (group, target rank). `below` = rows
+    // provably below the current range; `done` = range resolved to a
+    // single value or small enough to sort.
+    def mkState(tag: String, kc: String) = stats.select(col("g"),
+      lit(tag).as("tag"), col(kc).as("k"),
+      col("vmin").as("lo"), col("vmax").as("hi"),
+      lit(0L).as("below"), col("n").as("cnt"))
+    var state = mkState("lo", "klo").unionByName(mkState("hi", "khi"))
+      .withColumn("done",
+        col("lo") >= col("hi") || col("cnt") <= lit(sortThreshold))
+    state = graft.core.Iterative.cutLineage(state)
 
-    // Phase 2: coarse histogram. The stats side is one row per group —
-    // broadcast, so the fact table never shuffles to get its bucket.
-    val bucketed = rows
-      .join(broadcast(stats.select(col("g"), col("vmin"), col("vmax"))), "g")
-      .withColumn("b", bucket)
-    val bhist = bucketed.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
-    val bcum = bhist
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("b"))))
-      .withColumn("below", col("cum") - col("c"))
+    var rounds = 0
+    while (rounds < 64 && !state.where(!col("done")).isEmpty) {
+      val active = broadcast(state.where(!col("done"))
+        .select(col("g"), col("tag"), col("k"), col("lo"), col("hi"),
+          col("below")))
+      // Histogram pass over the active ranges only: the big side never
+      // shuffles raw values — per-map output is ≤ B × states rows.
+      val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+      val sub = rows.join(active, Seq("g"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .withColumn("b", least(
+          floor((col("v") - col("lo")) / width).cast("int"),
+          lit(buckets - 1)))
+      val hist = sub.groupBy(col("g"), col("tag"), col("b"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
+          max(col("v")).as("bmax"))
+      val w = Window.partitionBy(col("g"), col("tag")).orderBy(col("b"))
+      val located = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("cbelow", col("cum") - col("c"))
+        .join(active.select(col("g"), col("tag"), col("k").as("ak"),
+          col("below").as("pbelow")), Seq("g", "tag"))
+        .where(col("pbelow") + col("cbelow") <= col("ak") &&
+          col("ak") < col("pbelow") + col("cum"))
+        .select(col("g"), col("tag"), col("ak").as("k"),
+          col("bmin").as("lo"), col("bmax").as("hi"),
+          (col("pbelow") + col("cbelow")).as("below"), col("c").as("cnt"))
+        .withColumn("done",
+          col("lo") >= col("hi") || col("cnt") <= lit(sortThreshold))
+      state = graft.core.Iterative.cutLineage(
+        state.where(col("done")).unionByName(located))
+      rounds += 1
+    }
 
-    // Locate the bucket holding each target rank (tiny × tiny range join).
-    val ranks = stats.select(col("g"), col("klo").as("k"), lit("lo").as("tag"))
-      .union(stats.select(col("g"), col("khi").as("k"), lit("hi").as("tag")))
-    val located = ranks.alias("r")
-      .join(bcum.alias("h"),
-        expr("r.g = h.g AND h.below <= r.k AND r.k < h.cum"))
-      .select(col("r.g").as("g"), col("r.k").as("k"), col("r.tag").as("tag"),
-        col("h.b").as("b"), col("h.below").as("below"))
-
-    // Phase 3: pull only the needed buckets (≤2 per group), rank within
-    // them, and read the two order statistics off exactly.
-    val needed = located.select(col("g"), col("b"), col("below")).distinct()
-    val subset = bucketed.select(col("g"), col("v"), col("b"))
-      .join(broadcast(needed), Seq("g", "b"))
+    // Resolved ranges ARE their value; small ranges take the final sort.
+    val resolved = state.where(col("lo") >= col("hi"))
+      .select(col("g"), col("tag"), col("lo").as("v"))
+    val small = broadcast(state.where(col("lo") < col("hi"))
+      .select(col("g"), col("tag"), col("k"), col("lo"), col("hi"),
+        col("below")))
+    val sorted = rows.join(small, Seq("g"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
       .withColumn("idx",
         col("below") +
           row_number().over(
-            Window.partitionBy(col("g"), col("b")).orderBy(col("v")))
+            Window.partitionBy(col("g"), col("tag")).orderBy(col("v")))
           - lit(1))
-    val picked = subset.alias("s")
-      .join(broadcast(located.select(col("g").as("lg"), col("k"), col("tag"))),
-        expr("s.g = lg AND s.idx = k"))
-      .groupBy(col("s.g").as("g"))
+      .where(col("idx") === col("k"))
+      .select(col("g"), col("tag"), col("v"))
+    val picked = resolved.unionByName(sorted)
+      .groupBy(col("g"))
       .agg(max(when(col("tag") === "lo", col("v"))).as("vlo"),
         max(when(col("tag") === "hi", col("v"))).as("vhi"))
 

@@ -67,11 +67,17 @@ object Sinks {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Re-read handle for the sink table (PlanShapeSpec drives pruning and
-    * shuffle-free co-bucketed join assertions through this). Runs the
-    * write if the table isn't registered yet in this session. */
+    * shuffle-free co-bucketed join assertions through this). Rewrites the
+    * table when it isn't registered yet OR was last written from a
+    * different source dir — `tableExists` alone would silently hand back
+    * another dir's data in a shared session. */
+  @volatile private var sinkTableDir: Option[String] = None
   def sinkTable(s: SparkSession, d: String): DataFrame = {
-    if (!s.catalog.tableExists("graft_sink_lineitem"))
+    if (!s.catalog.tableExists("graft_sink_lineitem") ||
+        !sinkTableDir.contains(d)) {
       bucketedRoundtrip.fn(s, d).collect()
+      sinkTableDir = Some(d)
+    }
     s.table("graft_sink_lineitem")
   }
 
@@ -93,8 +99,14 @@ object Sinks {
       // do (ScratchDebug-derived; PlanShapeSpec pins the skip). Keying
       // time slices on an integer epoch/date column is standard
       // lakehouse layout practice for the same reason.
+      // unix_date over the NTZ wall-clock date is session-timezone
+      // independent (unix_micros(cast(ts)) would shift with the session
+      // tz and silently disagree with the UTC-based epochMicros
+      // boundaries); shipdate is date-granular, and day-floor keys
+      // preserve month-slice membership for any intraday time anyway
       .select(col("l_orderkey"),
-        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        (unix_date(col("l_shipdate").cast("date")).cast("long") *
+          lit(86400000000L)).as("ship_us"),
         col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
       .repartitionByRange(8, col("ship_us"))
       .sortWithinPartitions(col("ship_us"), col("l_orderkey"))

@@ -27,16 +27,25 @@ object SsspBench {
     val n = dist.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"SSSP_RESULT nodes=$n time=$secs%.1fs distributed=$distributed")
-    // Dijkstra parity audit (the reference's serial solve, main.cpp:108-140)
-    val got = dist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val es = edges.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val want = ShortestPath.dijkstra(es, 0L)
-    val keys = (got.keySet ++ want.keySet).toSeq.sorted
-    val bad = keys.filter(k => got.get(k) != want.get(k))
-    println(s"SSSP_PARITY mismatches=${bad.size} of ${keys.size}")
-    bad.take(20).foreach(k =>
-      println(s"  node=$k distributed=${got.get(k)} dijkstra=${want.get(k)}"))
+    // Dijkstra parity audit (the reference's serial solve,
+    // main.cpp:108-140). Driver-side by nature, so only run it where the
+    // serial oracle itself is feasible; on integer-weight graphs (the
+    // reference's format) equal-length paths sum identically in double,
+    // so exact == is sound — a tolerance would mask real regressions.
+    val edgeCount = edges.count()
+    if (edgeCount <= 5000000L) {
+      val got = dist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val es = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = ShortestPath.dijkstra(es, 0L)
+      val keys = (got.keySet ++ want.keySet).toSeq.sorted
+      val bad = keys.filter(k => got.get(k) != want.get(k))
+      println(s"SSSP_PARITY mismatches=${bad.size} of ${keys.size}")
+      bad.take(20).foreach(k =>
+        println(s"  node=$k distributed=${got.get(k)} dijkstra=${want.get(k)}"))
+    } else
+      println(s"SSSP_PARITY skipped: $edgeCount edges exceeds the " +
+        "serial-oracle audit bound (5M)")
     dist.orderBy(col("node")).show(5)
     spark.stop()
   }

@@ -142,8 +142,9 @@ class PlanShapeSpec extends SparkSpec {
     // the physical ordering — both sides get the same pushdown chance
     Tables.lineitem(spark, d)
       .select(col("l_orderkey"),
-        org.apache.spark.sql.functions.unix_micros(
-          col("l_shipdate").cast("timestamp")).as("ship_us"),
+        (org.apache.spark.sql.functions.unix_date(
+          col("l_shipdate").cast("date")).cast("long") *
+          org.apache.spark.sql.functions.lit(86400000000L)).as("ship_us"),
         col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").parquet(unsortedPath)
     val total = spark.read.parquet(unsortedPath).count()

@@ -54,4 +54,49 @@ class QuantilesSpec extends SparkSpec {
       .collect()
     assert(r.length == 1 && r(0).getDouble(1) == 2.0)
   }
+
+  test("all-NULL group keeps its row with a NULL percentile, like the builtin") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("z", None), ("z", None))
+      .toDF("g", "v")
+    val r = Quantiles.exactPercentiles(df, "g", Seq(Spec("v", 0.5, "p50")))
+      .orderBy("g").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "z"))
+    assert(r(0).getDouble(1) == 2.0)
+    assert(r(1).isNullAt(1), "all-NULL group must surface as NULL, not vanish")
+  }
+
+  test("outlier-stretched range narrows over multiple rounds, still bit-equal") {
+    import spark.implicits._
+    // 1000 values packed into [0,1] plus one outlier at 1e9: a single
+    // equi-width round leaves ~everything in bucket 0, so the tiny
+    // sortThreshold forces several narrowing rounds before any sort
+    val vals = (0 until 1000).map(i => ("a", i / 1000.0)) :+ ("a", 1e9)
+    val df = vals.toDF("g", "v")
+    val ours = Quantiles.exactPercentiles(df, "g",
+        Seq(Spec("v", 0.5, "p50"), Spec("v", 0.99, "p99")),
+        buckets = 4, sortThreshold = 10L)
+      .collect()
+    val ref = df.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.99)").as("p99"))
+      .collect()
+    assert(ours.length == 1 && ref.length == 1)
+    assert(ours(0).getDouble(1) == ref(0).getDouble(1))
+    assert(ours(0).getDouble(2) == ref(0).getDouble(2))
+  }
+
+  test("mass at a point resolves without sorting past the threshold") {
+    import spark.implicits._
+    // 50 identical values dominate: the range collapses (lo == hi) and
+    // the answer is read off directly — no window sort of the heavy point
+    val vals = Seq.fill(50)(("a", 7.0)) ++ Seq(("a", 1.0), ("a", 100.0))
+    val df = vals.toDF("g", "v")
+    val ours = Quantiles.exactPercentiles(df, "g",
+        Seq(Spec("v", 0.5, "p50")), buckets = 4, sortThreshold = 5L)
+      .collect()
+    val ref = df.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p50")).collect()
+    assert(ours(0).getDouble(1) == ref(0).getDouble(1))
+  }
 }

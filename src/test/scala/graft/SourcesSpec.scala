@@ -102,19 +102,6 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("SSSP on the reference syn.graph matches serial Dijkstra") {
-    // read-only access to the reference's data file (18,263 nodes,
-    // 23,797 undirected edges) — the reference's own scale workload
-    val path = "/root/reference/sample_apps/shortest_path/syn.graph"
-    assume(new java.io.File(path).exists())
-    val edges = graft.apps.ShortestPath.loadGraph(spark, path)
-    val t0 = System.nanoTime()
-    val got = graft.apps.ShortestPath.sssp(edges, 0L).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    info(f"syn.graph sssp took ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-      s"${got.size} nodes reached")
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val want = graft.apps.ShortestPath.dijkstra(es.toSeq, 0L)
-    assert(got == want)
-  }
+  // NB: syn.graph SSSP parity lives in ShortestPathSpec against the
+  // hermetic src/test/resources fixture — one copy, one test.
 }
