@@ -16,27 +16,28 @@ import org.apache.spark.sql.functions._
   * (median-of-medians style selection adapted to MPP engines) needs only
   * bounded state per task:
   *
-  *  1. '''Range stats''' — one map-side-combined pass for per-group
-  *     `(count, min, max)`: output is one row per group, and the two
-  *     0-indexed target ranks `klo`/`khi` around `rank = p·(n−1)`.
-  *  2. '''Narrowing rounds''' (the A7 driver-loop pattern) — per target
-  *     rank, bucket the in-range values into `B` equi-width ranges and
-  *     count per bucket: the shuffle carries at most `B × states` rows
-  *     per map task, never raw values. The bucket containing the target
-  *     rank becomes the next round's range — bounded NOT by the
-  *     arithmetic sub-range but by the bucket's actual data `min`/`max`
-  *     (aggregated in the same pass), which makes the next round's
-  *     membership test exact (no floating-point boundary fuzz) and makes
-  *     progress provable: when a range still holds distinct values, its
-  *     min and max always land in different buckets, so the located
-  *     bucket strictly shrinks. A range that collapses (`lo == hi`) IS
-  *     the answer — mass-at-a-point never reaches a sort. Rounds repeat
-  *     until every state is resolved or small (`sortThreshold`), so an
-  *     outlier-stretched value range — where one equi-width round would
-  *     leave ~everything in one bucket — just takes more rounds
-  *     (geometric in the range ratio), never an unbounded sort. A loud
-  *     64-round cap falls back to sorting whatever remains (graceful,
-  *     never wrong).
+  *  1. '''Range stats''' — one map-side-combined pass for per-(spec,
+  *     group) `(count, min, max)`: output is one row per spec×group, and
+  *     the two 0-indexed target ranks `klo`/`khi` around
+  *     `rank = p·(n−1)`.
+  *  2. '''Narrowing rounds''' (the A7 driver-loop pattern) — ALL specs
+  *     share one loop: per target rank, bucket the in-range values into
+  *     `B` equi-width ranges and count per bucket; the shuffle carries at
+  *     most `B × states` rows per map task, never raw values. The bucket
+  *     containing the target rank becomes the next round's range —
+  *     bounded NOT by the arithmetic sub-range but by the bucket's
+  *     actual data `min`/`max` (aggregated in the same pass), which
+  *     makes the next round's membership test exact (no floating-point
+  *     boundary fuzz) and makes progress provable: when a range still
+  *     holds distinct values, its min and max always land in different
+  *     buckets, so the located bucket strictly shrinks. A range that
+  *     collapses (`lo == hi`) IS the answer — mass-at-a-point never
+  *     reaches a sort. Rounds repeat until every state is resolved or
+  *     small (`sortThreshold`), so an outlier-stretched value range —
+  *     where one equi-width round leaves ~everything in one bucket —
+  *     just takes more rounds (geometric in the range ratio), never an
+  *     unbounded sort. A 64-round cap falls back to sorting whatever
+  *     remains (graceful, never wrong).
   *  3. '''Narrowed sort''' — only rows of the final small ranges are
   *     ranked by a window sort and the order statistics around the
   *     target rank read off exactly.
@@ -61,8 +62,12 @@ object Quantiles {
 
   /** Exact interpolated percentiles per `group`, one output column per
     * spec. `buckets` trades narrowing sharpness against histogram size;
-    * `sortThreshold` caps how many rows any final window sort may see
-    * (the per-task state bound). */
+    * `sortThreshold` caps how many rows any final window sort may see —
+    * the per-task state bound. Groups at or under it short-circuit
+    * straight to the narrow sort. Measured at sf0.1 (200 k rows/group):
+    * 100 k (one narrowing round) beats 1 M (direct whole-group window
+    * sort), 2.6 s vs 3.6 s — the histogram pass is cheaper than the
+    * sort it avoids, so the default narrows eagerly. */
   def exactPercentiles(
       df: DataFrame,
       group: String,
@@ -71,66 +76,68 @@ object Quantiles {
       sortThreshold: Long = 100000L): DataFrame = {
     require(specs.nonEmpty, "need at least one percentile spec")
     require(buckets >= 2, "need at least two buckets to narrow")
-    // outer-join the per-spec results onto the full group universe so an
-    // all-NULL group surfaces as NULL, exactly like the built-in
-    val groups = df.select(col(group)).distinct()
-    specs.map(onePercentile(df, group, _, buckets, sortThreshold))
-      .foldLeft(groups)((acc, sp) => acc.join(sp, Seq(group), "left_outer"))
-  }
+    specs.foreach(sp => require(sp.p >= 0.0 && sp.p <= 1.0,
+      s"percentile out of range: ${sp.p}"))
 
-  private def onePercentile(df: DataFrame, group: String, sp: Spec,
-      buckets: Int, sortThreshold: Long): DataFrame = {
-    require(sp.p >= 0.0 && sp.p <= 1.0, s"percentile out of range: ${sp.p}")
-    // nulls are ignored, matching percentile()/quantile_cont semantics
-    val rows = df
-      .select(col(group).as("g"), col(sp.valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+    // One relation for every spec, tagged by spec index (distinct value
+    // columns stay distinct scans, but stats/narrowing/sort below are
+    // single jobs over the union instead of one driver loop per spec).
+    // nulls are ignored, matching percentile()/quantile_cont semantics.
+    val rows = specs.zipWithIndex.map { case (sp, i) =>
+      df.select(lit(i).as("sp"), col(group).as("g"),
+        col(sp.valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+    }.reduce(_.unionByName(_))
 
-    // Phase 1: (count, min, max) per group + the target ranks.
-    val stats = rows.groupBy(col("g"))
+    // Phase 1: (count, min, max) per (spec, group) + the target ranks.
+    val pExpr = element_at(
+      array(specs.map(s => lit(s.p)): _*), col("sp") + 1)
+    val stats = rows.groupBy(col("sp"), col("g"))
       .agg(count(col("v")).as("n"), min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
-      .withColumn("rk", lit(sp.p) * (col("n") - lit(1)).cast("double"))
+      .withColumn("rk", pExpr * (col("n") - lit(1)).cast("double"))
       .withColumn("klo", floor(col("rk")))
       .withColumn("khi", ceil(col("rk")))
 
-    // Narrowing state: one row per (group, target rank). `below` = rows
-    // provably below the current range; `done` = range resolved to a
-    // single value or small enough to sort.
-    def mkState(tag: String, kc: String) = stats.select(col("g"),
+    // Narrowing state: one row per (spec, group, target rank). `below` =
+    // rows provably below the current range; `done` = range resolved to
+    // a single value or small enough to sort.
+    def mkState(tag: String, kc: String) = stats.select(col("sp"), col("g"),
       lit(tag).as("tag"), col(kc).as("k"),
       col("vmin").as("lo"), col("vmax").as("hi"),
       lit(0L).as("below"), col("n").as("cnt"))
-    var state = mkState("lo", "klo").unionByName(mkState("hi", "khi"))
-      .withColumn("done",
-        col("lo") >= col("hi") || col("cnt") <= lit(sortThreshold))
-    state = graft.core.Iterative.cutLineage(state)
+    var state = graft.core.Iterative.cutLineage(
+      mkState("lo", "klo").unionByName(mkState("hi", "khi"))
+        .withColumn("done",
+          col("lo") >= col("hi") || col("cnt") <= lit(sortThreshold)))
 
     var rounds = 0
     while (rounds < 64 && !state.where(!col("done")).isEmpty) {
       val active = broadcast(state.where(!col("done"))
-        .select(col("g"), col("tag"), col("k"), col("lo"), col("hi"),
-          col("below")))
+        .select(col("sp"), col("g"), col("tag"), col("k"), col("lo"),
+          col("hi"), col("below")))
       // Histogram pass over the active ranges only: the big side never
       // shuffles raw values — per-map output is ≤ B × states rows.
       val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
-      val sub = rows.join(active, Seq("g"))
+      val sub = rows.join(active, Seq("sp", "g"))
         .filter(col("v") >= col("lo") && col("v") <= col("hi"))
         .withColumn("b", least(
           floor((col("v") - col("lo")) / width).cast("int"),
           lit(buckets - 1)))
-      val hist = sub.groupBy(col("g"), col("tag"), col("b"))
+      val hist = sub.groupBy(col("sp"), col("g"), col("tag"), col("b"))
         .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"),
           max(col("v")).as("bmax"))
-      val w = Window.partitionBy(col("g"), col("tag")).orderBy(col("b"))
+      val w = Window.partitionBy(col("sp"), col("g"), col("tag"))
+        .orderBy(col("b"))
       val located = hist
         .withColumn("cum", sum(col("c")).over(w))
         .withColumn("cbelow", col("cum") - col("c"))
-        .join(active.select(col("g"), col("tag"), col("k").as("ak"),
-          col("below").as("pbelow")), Seq("g", "tag"))
+        .join(active.select(col("sp"), col("g"), col("tag"),
+          col("k").as("ak"), col("below").as("pbelow")),
+          Seq("sp", "g", "tag"))
         .where(col("pbelow") + col("cbelow") <= col("ak") &&
           col("ak") < col("pbelow") + col("cum"))
-        .select(col("g"), col("tag"), col("ak").as("k"),
+        .select(col("sp"), col("g"), col("tag"), col("ak").as("k"),
           col("bmin").as("lo"), col("bmax").as("hi"),
           (col("pbelow") + col("cbelow")).as("below"), col("c").as("cnt"))
         .withColumn("done",
@@ -142,32 +149,42 @@ object Quantiles {
 
     // Resolved ranges ARE their value; small ranges take the final sort.
     val resolved = state.where(col("lo") >= col("hi"))
-      .select(col("g"), col("tag"), col("lo").as("v"))
+      .select(col("sp"), col("g"), col("tag"), col("lo").as("v"))
     val small = broadcast(state.where(col("lo") < col("hi"))
-      .select(col("g"), col("tag"), col("k"), col("lo"), col("hi"),
-        col("below")))
-    val sorted = rows.join(small, Seq("g"))
+      .select(col("sp"), col("g"), col("tag"), col("k"), col("lo"),
+        col("hi"), col("below")))
+    val sorted = rows.join(small, Seq("sp", "g"))
       .filter(col("v") >= col("lo") && col("v") <= col("hi"))
       .withColumn("idx",
         col("below") +
           row_number().over(
-            Window.partitionBy(col("g"), col("tag")).orderBy(col("v")))
+            Window.partitionBy(col("sp"), col("g"), col("tag"))
+              .orderBy(col("v")))
           - lit(1))
       .where(col("idx") === col("k"))
-      .select(col("g"), col("tag"), col("v"))
+      .select(col("sp"), col("g"), col("tag"), col("v"))
     val picked = resolved.unionByName(sorted)
-      .groupBy(col("g"))
+      .groupBy(col("sp"), col("g"))
       .agg(max(when(col("tag") === "lo", col("v"))).as("vlo"),
         max(when(col("tag") === "hi", col("v"))).as("vhi"))
 
-    // Same interpolation expression shape as Spark's Percentile and the
-    // DuckDB oracle: exact when rank is integral, else a two-term lerp.
-    stats.join(picked, Seq("g"))
-      .select(col("g").as(group),
+    // Interpolate per (spec, group) — same expression shape as Spark's
+    // Percentile and the DuckDB oracle — then pivot specs to columns.
+    val interp = stats.join(picked, Seq("sp", "g"))
+      .select(col("sp"), col("g"),
         when(col("klo") === col("khi"), col("vlo"))
           .otherwise(
             (col("khi").cast("double") - col("rk")) * col("vlo") +
               (col("rk") - col("klo").cast("double")) * col("vhi"))
-          .as(sp.outName))
+          .as("q"))
+    val outCols = specs.zipWithIndex.map { case (sp, i) =>
+      max(when(col("sp") === i, col("q"))).as(sp.outName)
+    }
+    val pivoted = interp.groupBy(col("g")).agg(outCols.head, outCols.tail: _*)
+
+    // Outer-join onto the full group universe so an all-NULL group
+    // surfaces as NULL, exactly like the built-in.
+    df.select(col(group)).distinct()
+      .join(pivoted.withColumnRenamed("g", group), Seq(group), "left_outer")
   }
 }
