@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen polynomial rolling hash: fold h = (h*31 + byte) mod
@@ -59,13 +59,47 @@ case class RollingHashMod(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Natural log via `java.lang.Math.log` — NOT Spark's `ln`/`log`, which
+  * call `StrictMath.log` (fdlibm). Measured on this platform across every
+  * distinct frequency ratio in the three test corpora: `Math.log` is
+  * bit-identical to DuckDB's libm `ln` on all 82 ratios (cold and
+  * C2-compiled), while `StrictMath.log` differs by 1 ulp on one — enough
+  * to break a hash-exact oracle row. Used by `text_unigram_logprob`,
+  * whose oracle gate re-verifies the agreement on every run. */
+case class MathLog(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"math_ln requires a DOUBLE argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Math.log(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = java.lang.Math.log($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
-  /** Register `roll_hash(s)` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register `roll_hash(s)` and `math_ln(x)` in the session's function
+    * registry. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "roll_hash", exprs => {
         require(exprs.length == 1,
           s"roll_hash expects exactly 1 argument, got ${exprs.length}")
         RollingHashMod(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "math_ln", exprs => {
+        require(exprs.length == 1,
+          s"math_ln expects exactly 1 argument, got ${exprs.length}")
+        MathLog(exprs.head)
+      }, "built-in")
+  }
 }

@@ -19,7 +19,54 @@ import graft.functions.TextFunctions._
 object Pipeline2 {
 
   def all: Seq[QueryDef] =
-    Seq(funnel, rarity, latestPerKey, dedupApply, retention)
+    Seq(funnel, rarity, latestPerKey, dedupApply, retention, unigramLogprob)
+
+  /** Unigram language-model score (the standard statistical quality
+    * filter for LM corpora): each document's log-probability under the
+    * corpus's own unigram distribution, `Σ_pos ln(f(w_pos) / N)`. Low
+    * scores flag token streams that are implausible for the corpus —
+    * the cheap first-pass twin of model-based perplexity filtering.
+    *
+    * Scale shape: token explode ⋈ broadcast frequency table (vocabulary-
+    * sized), per-doc state bounded by document length. Float discipline:
+    * the per-token terms are summed in POSITION order via a sorted fold,
+    * and the log is the custom `math_ln` expression
+    * ([[graft.functions.MathLog]]) — `java.lang.Math.log` is bit-equal
+    * to DuckDB's libm `ln` on every distinct (f, N) ratio in all three
+    * corpora (cold AND C2-compiled), while Spark's own `log`
+    * (`StrictMath.log`, fdlibm) differs by 1 ulp on one of them. The
+    * oracle gate re-checks the agreement on every run. */
+  val unigramLogprob = QueryDef("text_unigram_logprob",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "w")
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          expr("math_ln(CAST(f AS DOUBLE) / CAST(n_total AS DOUBLE))"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("pos").as("p"), col("term").as("t")))).as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr("aggregate(ts, 0d, (a, x) -> a + x.t)").as("logprob"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, i - 1 AS pos, w FROM (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+          unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+        FROM documents)),
+      freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+      tot AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        list_sum(list(ln(CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+          ORDER BY pos)) AS logprob
+      FROM tok JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Cohort retention: per first-seen-day cohort, users active again
     * exactly 1 / within 7 days later. Two shuffles (user grouping, then
