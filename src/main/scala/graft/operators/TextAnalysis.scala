@@ -20,7 +20,75 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   def all: Seq[QueryDef] =
-    Seq(tokenStats, wordcount, quality, fingerprint, langid, tokenBpe)
+    Seq(tokenStats, wordcount, quality, fingerprint, langid, tokenBpe,
+      repetition)
+
+  /** Within-document repetition signals (the Gopher-style quality
+    * filters for machine-generated / boilerplate text): fraction of
+    * duplicate tokens, fraction of all bigrams/trigrams claimed by the
+    * single most frequent one, and the fraction of 5-gram instances
+    * whose 5-gram repeats within the document.
+    *
+    * Scale shape: n-gram explode → hash-agg keyed by (doc_id, gram) →
+    * per-doc re-agg — the A1 shape three times, all shuffles keyed by
+    * doc_id(+gram), map-side partial aggregation throughout; no joins
+    * except the per-doc left joins of three doc-keyed aggregates. Docs
+    * shorter than n produce NULL for that signal in both engines. All
+    * fractions are one IEEE division of exact integers. */
+  val repetition = QueryDef("text_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      def gramCounts(n: Int) = docs
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(shinglesSql("t", n))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      def topFrac(n: Int, alias: String) = gramCounts(n)
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as(alias))
+      val dup5 = gramCounts(5)
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .cast("double") / sum(col("c"))).as("dup_5gram_frac"))
+      docs.select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          ((size(col("t")) - size(array_distinct(col("t")))).cast("double") /
+            size(col("t"))).as("dup_token_frac"))
+        .join(topFrac(2, "top_bigram_frac"), Seq("doc_id"), "left_outer")
+        .join(topFrac(3, "top_trigram_frac"), Seq("doc_id"), "left_outer")
+        .join(dup5, Seq("doc_id"), "left_outer")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+          AS dup_token_frac FROM t),
+      g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+            j -> t[j] || ' ' || t[j+1])) AS g
+          FROM t WHERE len(t) >= 2) GROUP BY 1, 2),
+      top2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c)
+          AS top_bigram_frac FROM g2 GROUP BY 1),
+      g3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+            j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
+          FROM t WHERE len(t) >= 3) GROUP BY 1, 2),
+      top3 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c)
+          AS top_trigram_frac FROM g3 GROUP BY 1),
+      g5 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+            j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' ||
+                 t[j+3] || ' ' || t[j+4])) AS g
+          FROM t WHERE len(t) >= 5) GROUP BY 1, 2),
+      dup5 AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+          AS dup_5gram_frac FROM g5 GROUP BY 1)
+      SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+        top_trigram_frac, dup_5gram_frac
+      FROM base LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+        LEFT JOIN dup5 USING (doc_id)
+      ORDER BY doc_id"""))
 
   /** Regex ("BPE-ish") tokenizer variant: letter runs / digit runs /
     * single punctuation — the pre-tokenization split BPE vocabularies use,

@@ -10,7 +10,7 @@ object Registry {
       Relational6.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
       graft.operators.Bpe.all ++ graft.operators.Curation.all ++
-      graft.operators.Pipeline2.all ++
+      graft.operators.Pipeline2.all ++ graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Events.all ++

@@ -89,6 +89,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("pack_sequences: doc-level prefix sum is partitioned; only the tiny bucket relation gets the serial window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = q("pack_sequences")
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected 2 windows, got ${windows.size}")
+    // the doc-level cumulative sum must be partitioned (parallel across
+    // buckets) — a naive global ORDER BY window is the single-task cliff
+    assert(windows.count(_.partitionSpec.nonEmpty) == 1,
+      "intra-bucket running sum lost its partitioning")
+    // bucket offsets re-join the docs via broadcast, not a shuffle
+    val p = planString(q("pack_sequences"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-offset join must broadcast:\n${p.take(2000)}")
+  }
+
   test("sink_bucketed_roundtrip: partition predicate prunes directories; co-bucketed join needs no shuffle") {
     import org.apache.spark.sql.functions.col
     val t = graft.sources.Sinks.sinkTable(spark, sf("sf0.001"))
