@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.apps.ShortestPath
+
+/** Fixed-point PageRank over the deterministic synthetic ring+skip graph
+  * (the same relation `sssp_synthetic` solves shortest paths on) — the
+  * second iterative-superstep graph algorithm, generalizing the
+  * reference's A4–A7 pattern (frontier ⋈ edges → per-node aggregate →
+  * next state; `shortest_path/main.cpp:178-188`) from MIN-propagation to
+  * damped mass-propagation.
+  *
+  * Arithmetic is scaled-integer fixed point (rank mass × 10^12, integer
+  * division throughout): BIGINT sums are exact and associative, so any
+  * partitioning/any engine computes bit-identical ranks — the same
+  * discipline the decimal money columns use (QueryDef doc), applied to an
+  * iterative algorithm. The DuckDB oracle unrolls the 5 rounds into
+  * chained CTEs over the identical edge relation.
+  *
+  * Scale stance: each round is one shuffle keyed by src (contribution
+  * join) plus one keyed by dst (mass aggregation) — the canonical
+  * distributed PageRank plan; the degree relation is computed once.
+  * Node state is one BIGINT per node. Unlike the 279-superstep SSSP
+  * loop, 5 unrolled rounds stay well inside Catalyst's comfortable plan
+  * depth, so NO per-round [[graft.core.Iterative.cutLineage]]: the cut's
+  * five eager materializations measured 4.2 s vs 1.8 s as one lazy
+  * 10-shuffle job (TimeQuery, sf-independent). A variant with an
+  * unbounded round count must re-add the cut — that's what it's for
+  * (see Iterative.scala's stats-compounding analysis). The rank relation
+  * is renamed before each join so rounds compose as clean two-relation
+  * joins, not self-joins Catalyst has to de-duplicate.
+  */
+object PageRank {
+
+  /** Rank mass scale: 1.0 == 10^12 (so with n=1000 nodes, initial rank
+    * is 10^9 — floor-division loss per round is ≤ 1 part in 10^7). */
+  val Scale = 1000000000000L
+  val N = 1000L
+  val Rounds = 5
+
+  def all: Seq[QueryDef] = Seq(pagerank)
+
+  val pagerank = QueryDef("graph_pagerank",
+    (s, _) => {
+      val edges = ShortestPath.syntheticGraph(s, N).select(col("src"), col("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val e = edges.join(deg, "src")
+      val base = (15L * (Scale / N)) / 100L
+      var pr = s.range(0, N, 1, 32)
+        .select(col("id"), lit(Scale / N).as("v"))
+      for (_ <- 1 to Rounds) {
+        val contrib = e
+          .join(pr.withColumnRenamed("id", "pid"), col("src") === col("pid"))
+          .select(col("dst").as("id"), expr("v div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+        pr = pr.select(col("id"))
+          .join(contrib, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(base) +
+              expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("v"))
+      }
+      pr.orderBy(col("id"))
+    },
+    Some {
+      val base = (15L * (Scale / N)) / 100L
+      val rounds = (1 to Rounds).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM(p.v // e.deg) AS cs
+          FROM e JOIN pr${k - 1} p ON p.id = e.src GROUP BY e.dst),
+        pr$k AS (SELECT i.id,
+          CAST($base + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS v
+          FROM ids i LEFT JOIN c$k c ON c.id = i.id)"""
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT range AS id FROM range($N)),
+        base AS (
+          SELECT id AS src, (id + 1) % $N AS dst FROM ids
+          UNION ALL
+          SELECT id, (id * 7 + 11) % $N FROM ids),
+        e0 AS (
+          SELECT src, dst FROM base WHERE src <> dst
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM base WHERE src <> dst),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+        pr0 AS (SELECT id, CAST(${Scale / N} AS BIGINT) AS v FROM ids),
+        $rounds
+        SELECT id, v FROM pr$Rounds ORDER BY id"""
+    })
+}

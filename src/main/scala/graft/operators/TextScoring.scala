@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Corpus scoring operators: TF-IDF term relevance, a hashed linear
+  * quality classifier (the fastText-style model-based filter every LM
+  * curation pipeline runs), and n-gram novelty (corpus-redundancy
+  * growth — the metric used to pick dedup thresholds).
+  *
+  * Scale stance: TF-IDF shuffles once by doc_id and once by term (both
+  * map-side combinable) and joins the vocabulary-sized document-frequency
+  * relation back via broadcast; the classifier is a pure per-row fold —
+  * ZERO shuffles, embarrassingly parallel at any corpus size; novelty
+  * groups 8-gram instances by a 64-bit-safe rolling hash (instances
+  * shuffle as (hash, doc_id) pairs, never the gram text — the same
+  * bytes-on-the-wire trade the minhash path makes).
+  *
+  * Float discipline (SURVEY.md §7.4): every ratio is one IEEE division of
+  * exact integers; TF-IDF's log is the custom `math_ln` expression
+  * ([[graft.functions.MathLog]]) whose `Math.log` is bit-equal to DuckDB's
+  * libm `ln` (established for `text_unigram_logprob`); the classifier's
+  * decision is made on the INTEGER score, so the label can never disagree
+  * with the oracle even if a future platform drifted a ulp.
+  */
+object TextScoring {
+
+  def all: Seq[QueryDef] = Seq(tfidf, qualityModel, ngramNovelty)
+
+  /** Top-3 TF-IDF terms per document: tf(w,d)/|d| × ln(N/df(w)).
+    *
+    * Plan: one (doc_id, w) hash-agg for term counts, a window over
+    * doc_id for document length (reuses the same doc_id clustering),
+    * one vocabulary-sized df agg joined back via broadcast — the corpus
+    * rows never shuffle a second time. Ties at the rank-3 boundary break
+    * by term, so the kept set is deterministic in both engines. */
+  val tfidf = QueryDef("text_tfidf",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val withLen = tf.withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val scored = withLen.join(broadcast(df), "w")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          (col("c").cast("double") / col("n")) *
+            expr("math_ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))"))
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("w"))
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("c").as("tf"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      tfn AS (SELECT doc_id, w, c,
+          SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+      df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS nd FROM documents),
+      scored AS (SELECT doc_id, w, c, df,
+          (CAST(c AS DOUBLE) / n) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+            AS tfidf
+        FROM tfn JOIN df USING (w) CROSS JOIN nd)
+      SELECT doc_id, w AS term, c AS tf, df, tfidf FROM (
+        SELECT doc_id, w, c, df, tfidf, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+        FROM scored) WHERE rn <= 3
+      ORDER BY doc_id, tfidf DESC, term"""))
+
+  /** Hashed linear quality classifier (the portable surrogate for a
+    * fastText / logistic-regression quality model): each token hashes to
+    * one of 4096 weight buckets (the hashing trick), the bucket's
+    * milli-weight in [-1000, 1000] is a fixed multiplicative scramble of
+    * the bucket id, and the document's score is the exact BIGINT sum of
+    * its tokens' weights. `logit` = score / (1000·n) is one IEEE
+    * division; `keep` is decided on the integer score.
+    *
+    * In production the weight table comes from a trained model; the
+    * plumbing — hash, lookup-free weight evaluation, per-row fold — is
+    * exactly what serving such a model at 100 TB looks like (a real
+    * 4096-float weight vector would be a broadcast literal, same plan).
+    * Scale: zero shuffles, no joins; the whole query is row-local fold
+    * work that scales embarrassingly. */
+  val qualityModel = QueryDef("text_quality_model",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          expr("""aggregate(t, CAST(0 AS BIGINT),
+            (a, w) -> a + (((roll_hash(w) % 4096) * 2654435761) % 2001 - 1000))""")
+            .as("score_milli"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("score_milli").cast("double") / (col("n_tokens") * 1000))
+            .as("logit"),
+          when(col("score_milli") > 0, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        list_sum(list_transform(string_split(text,' '), w ->
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(w,''), c -> CAST(unicode(c) AS BIGINT))),
+              (h,c) -> (h*31+c) % 1000000007) % 4096) * 2654435761) % 2001 - 1000))
+          AS score_milli
+      FROM documents)
+      SELECT doc_id, n_tokens,
+        CAST(score_milli AS DOUBLE) / (n_tokens * 1000) AS logit,
+        CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS keep
+      FROM scored ORDER BY doc_id"""))
+
+  /** 8-gram novelty: per document, the fraction of its 8-gram instances
+    * whose gram first occurs (min doc_id corpus-wide) in THIS document.
+    * Falling novelty across a corpus is the standard signal that
+    * additional data is redundant — the curve curation teams read before
+    * spending on dedup.
+    *
+    * Scale: instances shuffle once keyed by the gram's rolling hash
+    * (compact fixed-width keys instead of ~50-byte gram strings), the
+    * first-occurrence relation joins back on the same key, and the final
+    * agg re-uses the doc_id clustering. Hash collisions (mod 1e9+7) are
+    * the same deterministic trade the minhash path makes and the oracle
+    * replays them exactly. Documents shorter than 8 tokens have no
+    * 8-grams and are excluded in both engines. */
+  val ngramNovelty = QueryDef("text_ngram_novelty",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val g = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(shinglesSql("t", 8))).as("g"))
+        .select(col("doc_id"), expr("roll_hash(g)").as("gh"))
+      val first = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(first, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novel_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(gram,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS gh
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3] || ' ' ||
+               t[j+4] || ' ' || t[j+5] || ' ' || t[j+6] || ' ' || t[j+7])) AS gram
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        WHERE len(t) >= 8)),
+      first AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+      SELECT doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS novel_frac
+      FROM g JOIN first USING (gh)
+      GROUP BY doc_id ORDER BY doc_id"""))
+}

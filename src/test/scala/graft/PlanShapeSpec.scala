@@ -173,6 +173,48 @@ class PlanShapeSpec extends SparkSpec {
         s"unsorted=$unsortedRows (total $total)")
   }
 
+  test("text_tfidf: df relation broadcasts; top-3 rank filter gets the heap pre-filter") {
+    val p = planString(q("text_tfidf"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"document-frequency join must broadcast the vocab side:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 filter lost the per-group heap limit")
+  }
+
+  test("text_quality_model: pure per-row fold — no joins, no hash shuffle") {
+    val p = planString(q("text_quality_model"))
+    assert(!p.contains("Join"),
+      "classifier scoring must stay row-local (weights are a pure function, not a joined table)")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier scoring introduced a shuffle:\n${p.take(2000)}")
+  }
+
+  test("text_ngram_novelty: first-occurrence join stays an equi join on the gram hash") {
+    val p = planString(q("text_ngram_novelty"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"novelty join must be hash-keyed:\n${p.take(2000)}")
+  }
+
+  test("shuffle_epoch: epoch order is a range-partitioned sort, not a global window") {
+    val p = planString(q("shuffle_epoch"))
+    assert(p.contains("rangepartitioning"),
+      s"epoch shuffle must range-partition the sort:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "a global row_number window here would serialize on one task")
+  }
+
+  test("profile_columns: one unpivoted pass — a single scan, no Expand") {
+    val df = q("profile_columns")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"profile must read the table once, found ${scans.size} scans")
+    val p = planString(df)
+    assert(!p.contains("Expand"),
+      "profile regressed to multi-count-distinct Expand (row blowup per column)")
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
