@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Num
+
+/** Incremental-maintenance operators: MERGE-style CDC batch apply (the
+  * write path of log-structured ingestion) and partial-aggregate
+  * materialized-view maintenance (the no-recompute path every 100 TB
+  * rollup depends on).
+  *
+  * Scale stance: the merge is ONE full-outer equi join keyed by the
+  * primary key — on a bucketed base table (see `sink_bucketed_roundtrip`)
+  * it plans shuffle-free on the base side, which is exactly how
+  * Delta/Iceberg MERGE jobs are laid out; MV maintenance touches the
+  * delta partition only and combines with the stored partials, never
+  * rescanning the base — correctness rests on the aggregates being
+  * map-side combinable (exact decimal sums + counts), which the oracle
+  * proves by computing the full aggregate from scratch.
+  */
+object Cdc {
+
+  def all: Seq[QueryDef] = Seq(merge, mvIncremental)
+
+  /** Deterministic CDC batch derived from the key space (no external
+    * change feed in the test corpus): delete customers with
+    * custkey % 10 == 3, credit +100.00 to those with custkey % 10 in
+    * (1, 5), and insert one new customer per nation (keys 900000+n).
+    * Applied MERGE-style: one full outer join on the key, per-row
+    * case analysis — unmatched-base rows pass through, matched rows
+    * update or drop, unmatched-change rows insert. */
+  val merge = QueryDef("cdc_merge",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          Num.dec(col("c_acctbal")).as("bal"))
+      val upserts = base
+        .filter(col("c_custkey") % 10 === 1 || col("c_custkey") % 10 === 5)
+        .select(col("c_custkey"), lit("U").as("op"),
+          lit(null).cast("int").as("new_nationkey"),
+          lit(null).cast("decimal(12,2)").as("new_bal"))
+      val deletes = base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit("D").as("op"),
+          lit(null).cast("int").as("new_nationkey"),
+          lit(null).cast("decimal(12,2)").as("new_bal"))
+      val inserts = Tables.nation(s, d)
+        .select((col("n_nationkey").cast("bigint") + 900000L).as("c_custkey"),
+          lit("I").as("op"), col("n_nationkey").as("new_nationkey"),
+          lit("0.00").cast("decimal(12,2)").as("new_bal"))
+      val changes = upserts.unionAll(deletes).unionAll(inserts)
+      base.join(changes, Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          coalesce(col("new_nationkey"), col("c_nationkey")).as("c_nationkey"),
+          when(col("op") === "U", col("bal") + lit("100.00").cast("decimal(12,2)"))
+            .otherwise(coalesce(col("new_bal"), col("bal")))
+            .cast("decimal(13,2)").cast("double").as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_nationkey,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+      changes AS (
+        SELECT c_custkey, 'U' AS op, CAST(NULL AS INT) AS new_nationkey,
+          CAST(NULL AS DECIMAL(12,2)) AS new_bal
+        FROM base WHERE c_custkey % 10 IN (1, 5)
+        UNION ALL
+        SELECT c_custkey, 'D', NULL, NULL FROM base WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT) + 900000, 'I', n_nationkey,
+          CAST('0.00' AS DECIMAL(12,2))
+        FROM nation)
+      SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+        COALESCE(c.new_nationkey, b.c_nationkey) AS c_nationkey,
+        CAST(CAST(CASE WHEN c.op = 'U' THEN b.bal + CAST('100.00' AS DECIMAL(12,2))
+          ELSE COALESCE(c.new_bal, b.bal) END AS DECIMAL(13,2)) AS DOUBLE)
+          AS c_acctbal
+      FROM base b FULL OUTER JOIN changes c USING (c_custkey)
+      WHERE c.op IS NULL OR c.op <> 'D'
+      ORDER BY c_custkey"""))
+
+  /** Materialized-view incremental maintenance: the per-customer order
+    * rollup (count, exact decimal revenue) is stored as of 1997-01-01;
+    * new orders arrive as a delta partition. The maintained view =
+    * combine(stored partials, delta partials) — counts add, decimal sums
+    * add — and the oracle computes the same rollup from the FULL table,
+    * proving the partial-combine is lossless. At 100 TB this is the
+    * difference between scanning one day and scanning four years. */
+  val mvIncremental = QueryDef("mv_incremental_agg",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"),
+          Num.dec(col("o_totalprice")).as("p"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+      val stored = rollup(orders.filter(col("o_orderdate") < lit("1997-01-01")))
+      val delta = rollup(orders.filter(col("o_orderdate") >= lit("1997-01-01")))
+      stored.unionAll(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Document chunking and higher-order LM scoring — the two remaining
+  * standard text-pipeline steps: fixed-size overlapping token windows
+  * (the unit both RAG indexing and pretraining tokenization consume) and
+  * a bigram conditional log-probability (one Markov order above
+  * `text_unigram_logprob`).
+  *
+  * Scale stance: chunking is per-row slice/explode work — zero shuffles,
+  * output rows ≈ input tokens / stride; bigram scoring shuffles bigram
+  * instances once keyed by a compact rolling hash (like
+  * `text_ngram_novelty`) and broadcasts only the unigram prefix counts.
+  */
+object Chunking {
+
+  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob)
+
+  /** Chunk size / stride (tokens). Stride < size → 10-token overlap, the
+    * usual RAG setting. */
+  val ChunkSize = 50
+  val Stride = 40
+
+  /** Fixed-size overlapping chunks: windows of 50 tokens every 40,
+    * clamped at the document end (`slice`/list-slice clamp identically in
+    * both engines). Every document emits ≥ 1 chunk; chunk_idx is dense
+    * from 0 so downstream packing can address chunks stably. */
+  val chunk = QueryDef("text_chunk",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t), $Stride), j -> slice(t, j, $ChunkSize))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""SELECT doc_id, CAST((j - 1) // $Stride AS INT) AS chunk_idx,
+        CAST(len(t[j : j + ${ChunkSize - 1}]) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(t[j : j + ${ChunkSize - 1}], ' ') AS chunk_text
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, $Stride)) AS j
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** Bigram conditional LM score: Σ_{i≥2} ln( c2(w_{i-1} w_i) /
+    * c1(w_{i-1}) ) where c2 counts the bigram corpus-wide and c1 counts
+    * the prefix token's occurrences AS a bigram prefix (so the ratio is a
+    * proper conditional MLE, ≤ 1). One Markov order above the unigram
+    * score — the better fluency/boilerplate discriminator. Documents with
+    * fewer than 2 tokens have no bigrams and are excluded in both engines.
+    *
+    * Scale + float discipline: bigram instances shuffle once keyed by
+    * rolling hash (compact keys, same trade as `text_ngram_novelty`);
+    * prefix counts derive from the SAME hashed relation (prefix-hash
+    * grouping) so no second pass over the corpus; per-token ln terms are
+    * summed in position order via a sorted fold with `math_ln`, exactly
+    * the `text_unigram_logprob` discipline. */
+  val bigramLogprob = QueryDef("text_bigram_logprob",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val inst = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          posexplode(expr(shinglesSql("t", 2)))).toDF("doc_id", "pos", "g")
+        .select(col("doc_id"), col("pos"),
+          expr("roll_hash(g)").as("gh"),
+          expr("roll_hash(split(g, ' ')[0])").as("ph"))
+      val c2 = inst.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+      val c1 = inst.groupBy(col("ph")).agg(count(lit(1)).as("c1"))
+      inst.join(c2, "gh").join(broadcast(c1), "ph")
+        .withColumn("term",
+          expr("math_ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("pos").as("p"), col("term").as("t")))).as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_bigrams"),
+          expr("aggregate(ts, 0d, (a, x) -> a + x.t)").as("logprob"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH inst AS (
+        SELECT doc_id, j - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j] || ' ' || t[j+1],''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS gh,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j],''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS ph
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS j
+          FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+            WHERE len(string_split(text,' ')) >= 2))),
+      c2 AS (SELECT gh, COUNT(*) AS c2 FROM inst GROUP BY gh),
+      c1 AS (SELECT ph, COUNT(*) AS c1 FROM inst GROUP BY ph)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        list_sum(list(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+          ORDER BY pos)) AS logprob
+      FROM inst JOIN c2 USING (gh) JOIN c1 USING (ph)
+      GROUP BY doc_id ORDER BY doc_id"""))
+}

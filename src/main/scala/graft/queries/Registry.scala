@@ -16,6 +16,7 @@ object Registry {
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.Profiling.all ++
+      graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++
       Statistics.all ++ graft.sources.Sinks.all

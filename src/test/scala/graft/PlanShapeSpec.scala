@@ -215,6 +215,27 @@ class PlanShapeSpec extends SparkSpec {
       "profile regressed to multi-count-distinct Expand (row blowup per column)")
   }
 
+  test("text_chunk: per-row slice/explode — no shuffle at all before the output sort") {
+    val p = planString(q("text_chunk"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must stay row-local:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "chunking needs no join")
+  }
+
+  test("cdc_merge: one full-outer equi join on the key, no nested loop") {
+    val p = planString(q("cdc_merge"))
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"merge must stay an equi join:\n${p.take(2000)}")
+  }
+
+  test("mv_incremental_agg: partial rollups are map-side combinable (partial hash aggs present)") {
+    val p = planString(q("mv_incremental_agg"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"),
+      "rollup must hash-aggregate (decimal sums are combinable)")
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
