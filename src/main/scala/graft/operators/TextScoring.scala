@@ -29,6 +29,26 @@ object TextScoring {
 
   def all: Seq[QueryDef] = Seq(tfidf, qualityModel, ngramNovelty)
 
+  /** The classifier transform itself, factored out so the streaming
+    * surface ([[graft.streaming.DocStreams.scoreQuality]]) can apply the
+    * SAME code to an unbounded stream: it is stateless per-row work, so
+    * it is legal (and identical) under `readStream`. No ORDER BY here —
+    * sorting is the batch entry's presentation step. */
+  def scoreQuality(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr("""aggregate(t, CAST(0 AS BIGINT),
+          (a, w) -> a + (((roll_hash(w) % 4096) * 2654435761) % 2001 - 1000))""")
+          .as("score_milli"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("score_milli").cast("double") / (col("n_tokens") * 1000))
+          .as("logit"),
+        when(col("score_milli") > 0, 1).otherwise(0).as("keep"))
+  }
+
   /** Top-3 TF-IDF terms per document: tf(w,d)/|d| × ln(N/df(w)).
     *
     * Plan: one (doc_id, w) hash-agg for term counts, a window over
@@ -91,20 +111,7 @@ object TextScoring {
     * Scale: zero shuffles, no joins; the whole query is row-local fold
     * work that scales embarrassingly. */
   val qualityModel = QueryDef("text_quality_model",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      Tables.documents(s, d)
-        .withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          expr("""aggregate(t, CAST(0 AS BIGINT),
-            (a, w) -> a + (((roll_hash(w) % 4096) * 2654435761) % 2001 - 1000))""")
-            .as("score_milli"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("score_milli").cast("double") / (col("n_tokens") * 1000))
-            .as("logit"),
-          when(col("score_milli") > 0, 1).otherwise(0).as("keep"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => scoreQuality(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some("""WITH scored AS (SELECT doc_id,
         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         list_sum(list_transform(string_split(text,' '), w ->

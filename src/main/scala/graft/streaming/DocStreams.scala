@@ -26,6 +26,14 @@ object DocStreams {
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
 
+  /** Streaming quality gate: score every arriving document with the
+    * hashed linear classifier ([[graft.operators.TextScoring.scoreQuality]]).
+    * Stateless per-row work — identical code batch or streaming, no
+    * watermark, no state store; throughput is map-like at any rate.
+    * FileStreamSpec proves stream==batch on the same files. */
+  def scoreQuality(docs: DataFrame): DataFrame =
+    graft.operators.TextScoring.scoreQuality(docs)
+
   /** Refreshable-holdout decontamination — the shape ingestion actually
     * runs: the benchmark/holdout set GROWS while the corpus stream is
     * live (new eval sets get added), and documents must be checked

@@ -31,7 +31,12 @@ object ScaleSmoke {
         "q44_latest_per_key", "sample_stratified", "text_rarity",
         "dedup_paragraph", "text_decontaminate", "corpus_keep_filter",
         "sim_ann_lsh", "q23_percentiles", "sim_ann_ivf",
-        "sink_bucketed_roundtrip", "sink_range_layout")
+        "sink_bucketed_roundtrip", "sink_range_layout",
+        "text_tfidf", "text_quality_model", "text_ngram_novelty",
+        "text_bigram_logprob", "text_chunk", "graph_pagerank",
+        "profile_columns", "shuffle_epoch", "cdc_merge",
+        "mv_incremental_agg", "sim_topk_quantized", "pack_sequences",
+        "text_unigram_logprob", "text_repetition")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -112,6 +112,33 @@ class FileStreamSpec extends SparkSpec {
     assert(!all.contains(4L), "doc 4 shares no 8-gram with any holdout")
   }
 
+  test("streaming quality scoring == batch over the same document files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qdocs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qckpt").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/b0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = graft.streaming.DocStreams.scoreQuality(stream)
+      .writeStream.format("memory").queryName("doc_quality")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = spark.table("doc_quality").collect().map(key).toSet
+    val batch = graft.streaming.DocStreams.scoreQuality(
+        spark.read.option("recursiveFileLookup", "true").parquet(dir))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.size == docs.count(), "one score per document")
+  }
+
   test("stream-static join: streaming events enriched by a static dimension") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ev = Tables.events(spark, sf("sf0.001"))

@@ -91,6 +91,23 @@ class OperatorsSpec extends SparkSpec {
     info(f"IVF recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
   }
 
+  test("int8-quantized top-k is near-exact: recall@3 vs float brute force >= 0.8") {
+    val qz = Similarity.quantizedTopK.fn(spark, d).collect()
+    assert(qz.nonEmpty)
+    qz.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 5L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = qz.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf3 & hit).size.toDouble / bf3.size
+    info(f"quantized recall@3 = $recall%.2f")
+    assert(recall >= 0.8,
+      f"int8 quantization should be near-exact, got recall@3 $recall%.2f")
+  }
+
   test("trained IVF: Lloyd moves centroids, scores stay exact, recall measured") {
     // centroids genuinely move off their seed vectors
     val seeds = Tables.embeddings(spark, d)

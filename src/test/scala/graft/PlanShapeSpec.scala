@@ -236,6 +236,36 @@ class PlanShapeSpec extends SparkSpec {
       "rollup must hash-aggregate (decimal sums are combinable)")
   }
 
+  test("runtime bloom filter: a selective dimension filter reaches the fact side as a row-level filter") {
+    // At 100 TB the win is scanning lineitem once WITH a bloom filter
+    // built from the filtered orders side, instead of shuffling the full
+    // fact table into the join. Spark's InjectRuntimeFilter does this
+    // automatically once the size thresholds are met; production defaults
+    // (10 MB creation side / 10 GB scan side) are far above test data, so
+    // the thresholds are lowered here to demonstrate the 100 TB plan.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val d = sf("sf0.001")
+      val urgent = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, d)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"runtime bloom filter not injected:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
