@@ -17,7 +17,7 @@ import graft.functions.TextFunctions._
   */
 object Chunking {
 
-  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob)
+  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob, reassemble)
 
   /** Chunk size / stride (tokens). Stride < size → 10-token overlap, the
     * usual RAG setting. */
@@ -102,4 +102,55 @@ object Chunking {
           ORDER BY pos)) AS logprob
       FROM inst JOIN c2 USING (gh) JOIN c1 USING (ph)
       GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Chunking round-trip proof: reassemble every document from its
+    * overlapping chunks (keep chunk 0 whole, drop each later chunk's
+    * ${ChunkSize - Stride}-token overlap prefix) and count documents whose
+    * reassembled token sequence is exactly the original. The oracle
+    * REPLICATES the chunk + reassemble pipeline in SQL rather than
+    * asserting the expected count, so a fencepost bug in either engine's
+    * slicing shows up as a value mismatch, not a silently-true tautology.
+    *
+    * Why it matters at scale: chunking feeds tokenization and RAG
+    * indexes; an off-by-one that drops or duplicates tokens at chunk
+    * boundaries corrupts 100 TB of training data silently. This query is
+    * the cheap invariant (two narrow shuffles over doc_id) a pipeline can
+    * run per ingest batch. */
+  val reassemble = QueryDef("chunk_reassemble",
+    (s, d) => {
+      val overlap = ChunkSize - Stride
+      val chunks = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"),
+          posexplode(expr(
+            s"transform(sequence(1, size(t), $Stride), j -> slice(t, j, $ChunkSize))")))
+        .select(col("doc_id"), col("t"), col("pos").as("chunk_idx"),
+          col("col").as("ct"))
+      chunks
+        .withColumn("part",
+          when(col("chunk_idx") === 0, col("ct"))
+            .otherwise(expr(s"slice(ct, ${overlap + 1}, $ChunkSize)")))
+        .groupBy(col("doc_id"))
+        .agg(first(col("t")).as("t"),
+          flatten(expr(
+            "transform(sort_array(collect_list(struct(chunk_idx, part))), x -> x.part)"))
+            .as("re"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("re") === col("t"), 1L).otherwise(0L)).as("n_lossless"))
+    },
+    Some(s"""WITH chunks AS (
+        SELECT doc_id, t, CAST((j - 1) // $Stride AS INT) AS chunk_idx,
+          t[j : j + ${ChunkSize - 1}] AS ct
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, $Stride)) AS j
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      re AS (
+        SELECT doc_id, ANY_VALUE(t) AS t,
+          flatten(list(
+            CASE WHEN chunk_idx = 0 THEN ct
+                 ELSE ct[${ChunkSize - Stride + 1} :] END
+            ORDER BY chunk_idx)) AS re
+        FROM chunks GROUP BY doc_id)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN re = t THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless
+      FROM re"""))
 }

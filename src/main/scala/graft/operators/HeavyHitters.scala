@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.tokens
+
+/** Exact heavy hitters via Misra–Gries candidate pruning — "which tokens
+  * exceed 1/32 of the whole corpus" answered in two passes, neither of
+  * which shuffles the token stream:
+  *
+  *   1. Per-partition Misra–Gries summaries (capacity K counters each,
+  *      constant memory, pure `mapPartitions` — no shuffle). The union of
+  *      the partition summaries is a GUARANTEED superset of every token
+  *      with true frequency > n/(K+1): inside one partition MG only
+  *      drops a token after cancelling it against K others, so a counter
+  *      survives with count ≥ true_in_partition − part_n/(K+1); summed
+  *      over partitions the deficit stays < n/(K+1). The summaries are
+  *      tiny (P × K rows — 64 k rows even at 1000 executors), so they
+  *      collect to the driver like any aggregate final stage.
+  *   2. Exact recount of ONLY the candidate tokens: broadcast the
+  *      candidate set as a filter, hash-aggregate the survivors, keep
+  *      those above the threshold. With threshold n/32 > n/(K+1) (K=64),
+  *      step 1's superset guarantee makes the final answer EXACT.
+  *
+  * The naive single-pass alternative — groupBy(token).count() — shuffles
+  * every distinct token; at 100 TB that's the full vocabulary (billions
+  * of keys) moved across the cluster to answer a question about ~32
+  * tokens. The MG plan moves P×K counters.
+  *
+  * The per-partition summary content depends on partitioning and
+  * iteration order, but the FINAL output does not (any superset of the
+  * true heavy hitters recounts to the same exact answer), so the entry
+  * is hash-checkable against a straightforward exact-SQL oracle.
+  */
+object HeavyHitters {
+
+  /** MG capacity: guarantees capture of every token above n/65 of the
+    * corpus; the query threshold n/32 sits safely above that. */
+  val K = 64
+
+  def all: Seq[QueryDef] = Seq(heavyHitters)
+
+  /** Misra–Gries over one iterator: at most [[K]] surviving counters. */
+  def mgSummary(it: Iterator[String]): Map[String, Long] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { tok =>
+      if (counters.contains(tok)) counters(tok) += 1
+      else if (counters.size < K) counters(tok) = 1
+      else {
+        // decrement-all: cancel this token against one of each counter
+        val dead = List.newBuilder[String]
+        counters.mapValuesInPlace((_, v) => v - 1)
+        counters.foreach { case (t, v) => if (v <= 0) dead += t }
+        dead.result().foreach(counters.remove)
+      }
+    }
+    counters.toMap
+  }
+
+  /** Candidate tokens: union of per-partition MG summaries (superset of
+    * all tokens with frequency > n/(K+1)). */
+  def candidates(s: SparkSession, docs: DataFrame): Array[String] = {
+    import s.implicits._
+    docs.select(explode(tokens(col("text"))).as("tok")).as[String]
+      .mapPartitions(it => mgSummary(it).keysIterator)
+      .distinct().collect()
+  }
+
+  val heavyHitters = QueryDef("text_heavy_hitters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = candidates(s, docs)
+      val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.where(col("tok").isInCollection(cand))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * 32 > col("n"))
+        .select(col("tok"), col("cnt"),
+          (col("cnt").cast("double") / col("n").cast("double")).as("share"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some("""WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM toks)
+      SELECT tok, COUNT(*) AS cnt,
+        CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE) AS share
+      FROM toks CROSS JOIN tot
+      GROUP BY tok HAVING COUNT(*) * 32 > ANY_VALUE(n)
+      ORDER BY cnt DESC, tok"""))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+
+/** Triangle counting — the third graph workload beside SSSP and PageRank,
+  * and the canonical non-iterative "graph join" shape (the reference's A4
+  * relaxation join, `shortest_path/main.cpp:30-62`, applied twice:
+  * edge ⋈ edge → wedges, wedges ⋈ edge → triangles).
+  *
+  * Runs on its own deterministic graph: ring + skip-2 + skip-7 chords
+  * over n nodes (the SSSP ring+skip graph is triangle-free, so this adds
+  * the skip-2 chord — every (i, i+1, i+2) closes, plus irregular
+  * triangles where the skip-7 chord lands on a short pair).
+  *
+  * Scale stance — degree-ordered orientation: each undirected edge is
+  * directed from its lower-(degree, id) endpoint to the higher one, so
+  * every node's out-degree is O(√m) on ANY graph (a node keeps out-edges
+  * only toward neighbors of ≥ its degree, and at most 2m/d nodes have
+  * degree ≥ d). The wedge self-join fans out quadratically only in this
+  * bounded out-degree instead of raw degree — the difference between
+  * 10^14 wedges from one degree-10^7 hub and a bounded candidate set on
+  * a skewed 100 TB web graph. Each triangle is found exactly once, at
+  * its lowest-ranked vertex; the closing check is one more equi-join.
+  * Whole plan: three hash joins + explode + one aggregate — no nested
+  * loops, no iteration.
+  *
+  * The DuckDB oracle enumerates the SAME triangle set with the simpler
+  * id-ordering (a < b < c): the triangle set is independent of the
+  * enumeration orientation, so the two engines cross-validate the
+  * combinatorics, not a shared formula.
+  */
+object Triangles {
+
+  val N = 1000L
+
+  def all: Seq[QueryDef] = Seq(triangles)
+
+  /** Deterministic triangle-bearing graph as a simple undirected edge
+    * set: one row per unordered pair {a, b}. */
+  def simpleEdges(s: SparkSession): DataFrame = {
+    val ids = s.range(0, N, 1, 32)
+    val base = ids.select(col("id").as("src"), ((col("id") + 1) % N).as("dst"))
+      .unionAll(ids.select(col("id"), (col("id") + 2) % N))
+      .unionAll(ids.select(col("id"), (col("id") * 7 + 11) % N))
+    base.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts, top 20 by (count desc, node).
+    * Rank = deg * 2^20 + id packs the (degree, id) total order into one
+    * BIGINT comparison (deg and id both ≪ 2^20). */
+  val triangles = QueryDef("graph_triangles",
+    (s, _) => {
+      val simple = simpleEdges(s)
+      val deg = simple.select(col("a").as("v"))
+        .unionAll(simple.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ranked = simple
+        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .select(col("a"), col("b"),
+          (col("da") * 1048576L + col("a")).as("ra"),
+          (col("db") * 1048576L + col("b")).as("rb"))
+      // orient low rank → high rank, carrying the head's rank for the
+      // wedge ordering below
+      val o = ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+      // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w
+      val wedges = o.select(col("u"), col("v"), col("rv"))
+        .join(o.select(col("u"), col("v").as("w"), col("rv").as("rw")), "u")
+        .where(col("rv") < col("rw"))
+      val close = o.select(col("u").as("v"), col("v").as("w"))
+      val tris = wedges.join(close, Seq("v", "w"))
+      tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+        .orderBy(col("tri").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""WITH ids AS (SELECT range AS id FROM range($N)),
+      base AS (
+        SELECT id AS src, (id + 1) % $N AS dst FROM ids
+        UNION ALL
+        SELECT id, (id + 2) % $N FROM ids
+        UNION ALL
+        SELECT id, (id * 7 + 11) % $N FROM ids),
+      se AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM se e1
+        JOIN se e2 ON e2.a = e1.b
+        JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT node, COUNT(*) AS tri FROM nodes
+      GROUP BY node ORDER BY tri DESC, node LIMIT 20"""))
+}

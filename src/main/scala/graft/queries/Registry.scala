@@ -9,13 +9,14 @@ object Registry {
       Relational3.all ++ Relational4.all ++ Relational5.all ++
       Relational6.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
-      graft.operators.TextScoring.all ++
+      graft.operators.TextScoring.all ++ graft.operators.HeavyHitters.all ++
       graft.operators.Bpe.all ++ graft.operators.Curation.all ++
       graft.operators.Pipeline2.all ++ graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Events.all ++
-      graft.operators.PageRank.all ++ graft.operators.Profiling.all ++
+      graft.operators.PageRank.all ++ graft.operators.Triangles.all ++
+      graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++

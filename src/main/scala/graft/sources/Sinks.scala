@@ -25,7 +25,8 @@ import graft.{Num, QueryDef, Tables}
   */
 object Sinks {
 
-  def all: Seq[QueryDef] = Seq(bucketedRoundtrip, rangeLayout)
+  def all: Seq[QueryDef] =
+    Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip)
 
   /** Deterministic sink location per source dir (same dir → same path, so
     * repeated invocations overwrite instead of accumulating). */
@@ -165,4 +166,54 @@ object Sinks {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-06-01'
         AND l_shipdate < TIMESTAMP '1998-07-01'"""))
+
+  /** CSV interchange roundtrip: write supplier as quoted CSV with a
+    * header, re-read it with the ORIGINAL schema applied explicitly (no
+    * inference — schema inference is a full extra pass over the data and
+    * non-deterministic under sampling at scale; an ingest pipeline always
+    * pins the schema), and aggregate per nation. Exactness notes: doubles
+    * survive CSV because Spark writes the shortest string that parses
+    * back to the identical bits, and strings survive because the writer
+    * quotes/escapes delimiters. The aggregate must equal the same
+    * aggregate over the original parquet — the oracle's view. */
+  val csvRoundtrip = QueryDef("source_csv_roundtrip",
+    (s, d) => {
+      val path = sinkPath(d, "supplier_csv")
+      val orig = Tables.supplier(s, d)
+      orig.write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(path)
+      s.read.schema(orig.schema)
+        .option("header", "true").csv(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("s_name")).as("names"),
+          Num.sumd(Num.dec(col("s_acctbal"))).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(*) AS n,
+        count(DISTINCT s_name) AS names,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** JSON-lines interchange roundtrip: part → JSON → re-read with the
+    * pinned schema → per-brand aggregate, same contract as the CSV twin.
+    * JSON is the ingest format most raw web/crawl corpora arrive in; the
+    * entry proves the engine's JSON source preserves int/double/string
+    * typing exactly (Spark emits shortest-roundtrip doubles here too). */
+  val jsonRoundtrip = QueryDef("source_json_roundtrip",
+    (s, d) => {
+      val path = sinkPath(d, "part_json")
+      val orig = Tables.part(s, d)
+      orig.write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(orig.schema).json(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_type")).as("types"),
+          Num.sumd(Num.dec(col("p_retailprice"))).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+        count(DISTINCT p_type) AS types,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Mixture, Triangles}
+
+/** Invariant tests for the round-4 additions: triangle counting, mixture
+  * sampling, and the chunk round-trip (the oracle rows prove value
+  * parity; these pin the algorithmic properties the oracle can't see). */
+class MixtureGraphSpec extends SparkSpec {
+
+  test("triangle top-20 matches a brute-force enumeration of the same graph") {
+    // brute-force ground truth by id-ordering (a < b < c) on the small graph
+    val e = Triangles.simpleEdges(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var triTotal = 0L
+    for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty))
+      if (e.contains((a, c))) {
+        triTotal += 1
+        Seq(a, b, c).foreach(n => perNode(n) += 1)
+      }
+    assert(triTotal >= Triangles.N, "ring+skip2 closes every consecutive triple")
+
+    val expectedTop = perNode.toSeq.map { case (n, t) => (t, n) }
+      .sortBy(p => (-p._1, p._2)).take(20)
+    val top = Triangles.triangles.fn(spark, "").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(top == expectedTop,
+      "degree-ordered distributed enumeration must agree with brute force")
+  }
+
+  test("weighted sample is deterministic and respects the cap semantics") {
+    val d = sf("sf0.001")
+    val a = Mixture.weightedSample.fn(spark, d).collect()
+    val b = Mixture.weightedSample.fn(spark, d).collect()
+    assert(a.sameElements(b), "hash-driven sampling must be run-stable")
+    a.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept >= 0 && kept <= n)
+    }
+    assert(a.map(_.getLong(2)).sum > 0, "a length-weighted sample keeps something")
+  }
+
+  test("temperature mixture: weights in (0,1], max source at 1, oversampling favors small sources") {
+    val rows = Mixture.temperatureMix.fn(spark, sf("sf0.001")).collect()
+    val w = rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(w.forall { case (_, _, wt, _) => wt > 0.0 && wt <= 1.0 })
+    assert(w.count { case (_, _, wt, _) => wt == 1.0 } >= 1, "largest source has weight 1")
+    val largest = w.maxBy(_._2)
+    val smallest = w.minBy(_._2)
+    assert(smallest._4 >= largest._4,
+      "alpha=0.5 must oversample the smallest source at least as much as the largest")
+  }
+
+  test("Misra-Gries candidates are a superset of all true heavy hitters") {
+    import graft.operators.HeavyHitters
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val cand = HeavyHitters.candidates(spark, docs).toSet
+    assert(cand.size <= spark.sparkContext.defaultParallelism * HeavyHitters.K * 4,
+      "candidate set must stay sketch-sized, not vocabulary-sized")
+    // exact frequencies (small corpus): every token above n/(K+1) must be
+    // in the candidate set — the guarantee the exactness proof rests on
+    val exact = docs.select(explode(org.apache.spark.sql.functions.split(
+        col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    val mustCatch = exact.filter(_._2 * (HeavyHitters.K + 1) > n).map(_._1)
+    val missed = mustCatch.filterNot(cand)
+    assert(missed.isEmpty, s"MG guarantee violated for: ${missed.mkString(", ")}")
+  }
+
+  test("Misra-Gries summary on a known stream keeps the majority element") {
+    import graft.operators.HeavyHitters
+    val stream = Iterator.fill(500)("hot") ++ (1 to 400).iterator.map(i => s"t$i")
+    val sum = HeavyHitters.mgSummary(stream)
+    assert(sum.size <= HeavyHitters.K)
+    assert(sum.contains("hot"), "majority element must survive any MG run")
+    assert(sum("hot") >= 500 - (900 / (HeavyHitters.K + 1)) - 1,
+      "counter deficit must respect the n/(K+1) bound")
+  }
+
+  test("chunk round-trip is lossless for every document") {
+    val r = Chunking.reassemble.fn(spark, sf("sf0.001")).collect().head
+    assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0) - r.getLong(1)} documents corrupted by chunk/reassemble")
+  }
+}

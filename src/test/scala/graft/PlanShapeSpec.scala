@@ -266,6 +266,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles: wedge and closing joins are hash equi joins, never nested loops") {
+    val p = planString(q("graph_triangles"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"triangle enumeration must stay equi-join-shaped:\n${p.take(2000)}")
+  }
+
+  test("sample_weighted: hash-keep decision is per-row — no shuffle before the tiny source agg") {
+    val p = planString(q("sample_weighted"))
+    // exactly one exchange: the final ~5-group source aggregate
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"sampling must not shuffle the corpus:\n${p.take(2000)}")
+  }
+
   test("window top-k queries get Spark's heap-based WindowGroupLimit pre-filter") {
     // rank-filter top-k must not sort whole partitions: Spark 4's
     // InferWindowGroupLimit plans Partial+Final per-group heap limits
