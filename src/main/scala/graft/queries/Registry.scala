@@ -14,6 +14,7 @@ object Registry {
       graft.operators.Pipeline2.all ++ graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
+      graft.operators.Spectral.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.Triangles.all ++
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++

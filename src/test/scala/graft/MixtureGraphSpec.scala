@@ -81,6 +81,48 @@ class MixtureGraphSpec extends SparkSpec {
       "counter deficit must respect the n/(K+1) bound")
   }
 
+  test("power iteration: engine output is bit-exact vs a local replay; Rayleigh quotient non-decreasing") {
+    import graft.operators.Spectral
+    // local ground-truth replay in plain loops over the same quantization
+    val X: Array[Array[Long]] = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * Spectral.QScale + 0.5).toLong))
+    def step(v: Array[Long]): Array[Long] = {
+      val y = Array.fill(Spectral.Dim)(0L)
+      X.foreach { row =>
+        var sv = 0L
+        var j = 0
+        while (j < Spectral.Dim) { sv += row(j) * v(j); j += 1 }
+        j = 0
+        while (j < Spectral.Dim) { y(j) += row(j) * sv; j += 1 }
+      }
+      val sc = math.max(y.map(math.abs).max / Spectral.VScale, 1L)
+      y.map(yj => (if (yj < 0) -1L else 1L) * (math.abs(yj) / sc))
+    }
+    def rayleigh(v: Array[Long]): Double = {
+      val num = X.map { row =>
+        val s = row.indices.map(j => row(j).toDouble * v(j)).sum
+        s * s
+      }.sum
+      num / v.map(x => x.toDouble * x).sum
+    }
+    var v = Array.fill(Spectral.Dim)(Spectral.VScale)
+    var rPrev = rayleigh(v)
+    for (k <- 1 to Spectral.Rounds) {
+      v = step(v)
+      val r = rayleigh(v)
+      assert(r >= rPrev * (1 - 1e-9),
+        s"Rayleigh quotient decreased at round $k: $rPrev -> $r")
+      rPrev = r
+    }
+    val engine = Spectral.powerIteration.fn(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(engine.map(_._1).sameElements(1L to Spectral.Dim.toLong))
+    assert(engine.map(_._2).sameElements(v),
+      "distributed integer power iteration must replay bit-exactly")
+  }
+
   test("chunk round-trip is lossless for every document") {
     val r = Chunking.reassemble.fn(spark, sf("sf0.001")).collect().head
     assert(r.getLong(0) == r.getLong(1),
