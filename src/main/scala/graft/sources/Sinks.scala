@@ -26,7 +26,8 @@ import graft.{Num, QueryDef, Tables}
 object Sinks {
 
   def all: Seq[QueryDef] =
-    Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip)
+    Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip,
+      zorderLayout)
 
   /** Deterministic sink location per source dir (same dir → same path, so
     * repeated invocations overwrite instead of accumulating). */
@@ -166,6 +167,76 @@ object Sinks {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-06-01'
         AND l_shipdate < TIMESTAMP '1998-07-01'"""))
+
+  /** Morton (z-order) interleave of two 10-bit cell expressions as one
+    * generated SQL expression — stays inside whole-stage codegen
+    * (shiftleft/shiftright/&/| are all codegen'd builtins). */
+  def zOrderSql(aCell: String, bCell: String): String =
+    (0 until 10).map(i =>
+      s"(shiftleft(shiftright($aCell, $i) & 1, ${2 * i}) | " +
+        s"shiftleft(shiftright($bCell, $i) & 1, ${2 * i + 1}))")
+      .mkString("(", " | ", ")")
+
+  /** Z-order layout: cluster lineitem on BOTH ship day and part key by
+    * sorting on the Morton interleave of their range-normalized 10-bit
+    * cells (the Delta-OPTIMIZE-ZORDER recipe: min/max the two columns
+    * first — one tiny aggregate — then map each to a 0..1023 cell so the
+    * interleave weighs both dimensions equally regardless of raw ranges).
+    * Every z-contiguous row group then covers a small RECTANGLE in
+    * (day, part) space, so its parquet min/max envelope is tight on BOTH
+    * columns and a selective predicate on EITHER one skips row groups —
+    * the property a single-column sort (`sink_range_layout`) physically
+    * cannot give the second column. 1 MiB row groups keep the skip
+    * granularity finer than the 8 range files. */
+  def writeZorderLayout(s: SparkSession, d: String): String = {
+    val path = sinkPath(d, "lineitem_zorder")
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"),
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"),
+        col("l_quantity"), col("l_extendedprice"))
+    val r = base.agg(
+      min(col("ship_day")), max(col("ship_day")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (d0, d1, p0, p1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def cell(c: String, lo: Long, hi: Long): String =
+      s"least(1023, (($c - $lo) * 1024) div ${hi - lo + 1})"
+    base
+      .withColumn("z",
+        expr(zOrderSql(cell("ship_day", d0, d1), cell("l_partkey", p0, p1))))
+      .repartitionByRange(32, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", 1 << 20)
+      .parquet(path)
+    path
+  }
+
+  /** Catalog entry: write the z-layout, re-read it, and answer a
+    * two-dimensional slice (one ship month AND a part-key prefix) —
+    * exactly the query shape the layout exists for. The oracle computes
+    * the same slice over the original table, so the roundtrip (including
+    * the day-granular key derivation) is value-checked; the row-group
+    * skip itself is asserted on scan metrics in PlanShapeSpec for BOTH
+    * single-column predicates. */
+  val zorderLayout = QueryDef("sink_zorder_layout",
+    (s, d) => {
+      val path = writeZorderLayout(s, d)
+      val day0 = java.time.LocalDate.parse("1997-06-01").toEpochDay
+      val day1 = java.time.LocalDate.parse("1997-07-01").toEpochDay
+      s.read.parquet(path)
+        .filter(col("ship_day") >= day0 && col("ship_day") < day1 &&
+          col("l_partkey") < 2048)
+        .agg(count(lit(1)).as("n"),
+          Num.sumd(Num.dec(col("l_quantity"))).as("sum_qty"),
+          Num.sumd(Num.dec(col("l_extendedprice"))).as("sum_price"))
+    },
+    Some("""SELECT count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'
+        AND l_partkey < 2048"""))
 
   /** CSV interchange roundtrip: write supplier as quoted CSV with a
     * header, re-read it with the ORIGINAL schema applied explicitly (no

@@ -36,7 +36,10 @@ object ScaleSmoke {
         "text_bigram_logprob", "text_chunk", "graph_pagerank",
         "profile_columns", "shuffle_epoch", "cdc_merge",
         "mv_incremental_agg", "sim_topk_quantized", "pack_sequences",
-        "text_unigram_logprob", "text_repetition")
+        "text_unigram_logprob", "text_repetition",
+        "graph_triangles", "sample_weighted", "mix_temperature",
+        "chunk_reassemble", "text_heavy_hitters", "emb_power_iteration",
+        "source_csv_roundtrip", "source_json_roundtrip")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

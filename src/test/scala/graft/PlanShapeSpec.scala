@@ -173,6 +173,50 @@ class PlanShapeSpec extends SparkSpec {
         s"unsorted=$unsortedRows (total $total)")
   }
 
+  test("sink_zorder_layout: z-clustering skips row groups for predicates on EITHER dimension") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val d = sf("sf0.001")
+    def scanOutputRows(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val zPath = graft.sources.Sinks.writeZorderLayout(spark, d)
+    val unsortedPath = zPath + "_unsorted"
+    spark.read.parquet(zPath) // same columns incl. z, different ordering
+      .orderBy(col("l_orderkey")) // clustered on neither dimension
+      .write.mode("overwrite").parquet(unsortedPath)
+    val day0 = java.time.LocalDate.parse("1998-06-01").toEpochDay
+    val day1 = java.time.LocalDate.parse("1998-07-01").toEpochDay
+    def daySlice(p: String) = spark.read.parquet(p)
+      .filter(col("ship_day") >= day0 && col("ship_day") < day1)
+    // part predicate sized to the DOMAIN (1/8 of the key range), so the
+    // test means the same thing at every scale factor
+    val pkCut = {
+      val r = spark.read.parquet(zPath)
+        .agg(org.apache.spark.sql.functions.min(col("l_partkey")),
+          org.apache.spark.sql.functions.max(col("l_partkey"))).head()
+      r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8
+    }
+    def partSlice(p: String) = spark.read.parquet(p)
+      .filter(col("l_partkey") < pkCut)
+    val dayZ = scanOutputRows(daySlice(zPath))
+    val dayU = scanOutputRows(daySlice(unsortedPath))
+    val partZ = scanOutputRows(partSlice(zPath))
+    val partU = scanOutputRows(partSlice(unsortedPath))
+    info(s"day-slice scan rows: z=$dayZ unsorted=$dayU; part-slice: z=$partZ unsorted=$partU")
+    assert(dayZ * 2 <= dayU,
+      s"z-order lost the day-dimension skip: $dayZ vs $dayU")
+    assert(partZ * 2 <= partU,
+      s"z-order lost the part-dimension skip: $partZ vs $partU")
+  }
+
   test("text_tfidf: df relation broadcasts; top-3 rank filter gets the heap pre-filter") {
     val p = planString(q("text_tfidf"))
     assert(p.contains("BroadcastHashJoin"),
