@@ -27,7 +27,52 @@ import graft.functions.TextFunctions._
   */
 object TextScoring {
 
-  def all: Seq[QueryDef] = Seq(tfidf, qualityModel, ngramNovelty)
+  def all: Seq[QueryDef] = Seq(tfidf, qualityModel, ngramNovelty, entropy)
+
+  /** Per-document token entropy H(d) = −Σ_w p(w|d)·ln p(w|d) — the
+    * vocabulary-diversity quality signal (near-zero for boilerplate /
+    * keyword-stuffed pages, high for fluent prose; a standard pre-LM
+    * corpus filter next to the repetition fractions).
+    *
+    * Float discipline: per-(doc, token) terms are folded in TOKEN order
+    * (each token appears once per doc after the count agg, so the order
+    * is total) with the bit-parity `math_ln`; p is one exact division of
+    * exact integers; the p·ln p product is a single IEEE multiply. Plan:
+    * one (doc, w) hash agg, doc length by a window over the same doc_id
+    * clustering — no second corpus shuffle, state bounded by per-doc
+    * vocabulary. */
+  val entropy = QueryDef("text_entropy",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      tc.withColumn("n",
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+        .withColumn("term", expr(
+          "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "math_ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n")).as("n_tokens"),
+          sort_array(collect_list(struct(col("w"), col("term")))).as("ts"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(ts, 0d, (a, x) -> a + x.term)").as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY doc_id, w),
+      tn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY doc_id)
+      SELECT doc_id, ANY_VALUE(n) AS n_tokens,
+        list_sum(list(
+          -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          ORDER BY w)) AS entropy
+      FROM tc JOIN tn USING (doc_id)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** The classifier transform itself, factored out so the streaming
     * surface ([[graft.streaming.DocStreams.scoreQuality]]) can apply the
