@@ -41,12 +41,15 @@ object HeavyHitters {
 
   def all: Seq[QueryDef] = Seq(heavyHitters)
 
-  /** Misra–Gries over one iterator: at most [[K]] surviving counters. */
-  def mgSummary(it: Iterator[String]): Map[String, Long] = {
-    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+  /** Misra–Gries fold INTO existing counters (at most `k` survive) —
+    * incremental by design, which is what lets the streaming surface
+    * ([[graft.streaming.DocStreams.heavyHitterCandidates]]) carry the
+    * same counters across microbatches as GroupState. */
+  def mgFold(counters: scala.collection.mutable.HashMap[String, Long],
+      it: Iterator[String], k: Int = K): Unit =
     it.foreach { tok =>
       if (counters.contains(tok)) counters(tok) += 1
-      else if (counters.size < K) counters(tok) = 1
+      else if (counters.size < k) counters(tok) = 1
       else {
         // decrement-all: cancel this token against one of each counter
         val dead = List.newBuilder[String]
@@ -55,6 +58,11 @@ object HeavyHitters {
         dead.result().foreach(counters.remove)
       }
     }
+
+  /** Misra–Gries over one iterator: at most [[K]] surviving counters. */
+  def mgSummary(it: Iterator[String]): Map[String, Long] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    mgFold(counters, it)
     counters.toMap
   }
 

@@ -70,4 +70,45 @@ object DocStreams {
         sink(flagContaminated(batch, holdout), batchId)
       }
       .start()
+
+  /** One shard's current Misra–Gries candidate set (refreshed every
+    * microbatch the shard receives data in). */
+  final case class HHUpdate(shard: Int, candidates: Seq[String])
+  final case class HHState(counts: Map[String, Long])
+
+  /** Streaming heavy-hitter candidates: the batch engine's two-pass
+    * Misra–Gries ([[graft.operators.HeavyHitters]]) moved onto an
+    * unbounded token stream. Tokens are sharded by token hash and each
+    * shard folds its arrivals into a capacity-`k` MG counter map held in
+    * GroupState — constant memory per shard forever, no watermark needed
+    * (the sketch never grows).
+    *
+    * Guarantee carried over from the batch analysis: sharding BY TOKEN
+    * sends every occurrence of a token to one shard, so a token with
+    * global frequency > n_shard/(k+1) ≥ its shard's deficit bound
+    * survives in that shard's counters — the union of shard candidate
+    * sets is a superset of all tokens above n/(k+1), exactly as in the
+    * batch case (MG is incremental by construction, so folding across
+    * microbatches IS the single-pass algorithm). Downstream, the exact
+    * recount over the candidate set is the same second pass the batch
+    * entry runs. StreamingSpec feeds a skewed stream in multiple batches
+    * and asserts the majority token is never lost and state stays
+    * sketch-sized. */
+  def heavyHitterCandidates(toks: org.apache.spark.sql.Dataset[String],
+      shards: Int = 8, k: Int = graft.operators.HeavyHitters.K)
+      : org.apache.spark.sql.Dataset[HHUpdate] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def fn(shard: Int, it: Iterator[String],
+        state: GroupState[HHState]): HHUpdate = {
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      state.getOption.foreach(s => counters ++= s.counts)
+      graft.operators.HeavyHitters.mgFold(counters, it, k)
+      state.update(HHState(counters.toMap))
+      HHUpdate(shard, counters.keys.toSeq.sorted)
+    }
+    toks.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -138,4 +138,31 @@ class StreamingSpec extends SparkSpec {
     assert(back == Set((1L, "click", 1.0), (2L, "view", 2.0),
       (1L, "purchase", 3.5)))
   }
+
+  test("streaming Misra-Gries keeps the heavy token across microbatches; state stays sketch-sized") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val k = 16
+    val q = graft.streaming.DocStreams
+      .heavyHitterCandidates(mem.toDS(), shards = 4, k = k)
+      .writeStream.format("memory").queryName("hh_cand")
+      .outputMode("update").start()
+    // batch 1: heavy token + light noise; batch 2: more noise + more heavy
+    mem.addData(Seq.fill(300)("hot") ++ (1 to 200).map(i => s"a$i"): _*)
+    q.processAllAvailable()
+    mem.addData((1 to 200).map(i => s"b$i") ++ Seq.fill(200)("hot"): _*)
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each update; take the LAST
+    // candidate set per shard
+    val last = spark.table("hh_cand")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1)))
+      .zipWithIndex.groupBy(_._1._1).map { case (s, rows) =>
+        s -> rows.maxBy(_._2)._1._2 }
+    val union = last.values.flatten.toSet
+    // n = 900 total, freq(hot) = 500 > n/(k+1) = 53 -> must survive
+    assert(union.contains("hot"), "majority token lost by streaming MG")
+    last.values.foreach(c => assert(c.size <= k, s"state above capacity: ${c.size}"))
+  }
 }
