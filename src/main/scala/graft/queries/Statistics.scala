@@ -13,7 +13,85 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, median, approxPercentile, approxDistinct, hashSample,
-      corrStats)
+      corrStats, winsorized)
+
+  /** Winsorized robust statistics: clip `l_extendedprice` at its exact
+    * discrete P5 / P95 order statistics, then compare the raw and
+    * winsorized means (the standard outlier-robust aggregate for noisy
+    * metrics).
+    *
+    * The order statistics come from a two-level prefix sum over the
+    * (value, count) relation — the `pack_sequences` pattern applied to
+    * selection: per-value counts (one shuffle, |distinct values| rows),
+    * coarse per-bucket totals with a serial window over only the TINY
+    * bucket relation, then a per-bucket cumulative count keyed by value.
+    * The value at 0-based index k is the minimum value whose cumulative
+    * count reaches k+1 — no global single-task sort, no whole-column
+    * buffer (the q23 cliff this engine already retired), and the
+    * per-bucket window parallelizes by bucket.
+    *
+    * Exactness: thresholds are actual data values (2-decimal doubles),
+    * clipping and sums happen in decimal, means are one division each —
+    * the engine-wide discipline, so the row hash-matches DuckDB's
+    * ROW_NUMBER-based spelling. */
+  val winsorized = QueryDef("stat_winsorized",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val vc = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val b = vc.withColumn("bkt", floor(col("v") / 1000).cast("long"))
+      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff",
+          coalesce(sum(col("bc")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val cum = b.join(broadcast(bofs), "bkt")
+        .withColumn("cum",
+          col("boff") + sum(col("c")).over(
+            Window.partitionBy(col("bkt")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = li.agg(count(lit(1)).as("n"))
+      val thr = cum.crossJoin(broadcast(tot))
+        .select(col("v"), col("cum"),
+          floor(lit(0.05) * (col("n") - 1).cast("double")).cast("long").as("klo"),
+          ceil(lit(0.95) * (col("n") - 1).cast("double")).cast("long").as("khi"))
+        .agg(min(when(col("cum") >= col("klo") + 1, col("v"))).as("vlo"),
+          min(when(col("cum") >= col("khi") + 1, col("v"))).as("vhi"))
+      li.crossJoin(broadcast(thr))
+        .select(col("v"), col("vlo"), col("vhi"),
+          // clip on the raw doubles (exact: the result IS one of the three
+          // operands bit-for-bit), then ONE decimal cast — DuckDB's
+          // LEAST/GREATEST coerces mixed decimals to DOUBLE, so casting
+          // before the clip would silently put the sum back in
+          // order-dependent double arithmetic on the oracle side
+          dec(least(greatest(col("v"), col("vlo")), col("vhi"))).as("w"),
+          when(col("v") < col("vlo") || col("v") > col("vhi"), 1L)
+            .otherwise(0L).as("clipped"))
+        .agg(first(col("vlo")).as("p05"), first(col("vhi")).as("p95"),
+          count(lit(1)).as("n"),
+          sum(col("clipped")).as("n_clipped"),
+          avgd(dec(col("v"))).as("mean_raw"),
+          avgd(col("w")).as("mean_winsorized"))
+    },
+    Some("""WITH nrows AS (SELECT COUNT(*) AS n FROM lineitem),
+      k AS (SELECT CAST(FLOOR(0.05 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS klo,
+        CAST(CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS khi FROM nrows),
+      o AS (SELECT l_extendedprice AS v,
+        ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS idx FROM lineitem),
+      t AS (SELECT
+        MAX(CASE WHEN idx = klo THEN v END) AS vlo,
+        MAX(CASE WHEN idx = khi THEN v END) AS vhi
+        FROM o CROSS JOIN k WHERE idx = klo OR idx = khi)
+      SELECT ANY_VALUE(vlo) AS p05, ANY_VALUE(vhi) AS p95, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_extendedprice < vlo OR l_extendedprice > vhi
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          AS mean_raw,
+        CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, vlo), vhi)
+          AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*) AS mean_winsorized
+      FROM lineitem CROSS JOIN t"""))
 
   /** Variance / stddev / correlation from exact decimal power sums — the
     * built-in `corr`/`stddev` use engine-specific merge formulas whose FP
