@@ -32,7 +32,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
-      embeddingNearDupLsh, paragraph)
+      embeddingNearDupLsh, paragraph, editVerify)
 
   /** Sub-document dedup: whole-document near-dup passes keep one copy of a
     * page, but production corpus cleaning also strips CONTENT repeated
@@ -268,6 +268,48 @@ object Dedup {
         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
       FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+      ORDER BY a, b"""))
+
+  /** Edit-distance verification of the simhash candidate pairs — the
+    * precision stage a fuzzy-dedup pipeline runs after signature
+    * bucketing: signatures RECALL candidate pairs cheaply; a real string
+    * metric then separates true near-dups from hash-collision neighbors
+    * before anything gets dropped. Levenshtein runs only on the
+    * candidate pairs (never all-pairs) and only on a 120-char prefix —
+    * the standard cost bound, since edit distance is O(len²) per pair
+    * and prefixes decide overwhelmingly for web-page boilerplate dups.
+    * Spark's `levenshtein` and DuckDB's agree exactly (classic DP, ASCII
+    * corpus), so the stage is hash-checkable end-to-end through the
+    * signature pipeline AND the verifier. */
+  val editVerify = QueryDef("dedup_edit_verify",
+    (s, d) => {
+      val pairs = simhash.fn(s, d).select(col("a"), col("b"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+      pairs
+        .join(docs.select(col("doc_id").as("a"), col("p").as("pa")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("p").as("pb")), "b")
+        .withColumn("edit", levenshtein(col("pa"), col("pb")))
+        .select(col("a"), col("b"), col("edit"),
+          when(col("edit") <= 24, 1).otherwise(0).as("is_dup"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(w,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS h
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+      bits AS (SELECT doc_id, i,
+          CASE WHEN 2*SUM((h // (1::BIGINT << i)) % 2) >= COUNT(*)
+            THEN (1::BIGINT << i) ELSE 0 END AS b
+        FROM th, range(0,32) r(i) GROUP BY doc_id, i),
+      sigs AS (SELECT doc_id, SUM(b) AS simhash FROM bits GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 1),
+      pre AS (SELECT doc_id, substr(text, 1, 120) AS p FROM documents)
+      SELECT a, b, CAST(levenshtein(pa.p, pb.p) AS INT) AS edit,
+        CASE WHEN levenshtein(pa.p, pb.p) <= 24 THEN 1 ELSE 0 END AS is_dup
+      FROM pairs JOIN pre pa ON pa.doc_id = a JOIN pre pb ON pb.doc_id = b
       ORDER BY a, b"""))
 
   /** Naive all-pairs n-gram Jaccard (the baseline LSH replaces; kept

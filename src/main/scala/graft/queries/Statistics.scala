@@ -13,7 +13,46 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, median, approxPercentile, approxDistinct, hashSample,
-      corrStats, winsorized)
+      corrStats, winsorized, histogram)
+
+  /** Equi-width histogram of `l_extendedprice` (20 buckets over the
+    * observed [min, max]) — the data-profiling staple beside
+    * `profile_columns`. One min/max aggregate, then a single hash agg on
+    * the computed bucket; bucket edges come back as derived columns. The
+    * bucket formula is spelled with the SAME operation order in both
+    * engines (subtract, scale by 20, divide, floor), so double
+    * arithmetic agrees bit-for-bit and the assignment is deterministic. */
+  val histogram = QueryDef("stat_histogram",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(lit(19L), floor((col("v") - col("mn")) * 20.0 /
+            (col("mx") - col("mn"))).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(first(col("mn")).as("mn"), first(col("mx")).as("mx"),
+          first(col("n")).as("n_total"), count(lit(1)).as("n"))
+        .select(col("bucket"),
+          (col("mn") + col("bucket").cast("double") * (col("mx") - col("mn"))
+            / 20.0).as("edge_lo"),
+          col("n"),
+          (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH mm AS (SELECT MIN(l_extendedprice) AS mn,
+        MAX(l_extendedprice) AS mx, COUNT(*) AS nt FROM lineitem),
+      bkt AS (SELECT LEAST(CAST(19 AS BIGINT),
+          CAST(FLOOR(((l_extendedprice - mn) * 20.0) / (mx - mn)) AS BIGINT))
+          AS bucket, mn, mx, nt
+        FROM lineitem CROSS JOIN mm)
+      SELECT bucket,
+        ANY_VALUE(mn) + CAST(bucket AS DOUBLE) * (ANY_VALUE(mx) - ANY_VALUE(mn))
+          / 20.0 AS edge_lo,
+        COUNT(*) AS n,
+        CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(nt) AS DOUBLE) AS share
+      FROM bkt GROUP BY bucket ORDER BY bucket"""))
 
   /** Winsorized robust statistics: clip `l_extendedprice` at its exact
     * discrete P5 / P95 order statistics, then compare the raw and
@@ -51,7 +90,9 @@ object Statistics {
           col("boff") + sum(col("c")).over(
             Window.partitionBy(col("bkt")).orderBy(col("v"))
               .rowsBetween(Window.unboundedPreceding, 0)))
-      val tot = li.agg(count(lit(1)).as("n"))
+      // total row count from the (value, count) relation — no extra scan
+      // of the base table
+      val tot = vc.agg(sum(col("c")).as("n"))
       val thr = cum.crossJoin(broadcast(tot))
         .select(col("v"), col("cum"),
           floor(lit(0.05) * (col("n") - 1).cast("double")).cast("long").as("klo"),
