@@ -101,5 +101,11 @@ object HashExpressions {
           s"math_ln expects exactly 1 argument, got ${exprs.length}")
         MathLog(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "edit_dist", exprs => {
+        require(exprs.length == 2,
+          s"edit_dist expects exactly 2 arguments, got ${exprs.length}")
+        EditDistanceAscii(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

@@ -17,7 +17,55 @@ import graft.{QueryDef, Tables}
   */
 object Profiling {
 
-  def all: Seq[QueryDef] = Seq(profileColumns, shuffleEpoch)
+  def all: Seq[QueryDef] = Seq(profileColumns, shuffleEpoch, dqChecks)
+
+  /** Data-quality constraint suite (the Deequ/dbt-test shape): the
+    * acceptance checks an ingestion pipeline runs on every batch before
+    * publishing it — null keys, key uniqueness, referential integrity,
+    * and value-range rules — evaluated as ONE row of violation counts so
+    * the gate is a single cheap assert (all zeros ⇒ publish).
+    *
+    * Plan shape: the null/range rules fold into one aggregate over one
+    * scan; uniqueness is a count-vs-distinct-count on the composite key
+    * (no self-join); referential integrity is a left-anti join against
+    * the parent's key set — each the cheapest spelling of its rule, and
+    * every one map-side combinable or semi-join-shaped at 100 TB. */
+  val dqChecks = QueryDef("dq_checks",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val base = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .as("null_orderkey"),
+        sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("bad_quantity"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("bad_price"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("dup_keys"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      base.crossJoin(orphans)
+    },
+    Some("""SELECT
+        (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) FROM lineitem) AS null_orderkey,
+        (SELECT CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS bad_quantity,
+        (SELECT CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM lineitem) AS bad_price,
+        (SELECT CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS bad_discount,
+        (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+          FROM lineitem) AS dup_keys,
+        (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems"""))
 
   private val ProfiledCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey",

@@ -123,6 +123,28 @@ class MixtureGraphSpec extends SparkSpec {
       "distributed integer power iteration must replay bit-exactly")
   }
 
+  test("edit_dist: textbook values, edge cases, and parity with builtin levenshtein on corpus prefixes") {
+    import graft.functions.EditDistanceAscii.distance
+    def d(a: String, b: String) = distance(a.getBytes, b.getBytes)
+    assert(d("kitten", "sitting") == 3)
+    assert(d("", "abc") == 3 && d("abc", "") == 3 && d("", "") == 0)
+    assert(d("same", "same") == 0)
+    assert(d("flaw", "lawn") == 2)
+    // cross-check the codegen path against Spark's builtin on real
+    // (ASCII) corpus prefixes — 120-char texts, 200 adjacent pairs
+    graft.functions.HashExpressions.register(spark)
+    val diff = graft.Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") < 201)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+      .withColumn("q", expr("lead(p, 1) over (order by doc_id)"))
+      .filter(col("q").isNotNull)
+      .withColumn("native", expr("edit_dist(p, q)"))
+      .withColumn("builtin", levenshtein(col("p"), col("q")))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diff == 0, s"$diff prefix pairs disagree with builtin levenshtein")
+  }
+
   test("chunk round-trip is lossless for every document") {
     val r = Chunking.reassemble.fn(spark, sf("sf0.001")).collect().head
     assert(r.getLong(0) == r.getLong(1),
