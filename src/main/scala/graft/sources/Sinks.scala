@@ -27,7 +27,7 @@ object Sinks {
 
   def all: Seq[QueryDef] =
     Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip,
-      zorderLayout)
+      orcRoundtrip, zorderLayout)
 
   /** Deterministic sink location per source dir (same dir → same path, so
     * repeated invocations overwrite instead of accumulating). */
@@ -265,6 +265,28 @@ object Sinks {
         count(DISTINCT s_name) AS names,
         CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** ORC roundtrip — the other major columnar lake format beside parquet
+    * (same typed columnar layout, predicate pushdown, and row-group
+    * statistics). orders → ORC → re-read → per-status aggregate, proven
+    * equal to the same aggregate over the parquet original. Completes
+    * the source matrix: parquet (native), CSV/JSON (interchange), ORC
+    * (columnar interop). */
+  val orcRoundtrip = QueryDef("source_orc_roundtrip",
+    (s, d) => {
+      val path = sinkPath(d, "orders_orc")
+      Tables.orders(s, d).write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("custs"),
+          Num.sumd(Num.dec(col("o_totalprice"))).as("sum_total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        count(DISTINCT o_custkey) AS custs,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** JSON-lines interchange roundtrip: part → JSON → re-read with the
     * pinned schema → per-brand aggregate, same contract as the CSV twin.
