@@ -71,7 +71,13 @@ object Triangles {
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
         when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
-      // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w
+      // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w.
+      // NOTE the oriented relation `o` appears three times in this plan
+      // (both wedge sides + the closing probe) and Catalyst recomputes
+      // the generator/degree subtree for each — free here (the graph is
+      // a deterministic `range` expression, no I/O), but on a real
+      // 100 TB edge table the first step is persisting/checkpointing `o`
+      // once, the same seam the power-iteration operator documents.
       val wedges = o.select(col("u"), col("v"), col("rv"))
         .join(o.select(col("u"), col("v").as("w"), col("rv").as("rw")), "u")
         .where(col("rv") < col("rw"))

@@ -78,6 +78,10 @@ object Statistics {
       import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
       val vc = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      // bucket width 1000 gives ~100 coarse buckets on the price domain
+      // (900..105 000) — the serial window below touches only that tiny
+      // relation; a generic library entry point would derive the width
+      // from min/max like the z-order cell normalization does
       val b = vc.withColumn("bkt", floor(col("v") / 1000).cast("long"))
       val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
         .withColumn("boff",
