@@ -40,7 +40,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (for spark.sql entry points). */
+  /** Register all tables as temp views (for spark.sql entry points).
+    * Goes through the per-table accessors, NOT raw [[load]]: events is
+    * parquet TIMESTAMP(NANOS), which only reads through the nanos-as-long
+    * conversion above — a raw load fails at schema time
+    * (PARQUET_TYPE_ILLEGAL), which is exactly how the `sql_text_surface`
+    * entry caught this function being broken. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -11,7 +11,35 @@ import graft.{QueryDef, Num, Tables}
 object Relational6 {
   import Num._
 
-  def all: Seq[QueryDef] = Seq(minCostSupplier, waitingSuppliers, marketShare)
+  def all: Seq[QueryDef] =
+    Seq(minCostSupplier, waitingSuppliers, marketShare, sqlTextSurface)
+
+  /** The SQL-text surface proof: this entry is executed as LITERAL SQL
+    * via `spark.sql` over `Tables.registerAll` temp views — not the
+    * DataFrame API — and the ORACLE is the character-identical statement
+    * run by DuckDB. One query text, two engines, hash-equal results:
+    * the demonstration that a user of this engine can bring plain ANSI
+    * SQL (joins, windows, aggregates) and the Catalyst pipeline treats
+    * it exactly like the typed API (same optimizer, same plans —
+    * `spark.sql` and the DataFrame builders converge on the same
+    * LogicalPlan). */
+  val sqlTextSurface = {
+    val sqlText = """SELECT n_name,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(RANK() OVER (ORDER BY
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) DESC,
+          n_name) AS INT) AS rnk
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY n_name
+      ORDER BY rnk, n_name"""
+    QueryDef("sql_text_surface",
+      (s, d) => { Tables.registerAll(s, d); s.sql(sqlText) },
+      Some(sqlText))
+  }
 
   /** TPC-H Q2 shape: cheapest supplier per part via aggregate + join-back
     * on the (group, min) equality — at scale this is two shuffles on
