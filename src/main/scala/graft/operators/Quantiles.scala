@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,46 @@ object Quantiles {
 
   /** One requested percentile: `p` of `valueCol`, emitted as `outName`. */
   final case class Spec(valueCol: String, p: Double, outName: String)
+
+  /** Discrete order statistics by two-level prefix sum — the value at
+    * each requested 0-based ascending rank of `valueCol`, WITHOUT a
+    * global single-task sort or a whole-column buffer.
+    *
+    * Mechanics: per-value counts (one shuffle, |distinct| rows), coarse
+    * `width`-sized buckets whose per-bucket totals get the only serial
+    * window (a relation of ~range/width rows), then per-bucket
+    * cumulative counts parallelized by bucket. The value at rank k is
+    * the minimum value whose cumulative count reaches k+1.
+    *
+    * `ranks` are (outputName, rankExpr) pairs where rankExpr may
+    * reference the column `n` (total row count) — e.g.
+    * `floor(lit(0.05) * (col("n") - 1))` for a discrete P5. Returns one
+    * row with one DOUBLE column per requested rank. Negative values,
+    * duplicates, and arbitrary distributions are all handled (floor
+    * bucketing orders negatives correctly); SelectionPropertySpec pins
+    * this against local sorts of arbitrary generated data. */
+  def valueAtRanks(values: DataFrame, valueCol: String,
+      width: Double, ranks: Seq[(String, Column)]): DataFrame = {
+    val li = values.select(col(valueCol).as("v"))
+    val vc = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val b = vc.withColumn("bkt", floor(col("v") / width).cast("long"))
+    val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("boff",
+        coalesce(sum(col("bc")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val cum = b.join(broadcast(bofs), "bkt")
+      .withColumn("cum",
+        col("boff") + sum(col("c")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = vc.agg(sum(col("c")).as("n"))
+    val aggs = ranks.map { case (name, kExpr) =>
+      min(when(col("cum") >= kExpr.cast("long") + 1, col("v"))).as(name)
+    }
+    cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Exact interpolated percentiles per `group`, one output column per
     * spec. `buckets` trades narrowing sharpness against histogram size;

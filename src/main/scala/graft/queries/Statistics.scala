@@ -75,34 +75,13 @@ object Statistics {
     * ROW_NUMBER-based spelling. */
   val winsorized = QueryDef("stat_winsorized",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-      val vc = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
       // bucket width 1000 gives ~100 coarse buckets on the price domain
-      // (900..105 000) — the serial window below touches only that tiny
-      // relation; a generic library entry point would derive the width
-      // from min/max like the z-order cell normalization does
-      val b = vc.withColumn("bkt", floor(col("v") / 1000).cast("long"))
-      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
-        .withColumn("boff",
-          coalesce(sum(col("bc")).over(
-            Window.orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("boff"))
-      val cum = b.join(broadcast(bofs), "bkt")
-        .withColumn("cum",
-          col("boff") + sum(col("c")).over(
-            Window.partitionBy(col("bkt")).orderBy(col("v"))
-              .rowsBetween(Window.unboundedPreceding, 0)))
-      // total row count from the (value, count) relation — no extra scan
-      // of the base table
-      val tot = vc.agg(sum(col("c")).as("n"))
-      val thr = cum.crossJoin(broadcast(tot))
-        .select(col("v"), col("cum"),
-          floor(lit(0.05) * (col("n") - 1).cast("double")).cast("long").as("klo"),
-          ceil(lit(0.95) * (col("n") - 1).cast("double")).cast("long").as("khi"))
-        .agg(min(when(col("cum") >= col("klo") + 1, col("v"))).as("vlo"),
-          min(when(col("cum") >= col("khi") + 1, col("v"))).as("vhi"))
+      // (900..105 000); the selection itself lives in
+      // Quantiles.valueAtRanks (property-tested on arbitrary data)
+      val thr = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+        Seq("vlo" -> floor(lit(0.05) * (col("n") - 1).cast("double")),
+          "vhi" -> ceil(lit(0.95) * (col("n") - 1).cast("double"))))
       li.crossJoin(broadcast(thr))
         .select(col("v"), col("vlo"), col("vhi"),
           // clip on the raw doubles (exact: the result IS one of the three
