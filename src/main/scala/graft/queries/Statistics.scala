@@ -13,7 +13,49 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, median, approxPercentile, approxDistinct, hashSample,
-      corrStats, winsorized, histogram)
+      corrStats, winsorized, histogram, mad)
+
+  /** Median absolute deviation — the robust dispersion statistic
+    * (`mad = median(|v − median(v)|)`) plus an outlier count at the
+    * conventional 3·1.4826·mad cutoff. Two chained discrete selections
+    * via [[graft.operators.Quantiles.valueAtRanks]] (each a two-level
+    * prefix sum — no global sort, no whole-column buffer), with the
+    * deviation relation derived from the first pass. All arithmetic is
+    * single IEEE ops on identical doubles (one subtraction, one abs, one
+    * comparison against a product of exact-identical factors), so the
+    * row hash-matches DuckDB's ROW_NUMBER spelling. Lower medians
+    * (rank ⌊(n−1)/2⌋) in both engines. */
+  val mad = QueryDef("stat_mad",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val medDf = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+        Seq("med" -> floor((col("n") - 1).cast("double") / 2)))
+      val dev = li.crossJoin(broadcast(medDf))
+        .select(abs(col("v") - col("med")).as("v"), col("med"))
+      val madDf = graft.operators.Quantiles.valueAtRanks(
+          dev.select(col("v")), "v", 1000.0,
+          Seq("mad" -> floor((col("n") - 1).cast("double") / 2)))
+      dev.crossJoin(broadcast(madDf))
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("v") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    },
+    Some("""WITH nrows AS (SELECT COUNT(*) AS n FROM lineitem),
+      o AS (SELECT l_extendedprice AS v,
+        ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS idx FROM lineitem),
+      med AS (SELECT MAX(v) AS med FROM o CROSS JOIN nrows
+        WHERE idx = CAST(FLOOR(CAST(n - 1 AS DOUBLE) / 2) AS BIGINT)),
+      dev AS (SELECT ABS(l_extendedprice - med) AS v, med
+        FROM lineitem CROSS JOIN med),
+      o2 AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx FROM dev),
+      madv AS (SELECT MAX(v) AS mad FROM o2 CROSS JOIN nrows
+        WHERE idx = CAST(FLOOR(CAST(n - 1 AS DOUBLE) / 2) AS BIGINT))
+      SELECT ANY_VALUE(med) AS med, ANY_VALUE(mad) AS mad,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN v > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev CROSS JOIN madv"""))
 
   /** Equi-width histogram of `l_extendedprice` (20 buckets over the
     * observed [min, max]) — the data-profiling staple beside
