@@ -310,6 +310,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from file footers, no row scan") {
+    // The third metadata-era scale lever beside partition pruning and
+    // row-group skipping: parquet footers already store row counts and
+    // column min/max, so a bare COUNT/MIN/MAX over 100 TB can be
+    // answered by reading footers only. Needs the DataSource V2 parquet
+    // reader (V1 doesn't implement aggregate pushdown) plus the opt-in
+    // conf; the plan then shows PushedAggregation and row output
+    // collapses to one record per file.
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val agg = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation"),
+        s"aggregate not pushed to the parquet scan:\n${p.take(2500)}")
+      // and the pushed plan must still produce the exact answer
+      val row = agg.collect().head
+      val naive = Tables.lineitem(spark, sf("sf0.001"))
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+        .collect().head
+      assert(row.getLong(0) == naive.getLong(0) &&
+        row.getLong(1) == naive.getLong(1) && row.getLong(2) == naive.getLong(2))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("graph_triangles: wedge and closing joins are hash equi joins, never nested loops") {
     val p = planString(q("graph_triangles"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
