@@ -56,12 +56,52 @@ object Relational4 {
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey"""))
 
-  /** ntile quartiles of customers by balance. */
+  /** ntile quartiles of customers by balance — WITHOUT the global
+    * unpartitioned window `ntile(4)` implies (one task sorting the whole
+    * customer table at scale). Instead the global 0-based rank under
+    * (c_acctbal DESC, c_custkey) is computed with the same two-level
+    * prefix-sum decomposition as [[graft.operators.Packing]]:
+    * fixed-width buckets on the sort key, per-bucket counts whose
+    * running offsets take the only serial window (a ~110-row relation —
+    * the balance range / 100, never the base table), and an intra-bucket
+    * `row_number` PARTITIONED by bucket. The ntile bucket then follows
+    * arithmetically from (rank, n): the first `n % 4` quartiles hold
+    * `n DIV 4 + 1` rows, the rest `n DIV 4` — exactly Spark's and
+    * DuckDB's ntile sizing, ties included (value-boundary comparison
+    * alone could not split duplicate balances across a quartile edge). */
   val q37 = QueryDef("q37_ntile",
     (s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      // ascending bucket key = descending balance; equal balances share
+      // a bucket, so the custkey tie-break stays intra-bucket.
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("bkt",
+          floor(col("c_acctbal").cast("double") / lit(-100.0)).cast("long"))
+      // Bucket offsets via a broadcast non-equi self-join over the
+      // ~110-row bucket relation — O(B²) on a tiny B beats even a
+      // single-partition serial window here, and q37's plan ends up with
+      // zero unpartitioned windows of any size.
+      val bcounts = cust.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("bc"))
+      val bucketOffsets = bcounts.as("a")
+        .join(broadcast(bcounts.as("b")),
+          col("a.bkt") > col("b.bkt"), "left_outer")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.bc")), lit(0L)).as("boff"))
+      val tot = cust.agg(count(lit(1)).as("n"))
+      val wIntra = Window.partitionBy(col("bkt"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      cust.join(broadcast(bucketOffsets), "bkt")
+        .withColumn("r", col("boff") + row_number().over(wIntra) - lit(1L))
+        .crossJoin(broadcast(tot))
+        .withColumn("qs", expr("n DIV 4"))
+        .withColumn("rem", col("n") % 4)
+        .withColumn("quartile",
+          (when(col("r") < col("rem") * (col("qs") + 1),
+            expr("r DIV (qs + 1)"))
+            .otherwise(col("rem") +
+              expr("(r - rem * (qs + 1)) DIV greatest(qs, 1L)"))
+            + 1).cast("int"))
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("min_bal"),
