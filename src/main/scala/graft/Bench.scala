@@ -173,7 +173,14 @@ object Bench {
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ph = phases.stats.map { case (k, v) => "\"" + k + "\":" + v.json }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"phases":$ph,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"phases":$ph,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line is buried in sbt [info] noise and the driver only
+    // captures a tail — also persist the JSON where a machine can read it
+    // (BENCH_r01-r04 all recorded "parsed": null for exactly this reason).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }
