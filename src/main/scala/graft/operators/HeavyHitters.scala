@@ -18,10 +18,12 @@ import graft.functions.TextFunctions.tokens
   *      over partitions the deficit stays < n/(K+1). The summaries are
   *      tiny (P × K rows — 64 k rows even at 1000 executors), so they
   *      collect to the driver like any aggregate final stage.
-  *   2. Exact recount of ONLY the candidate tokens: broadcast the
-  *      candidate set as a filter, hash-aggregate the survivors, keep
-  *      those above the threshold. With threshold n/32 > n/(K+1) (K=64),
-  *      step 1's superset guarantee makes the final answer EXACT.
+  *   2. Exact recount of ONLY the candidate tokens: a broadcast
+  *      left-semi join against the candidate relation filters the token
+  *      stream (plan size stays O(1) — no P×K `IN` literal), the
+  *      survivors hash-aggregate, and those above the threshold are
+  *      kept. With threshold n/32 > n/(K+1) (K=64), step 1's superset
+  *      guarantee makes the final answer EXACT.
   *
   * The naive single-pass alternative — groupBy(token).count() — shuffles
   * every distinct token; at 100 TB that's the full vocabulary (billions
@@ -67,21 +69,25 @@ object HeavyHitters {
   }
 
   /** Candidate tokens: union of per-partition MG summaries (superset of
-    * all tokens with frequency > n/(K+1)). */
-  def candidates(s: SparkSession, docs: DataFrame): Array[String] = {
+    * all tokens with frequency > n/(K+1)) — kept as a relation, never
+    * collected. At 1000 executors the P×K candidate set is ~64 k tokens;
+    * embedded as an `IN` literal that bloats every serialized plan, while
+    * a broadcast left-semi join keeps plan size O(1) with the identical
+    * result. */
+  def candidateFrame(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs.select(explode(tokens(col("text"))).as("tok")).as[String]
       .mapPartitions(it => mgSummary(it).keysIterator)
-      .distinct().collect()
+      .toDF("tok").distinct()
   }
 
   val heavyHitters = QueryDef("text_heavy_hitters",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = candidates(s, docs)
+      val cand = candidateFrame(s, docs)
       val toks = docs.select(explode(tokens(col("text"))).as("tok"))
       val total = toks.agg(count(lit(1)).as("n"))
-      toks.where(col("tok").isInCollection(cand))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(total))
         .where(col("cnt") * 32 > col("n"))

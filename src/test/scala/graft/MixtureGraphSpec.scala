@@ -56,7 +56,8 @@ class MixtureGraphSpec extends SparkSpec {
   test("Misra-Gries candidates are a superset of all true heavy hitters") {
     import graft.operators.HeavyHitters
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
-    val cand = HeavyHitters.candidates(spark, docs).toSet
+    val cand = HeavyHitters.candidateFrame(spark, docs)
+      .collect().map(_.getString(0)).toSet
     assert(cand.size <= spark.sparkContext.defaultParallelism * HeavyHitters.K * 4,
       "candidate set must stay sketch-sized, not vocabulary-sized")
     // exact frequencies (small corpus): every token above n/(K+1) must be

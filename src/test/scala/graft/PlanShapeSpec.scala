@@ -41,6 +41,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "band table must broadcast")
   }
 
+  test("text_heavy_hitters: candidate filter is a broadcast semi join, not an IN literal") {
+    val p = planString(q("text_heavy_hitters"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2000))
+    assert(!p.toLowerCase.contains(" in ("),
+      "candidate set regressed to a plan-embedded IN literal")
+  }
+
   test("q2_filter_project: predicate and projection reach the parquet scan") {
     val df = q("q2_filter_project")
     // AQE wraps executedPlan in AdaptiveSparkPlanExec, which hides its
