@@ -12,8 +12,8 @@ object Statistics {
   import Num._
 
   def all: Seq[QueryDef] =
-    Seq(saltedAgg, median, approxPercentile, approxDistinct, hashSample,
-      corrStats, winsorized, histogram, mad)
+    Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
+      hashSample, corrStats, winsorized, histogram, mad)
 
   /** Median absolute deviation — the robust dispersion statistic
     * (`mad = median(|v − median(v)|)`) plus an outlier count at the
@@ -69,10 +69,13 @@ object Statistics {
       val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
       val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         count(lit(1)).as("n"))
+      // greatest(range, tiny) guards the degenerate single-distinct-value
+      // case (mx == mn): (v-mn)=0 over a tiny width puts every row in
+      // bucket 0 in BOTH engines, instead of Spark NaN-vs-DuckDB-error
       li.crossJoin(broadcast(mm))
         .withColumn("bucket",
           least(lit(19L), floor((col("v") - col("mn")) * 20.0 /
-            (col("mx") - col("mn"))).cast("long")))
+            greatest(col("mx") - col("mn"), lit(1e-12))).cast("long")))
         .groupBy(col("bucket"))
         .agg(first(col("mn")).as("mn"), first(col("mx")).as("mx"),
           first(col("n")).as("n_total"), count(lit(1)).as("n"))
@@ -86,7 +89,8 @@ object Statistics {
     Some("""WITH mm AS (SELECT MIN(l_extendedprice) AS mn,
         MAX(l_extendedprice) AS mx, COUNT(*) AS nt FROM lineitem),
       bkt AS (SELECT LEAST(CAST(19 AS BIGINT),
-          CAST(FLOOR(((l_extendedprice - mn) * 20.0) / (mx - mn)) AS BIGINT))
+          CAST(FLOOR(((l_extendedprice - mn) * 20.0) /
+            GREATEST(mx - mn, 1e-12)) AS BIGINT))
           AS bucket, mn, mx, nt
         FROM lineitem CROSS JOIN mm)
       SELECT bucket,
@@ -242,6 +246,36 @@ object Statistics {
         list_transform(string_split(CAST(l_orderkey AS VARCHAR),''),
           c -> CAST(unicode(c) AS BIGINT))),
         (h,c) -> (h*31+c) % 1000000007) % 100 < 10"""))
+
+  /** Salted shuffle-JOIN exemplar — [[Skew.saltedJoin]] driver-verified
+    * (its load-spread proof lives in SkewSpec; this entry proves result
+    * identity under the oracle). The fact side is orders keyed by
+    * `o_custkey % 5`: five hot keys each holding ~20 % of the table, the
+    * shape where an unsalted shuffle join lands a fifth of the fact on
+    * one task. `saltedJoin` sprays each fact row into one of 8 sub-keys
+    * and replicates the dim 8×, so every hot key spreads across 8 tasks.
+    * The dim side carries a `shuffle_hash` hint: at 40 exploded rows
+    * Spark would otherwise broadcast it and the salt would be decorative
+    * — the hint forces the shuffle-join regime the mitigation exists
+    * for (a dim too big to broadcast), which is what PlanShapeSpec
+    * pins. */
+  val saltedJoinQ = QueryDef("skew_salted_join",
+    (s, d) => {
+      val fact = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), (col("o_custkey") % 5).as("k"))
+      val dim = Tables.region(s, d)
+        .select(col("r_regionkey").cast("long").as("k"), col("r_name"))
+        .hint("shuffle_hash")
+      Skew.saltedJoin(fact, dim, key = "k", saltBy = "o_orderkey", salts = 8)
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(dec(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN region ON o_custkey % 5 = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
 
   /** Two-phase salted aggregation exemplar: same answer as a direct
     * GROUP BY, shuffle split across 16 sub-keys per key first. */

@@ -49,6 +49,15 @@ class PlanShapeSpec extends SparkSpec {
       "candidate set regressed to a plan-embedded IN literal")
   }
 
+  test("skew_salted_join: salt explode feeds a real shuffle join, not a broadcast") {
+    val p = planString(q("skew_salted_join"))
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim side broadcast — the salt would be decorative")
+  }
+
   test("q2_filter_project: predicate and projection reach the parquet scan") {
     val df = q("q2_filter_project")
     // AQE wraps executedPlan in AdaptiveSparkPlanExec, which hides its
