@@ -29,12 +29,17 @@ object Events {
     * LOCF'd from the ENTIRE preceding history (events before the grid
     * window provide the carry-in value).
     *
-    * Determinism: events are pre-deduplicated per (type, ts) with MAX —
-    * both engines otherwise pick an arbitrary winner among equal
-    * timestamps. The Spark spelling unions grid points into the series
-    * and takes `last(value, ignoreNulls)` over (ts, is_grid) — the
-    * is_grid tie-break makes an event AT a grid instant visible to it,
-    * exactly matching the oracle's inclusive `ASOF JOIN (t >= ts)`.
+    * Determinism: NULL-valued observations are dropped up front in BOTH
+    * spellings — `last(v, ignoreNulls=true)` would skip them (carrying
+    * the older value) while the oracle's ASOF JOIN would return them, a
+    * latent cross-engine divergence; filtering first makes "NULL
+    * observation" mean "no observation" identically in both engines.
+    * Events are then pre-deduplicated per (type, ts) with MAX — both
+    * engines otherwise pick an arbitrary winner among equal timestamps.
+    * The Spark spelling unions grid points into the series and takes
+    * `last(value, ignoreNulls)` over (ts, is_grid) — the is_grid
+    * tie-break makes an event AT a grid instant visible to it, exactly
+    * matching the oracle's inclusive `ASOF JOIN (t >= ts)`.
     *
     * Scale stance: one window partitioned by series key. Here the series
     * cardinality is 5 (event types), so parallelism is 5 — fine for a
@@ -45,8 +50,11 @@ object Events {
   val resample = QueryDef("ev_resample_locf",
     (s, d) => {
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .groupBy(col("event_type"), col("ts")).agg(max(col("value")).as("v"))
-      val grid = ev.select(col("event_type")).distinct()
+      // grid types come from the UNFILTERED table (both spellings): a
+      // type with only NULL observations still gets its all-NULL grid
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
         .select(col("event_type"), explode(expr(
           "sequence(timestamp'2024-01-15 00:00:00', " +
             "timestamp'2024-01-15 23:59:00', interval 1 minute)")).as("t"))
@@ -65,7 +73,8 @@ object Events {
         .orderBy(col("event_type"), col("minute_ts"))
     },
     Some("""WITH ev AS (
-        SELECT event_type, ts, MAX(value) AS v FROM events GROUP BY 1, 2),
+        SELECT event_type, ts, MAX(value) AS v FROM events
+        WHERE value IS NOT NULL GROUP BY 1, 2),
       g AS (
         SELECT event_type, unnest(generate_series(
           TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:00',
