@@ -139,6 +139,40 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.size == docs.count(), "one score per document")
   }
 
+  test("checkpoint recovery: restart mid-ingest is exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckrec_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckrec_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckrec_ck").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/b0")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+
+    // a durable file sink (not the memory sink): exactly-once for file
+    // sources is checkpoint offsets + the sink's _spark_metadata commit
+    // log, and a restarted query must resume BOTH correctly
+    def start() = graft.streaming.DocStreams.scoreQuality(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(dir))
+      .writeStream.format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // run 1 ingests b0, then the query goes down
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // new files land while no query is running
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/b1")
+    // run 2 resumes from the same checkpoint: must pick up ONLY b1
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // run 3 with nothing new: must add zero rows
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+
+    val ids = spark.read.parquet(s"$out/data")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.length.toLong === docs.count(),
+      "every doc exactly once across the restarts")
+    assert(ids.toSet.size === ids.length,
+      "no doc reprocessed after recovery")
+  }
+
   test("stream-static join: streaming events enriched by a static dimension") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val ev = Tables.events(spark, sf("sf0.001"))
