@@ -40,14 +40,16 @@ object ScaleSmoke {
         "graph_triangles", "sample_weighted", "mix_temperature",
         "chunk_reassemble", "text_heavy_hitters", "emb_power_iteration",
         "source_csv_roundtrip", "source_json_roundtrip",
-        // dedup_edit_verify is NOT in the default sweep: the synthetic 8×
-        // corpus replicates documents verbatim, so near-dup PAIRS grow
-        // quadratically in the copy count (8 identical texts → 28 pairs
-        // each) and the edit-distance stage inherits that amplified
-        // output — the same reason the quadratic Jaccard yardstick is
-        // excluded. On real data pair counts grow ~linearly with corpus
-        // size at fixed duplication rate, which the sf0.1 bench covers
-        // (151 k pairs, single-digit seconds).
+        // dedup_edit_verify is NOT in the default sweep AT ANY TIER: the
+        // synthetic scaled corpus replicates documents verbatim, so
+        // near-dup PAIRS grow quadratically in the copy count (8 copies
+        // → 28 pairs per base doc; 64 copies → 2016 — ~10M pairs at 64×)
+        // and the edit-distance stage inherits that amplified output —
+        // the same reason the quadratic Jaccard yardstick is excluded.
+        // The output is quadratic by construction of the replica corpus,
+        // not by plan shape. On real data pair counts grow ~linearly
+        // with corpus size at fixed duplication rate, which the sf0.1
+        // bench covers (151 k pairs, single-digit seconds).
         "sink_zorder_layout", "ev_resample_locf", "text_entropy",
         "stat_winsorized", "stat_histogram")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
