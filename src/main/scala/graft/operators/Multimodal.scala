@@ -27,7 +27,7 @@ import graft.{QueryDef, Tables}
 object Multimodal {
 
   def all: Seq[QueryDef] =
-    Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal)
+    Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal, decodeAudio)
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
@@ -126,6 +126,61 @@ object Multimodal {
           y += 1
         }
         ImageMeta(r.media_id, img.getWidth, img.getHeight, sum)
+      }
+    }
+  }
+
+  /** Decoded audio metadata incl. a checksum over the decoded samples. */
+  case class AudioMeta(media_id: Long, sample_rate: Int, n_samples: Long,
+      pcm_sum: Long)
+
+  /** Real WAV payloads: mono 16-bit little-endian PCM at 8 kHz,
+    * `64 + id % 129` samples, sample i = `((id·31 + i·17) mod 65536) −
+    * 32768` — wrapped into a genuine RIFF/WAVE container by
+    * `javax.sound.sampled.AudioSystem` on the executors. */
+  def wavMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val n = 64 + (id % 129).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(id, "wav", bos.toByteArray)
+    }
+  }
+
+  /** Real audio decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF/WAVE container (format + frame count from the header, samples
+    * from the data chunk) — nothing is derived from the payload length
+    * or the generator. */
+  def decodeAudioDs(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media ${r.media_id}: unexpected WAV format $fmt")
+        val bytes = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+          i += 2
+        }
+        AudioMeta(r.media_id, fmt.getSampleRate.toInt, bytes.length / 2, sum)
       }
     }
   }
@@ -260,6 +315,22 @@ object Multimodal {
       FROM documents,
         LATERAL (SELECT unnest(range(0, 1 + doc_id % 13)) AS x),
         LATERAL (SELECT unnest(range(0, 1 + doc_id % 7)) AS y)
+      GROUP BY doc_id ORDER BY media_id"""))
+
+  /** REAL audio round trip — the second real modality beside
+    * [[decodeReal]]: synthesize deterministic PCM, wrap it in a genuine
+    * RIFF/WAVE container with `javax.sound.sampled` (in the JDK — no new
+    * dependency), parse it back, and emit format metadata + a checksum
+    * over the decoded samples. PCM is lossless, so DuckDB reproduces the
+    * checksum from the sample generator formula. */
+  val decodeAudio = QueryDef("mm_decode_audio",
+    (s, d) => decodeAudioDs(wavMediaTable(s, d)).toDF()
+      .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id, 8000 AS sample_rate,
+      CAST(64 + doc_id % 129 AS BIGINT) AS n_samples,
+      CAST(SUM((doc_id * 31 + i * 17) % 65536 - 32768) AS BIGINT) AS pcm_sum
+      FROM documents,
+        LATERAL (SELECT unnest(range(0, 64 + doc_id % 129)) AS i)
       GROUP BY doc_id ORDER BY media_id"""))
 
   /** Frame-sample fan-out counts (every 2nd frame). */

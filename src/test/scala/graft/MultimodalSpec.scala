@@ -24,6 +24,40 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageIoDecoder.probe(garbage))
   }
 
+  test("WAV round trip parses real RIFF structure and is sample-lossless") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 128L, 4000L)
+    val media = spark.createDataset(ids).map { id =>
+      val n = 64 + (id % 129).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(id, "wav", bos.toByteArray)
+    }
+    // the payload really is a RIFF container, not raw PCM
+    val first = media.head()
+    assert(new String(first.payload.take(4), "US-ASCII") === "RIFF")
+    val metas = Multimodal.decodeAudioDs(media).collect()
+      .map(m => m.media_id -> m).toMap
+    for (id <- ids) {
+      val n = 64 + (id % 129).toInt
+      val expected = (0 until n)
+        .map(i => (id * 31 + i * 17) % 65536 - 32768).sum
+      val m = metas(id)
+      assert((m.sample_rate, m.n_samples, m.pcm_sum) ===
+        ((8000, n.toLong, expected)))
+    }
+  }
+
   test("PNG round trip is pixel-lossless end to end") {
     import spark.implicits._
     val ids = spark.createDataset(Seq(0L, 1L, 12L, 90L, 1001L))
