@@ -20,7 +20,7 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, jsonProps, topMinute, sliding, rangeJoin,
-      resample)
+      resample, resampleFat)
 
   /** Minute-grid resampling with last-observation-carried-forward — the
     * time-series gap-filling step between raw event streams and anything
@@ -46,7 +46,8 @@ object Events {
     * demo, and the honest note is that real deployments resample
     * per-user/per-device (millions of series, perfectly partitioned).
     * For FEW fat series at 100 TB the two-phase range-bucketed carry
-    * (the `pack_sequences` prefix-sum pattern) replaces the window. */
+    * (the `pack_sequences` prefix-sum pattern) replaces the window —
+    * implemented and oracle-proven as [[resampleFat]]. */
   val resample = QueryDef("ev_resample_locf",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -68,6 +69,82 @@ object Events {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       series
         .withColumn("value_locf", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("is_grid") === 1)
+        .select(col("event_type"), col("t").as("minute_ts"), col("value_locf"))
+        .orderBy(col("event_type"), col("minute_ts"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_type, ts, MAX(value) AS v FROM events
+        WHERE value IS NOT NULL GROUP BY 1, 2),
+      g AS (
+        SELECT event_type, unnest(generate_series(
+          TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:00',
+          INTERVAL 1 MINUTE)) AS t
+        FROM (SELECT DISTINCT event_type FROM events))
+      SELECT g.event_type, g.t AS minute_ts, e.v AS value_locf
+      FROM g ASOF LEFT JOIN ev e
+        ON g.event_type = e.event_type AND g.t >= e.ts
+      ORDER BY g.event_type, g.t"""))
+
+  /** The FAT-SERIES spelling of [[resample]] — identical answer (same
+    * oracle SQL), different parallelism story. `resample` runs one LOCF
+    * window per series: fine when series are many (per-user/per-device),
+    * a single task per series when they are few and fat — 5 event types
+    * over a 100 TB day would be 5 tasks no matter the cluster. This
+    * variant applies the `pack_sequences` two-level decomposition to the
+    * carry instead:
+    *
+    *   1. rows bucket by HOUR; per (series, bucket) the last observation
+    *      is a plain `max_by` aggregate (map-side combinable, no window
+    *      over raw rows);
+    *   2. the carry INTO each bucket — last observation of any earlier
+    *      bucket — is a window over the per-(series, bucket) relation
+    *      only (series × 24 rows here; series × hours generally: the
+    *      tiny relation, never the events);
+    *   3. the LOCF window runs INSIDE each (series, bucket) partition,
+    *      seeded by the broadcast carry-in — parallelism is
+    *      series × buckets instead of series.
+    *
+    * The (t, is_grid) ordering and NULL-observation handling match
+    * [[resample]] exactly, so both spellings hash-match the same ASOF
+    * oracle. */
+  val resampleFat = QueryDef("ev_resample_locf_fat",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("ts")).agg(max(col("value")).as("v"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr(
+          "sequence(timestamp'2024-01-15 00:00:00', " +
+            "timestamp'2024-01-15 23:59:00', interval 1 minute)")).as("t"))
+      val series = ev
+        .select(col("event_type"), col("ts").as("t"), col("v"),
+          lit(0).as("is_grid"))
+        .unionByName(grid.select(col("event_type"), col("t"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+        .withColumn("bkt", floor(col("t").cast("long") / 3600L))
+      // per-(series, bucket) last observation: an aggregate, not a window
+      // ((type, ts) is unique after the dedup, so max_by is deterministic)
+      val lastPerBucket = series.filter(col("is_grid") === 0)
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(max_by(col("v"), col("t")).as("last_v"))
+      // carry INTO each bucket: window over the tiny bucket relation only
+      val allBuckets = series.select(col("event_type"), col("bkt")).distinct()
+        .join(lastPerBucket, Seq("event_type", "bkt"), "left_outer")
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = allBuckets
+        .withColumn("carry_in", last(col("last_v"), ignoreNulls = true)
+          .over(wCarry))
+        .select(col("event_type"), col("bkt"), col("carry_in"))
+      // intra-bucket LOCF, parallel across series × buckets
+      val wIntra = Window.partitionBy(col("event_type"), col("bkt"))
+        .orderBy(col("t"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      series.join(broadcast(carry), Seq("event_type", "bkt"))
+        .withColumn("value_locf",
+          coalesce(last(col("v"), ignoreNulls = true).over(wIntra),
+            col("carry_in")))
         .filter(col("is_grid") === 1)
         .select(col("event_type"), col("t").as("minute_ts"), col("value_locf"))
         .orderBy(col("event_type"), col("minute_ts"))
