@@ -43,7 +43,8 @@ object Packing {
           size(tokens(col("text"))).cast("long").as("n"),
           expr(s"doc_id DIV $BucketDocs").as("bucket"))
       // level 1+2: per-bucket subtotals, then running offsets over the
-      // tiny bucket relation (the only unpartitioned window — ~N/100 rows)
+      // tiny bucket relation (~N/100 rows) — the only serial window, by
+      // construction (declared in CatalogPlanSweepSpec's allowlist)
       val bucketOffsets = docs.groupBy(col("bucket"))
         .agg(sum(col("n")).as("bt"))
         .withColumn("bp", coalesce(sum(col("bt")).over(

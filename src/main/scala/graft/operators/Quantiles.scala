@@ -85,6 +85,10 @@ object Quantiles {
     val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
       .withColumn("boff",
         coalesce(sum(col("bc")).over(
+          // Serial by construction over the small bucket relation —
+          // declared in CatalogPlanSweepSpec's serial-window allowlist
+          // (a constant partition key cannot express the intent: Spark's
+          // EliminateWindowPartitions strips foldable keys).
           Window.orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bkt"), col("boff"))

@@ -64,6 +64,10 @@ object Relational5 {
         .agg(Num.sumd(Num.dec(col("o_totalprice"))).as("day_rev"))
         .withColumn("day_idx",
           datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      // The frame runs over DAILY aggregates — bounded by the calendar
+      // (~2.4 k rows for 1992–98) regardless of data volume, so a single
+      // partition is correct at any scale (declared in
+      // CatalogPlanSweepSpec's serial-window allowlist).
       val w = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
       daily.withColumn("rev_7d", sum(col("day_rev")).over(w))
         .select(col("o_orderdate"), col("day_rev"), col("rev_7d"))
