@@ -13,38 +13,49 @@ import graft.functions.TextFunctions._
   * The core primitive is a GLOBAL prefix sum over token counts, which a
   * naive window (`ORDER BY doc_id` with no partition) computes on a
   * single task — the classic scale cliff. This implementation uses the
-  * two-level decomposition a 1000-executor cluster needs:
+  * classic distributed-scan decomposition, with the bucket count bounded
+  * by the CLUSTER (the session's shuffle parallelism P), not the data:
   *
-  *   1. docs are grouped into coarse buckets (`doc_id DIV 100`; at real
-  *      scale the bucket is the input split id),
-  *   2. per-bucket token subtotals — a relation with ~N/100 rows — get
+  *   1. docs are ranged into P buckets by doc_id
+  *      (`width = max(doc_id) DIV P + 1`, a broadcast scalar),
+  *   2. per-bucket token subtotals — a relation with ≤ P rows — get
   *      their running totals via one tiny unpartitioned window (the only
-  *      serial step, over thousands of rows, not billions),
+  *      serial step: P rows at ANY data size — a round-5 fix; the
+  *      previous `doc_id DIV 100` fan-in left a serial pass that grew
+  *      as N/100, linear in the corpus),
   *   3. the bucket offsets broadcast-join back and a window PARTITIONED
-  *      by bucket supplies the intra-bucket running sum in parallel.
+  *      by bucket supplies the intra-bucket running sum in parallel —
+  *      ~N/P rows per task, the same work class as any shuffle partition.
   *
-  * PlanShapeSpec asserts exactly that shape: the doc-level window is
-  * partitioned, and the bucket-offset join is a broadcast.
+  * The output is independent of the bucketing, so the oracle stays the
+  * direct one-window SQL spelling. PlanShapeSpec asserts the plan shape:
+  * the doc-level window is partitioned, and the bucket-offset join is a
+  * broadcast.
   */
 object Packing {
 
   /** Tokens per packed training sequence. */
   val Budget = 128L
 
-  /** Docs per prefix-sum bucket (stand-in for the input-split id). */
-  val BucketDocs = 100L
-
   def all: Seq[QueryDef] = Seq(packSequences)
 
   val packSequences = QueryDef("pack_sequences",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n"),
-          expr(s"doc_id DIV $BucketDocs").as("bucket"))
+          size(tokens(col("text"))).cast("long").as("n"))
+      // Bucket width from a broadcast max(doc_id) scalar: ≤ P buckets at
+      // any corpus size (the id scan reads one parquet column and can be
+      // answered from footer statistics).
+      val p = s.sessionState.conf.numShufflePartitions.toLong
+      val width = base.agg(
+        (expr(s"max(doc_id) DIV $p") + lit(1L)).as("w"))
+      val docs = base.crossJoin(broadcast(width))
+        .withColumn("bucket", expr("doc_id DIV w"))
+        .drop("w")
       // level 1+2: per-bucket subtotals, then running offsets over the
-      // tiny bucket relation (~N/100 rows) — the only serial window, by
-      // construction (declared in CatalogPlanSweepSpec's allowlist)
+      // ≤ P-row bucket relation — the only serial window, bounded by the
+      // cluster by construction (CatalogPlanSweepSpec's allowlist)
       val bucketOffsets = docs.groupBy(col("bucket"))
         .agg(sum(col("n")).as("bt"))
         .withColumn("bp", coalesce(sum(col("bt")).over(
