@@ -49,7 +49,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * `Quantiles.valueAtRanks` bucket offsets (stat_mad chains two
     * selections + a deviation pass, stat_winsorized one) — windows over
     * the ~B-row bucket relation, never the data; `pack_sequences`' level-2
-    * offsets over the ~N/100 bucket relation; `q42_moving_range`'s frame
+    * offsets over its ≤ P-row (shuffle-parallelism-bounded) bucket
+    * relation; `q42_moving_range`'s frame
     * over calendar-bounded daily aggregates; `sql_text_surface`'s rank
     * over a 25-nation aggregate (its SQL text must stay char-identical in
     * both engines, so no Spark-side rewrite is possible). */
