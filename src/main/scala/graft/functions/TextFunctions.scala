@@ -30,11 +30,18 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles of the token array (duplicates kept; callers that
-    * need set semantics apply array_distinct). */
+    * need set semantics apply array_distinct). Documents shorter than n
+    * tokens yield an EMPTY array — without the guard Spark's
+    * `sequence(1, size - (n-1))` DESCENDS when the upper bound drops below
+    * 1 (negative `element_at` indexes then read from the array's end),
+    * where the DuckDB oracle spelling `range(1, len - (n-2))` is empty:
+    * a silent cross-engine divergence on degenerate inputs
+    * (TextFunctionsSpec pins the agreement). */
   def shinglesSql(tokensCol: String, n: Int): String = {
     val parts = (0 until n).map(k => s"element_at($tokensCol, j + $k)")
-    s"transform(sequence(1, size($tokensCol) - ${n - 1}), j -> " +
-      s"concat_ws(' ', ${parts.mkString(", ")}))"
+    s"if(size($tokensCol) < $n, array(), " +
+      s"transform(sequence(1, size($tokensCol) - ${n - 1}), j -> " +
+      s"concat_ws(' ', ${parts.mkString(", ")})))"
   }
 
   /** The i-th minhash permutation applied to a token hash: affine transform
