@@ -134,53 +134,100 @@ object Multimodal {
   case class AudioMeta(media_id: Long, sample_rate: Int, n_samples: Long,
       pcm_sum: Long)
 
+  private def intLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def shortLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def putShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def putAscii(b: Array[Byte], off: Int, s: String): Unit =
+    s.getBytes("US-ASCII").copyToArray(b, off)
+
+  private def chunkId(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
   /** Real WAV payloads: mono 16-bit little-endian PCM at 8 kHz,
     * `64 + id % 129` samples, sample i = `((id·31 + i·17) mod 65536) −
-    * 32768` — wrapped into a genuine RIFF/WAVE container by
-    * `javax.sound.sampled.AudioSystem` on the executors. */
+    * 32768` — wrapped in the canonical 44-byte RIFF/WAVE container,
+    * written directly. `AudioSystem.write` produces the identical
+    * container for this format (MultimodalSpec cross-checks both
+    * directions) but cannot run on executors: every call takes a global
+    * provider-registry lock, measured at 17.3 s for the 8× ScaleSmoke
+    * corpus on 4 threads vs 3.9 s on ONE — negative scaling. The codec
+    * lesson for 100 TB pipelines: per-row calls into
+    * service-discovery-based APIs serialize the cluster; parse the
+    * container bytes directly. */
   def wavMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
       val n = 64 + (id % 129).toInt
-      val pcm = new Array[Byte](n * 2)
+      val b = new Array[Byte](44 + n * 2)
+      putAscii(b, 0, "RIFF"); putIntLE(b, 4, 36 + n * 2); putAscii(b, 8, "WAVE")
+      putAscii(b, 12, "fmt "); putIntLE(b, 16, 16)
+      putShortLE(b, 20, 1) // PCM
+      putShortLE(b, 22, 1) // mono
+      putIntLE(b, 24, 8000); putIntLE(b, 28, 16000) // rate, byte rate
+      putShortLE(b, 32, 2); putShortLE(b, 34, 16) // block align, bits
+      putAscii(b, 36, "data"); putIntLE(b, 40, n * 2)
       var i = 0
       while (i < n) {
         val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
-        pcm(2 * i) = (v & 0xff).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        putShortLE(b, 44 + 2 * i, v)
         i += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      MediaRecord(id, "wav", bos.toByteArray)
+      MediaRecord(id, "wav", b)
     }
   }
 
-  /** Real audio decode: `AudioSystem.getAudioInputStream` parses the
-    * RIFF/WAVE container (format + frame count from the header, samples
-    * from the data chunk) — nothing is derived from the payload length
-    * or the generator. */
+  /** Real audio decode: walks the RIFF/WAVE chunk structure (fmt format
+    * tag, channel count, sample width, rate; data chunk offset/length) and
+    * checksums the decoded samples — nothing is derived from the payload
+    * length or the generator, and any container `AudioSystem` writes for
+    * this format parses identically (MultimodalSpec). Executor-safe where
+    * `AudioSystem.getAudioInputStream` is not: see [[wavMediaTable]]. */
   def decodeAudioDs(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"media ${r.media_id}: unexpected WAV format $fmt")
-        val bytes = ais.readAllBytes()
+        val b = r.payload
+        require(b.length >= 12 && chunkId(b, 0) == "RIFF" &&
+          chunkId(b, 8) == "WAVE", s"media ${r.media_id}: not a WAV")
+        var off = 12
+        var rate = -1
+        var dataOff = -1
+        var dataLen = -1
+        while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+          val id = chunkId(b, off)
+          val len = intLE(b, off + 4)
+          if (id == "fmt ") {
+            require(shortLE(b, off + 8) == 1 && shortLE(b, off + 10) == 1 &&
+              shortLE(b, off + 22) == 16,
+              s"media ${r.media_id}: unexpected WAV format")
+            rate = intLE(b, off + 12)
+          } else if (id == "data") {
+            dataOff = off + 8; dataLen = len
+          }
+          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+        require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
+          s"media ${r.media_id}: truncated WAV")
         var sum = 0L
-        var i = 0
-        while (i + 1 < bytes.length) {
-          sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        var i = dataOff
+        while (i + 1 < dataOff + dataLen) {
+          sum += ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toLong
           i += 2
         }
-        AudioMeta(r.media_id, fmt.getSampleRate.toInt, bytes.length / 2, sum)
+        AudioMeta(r.media_id, rate, dataLen / 2, sum)
       }
     }
   }
@@ -319,10 +366,13 @@ object Multimodal {
 
   /** REAL audio round trip — the second real modality beside
     * [[decodeReal]]: synthesize deterministic PCM, wrap it in a genuine
-    * RIFF/WAVE container with `javax.sound.sampled` (in the JDK — no new
-    * dependency), parse it back, and emit format metadata + a checksum
-    * over the decoded samples. PCM is lossless, so DuckDB reproduces the
-    * checksum from the sample generator formula. */
+    * RIFF/WAVE container, parse the container structure back, and emit
+    * format metadata + a checksum over the decoded samples. PCM is
+    * lossless, so DuckDB reproduces the checksum from the sample
+    * generator formula; MultimodalSpec proves the container interops
+    * with `javax.sound.sampled` in both directions (executors avoid
+    * AudioSystem itself — its global provider lock scales NEGATIVELY,
+    * see [[wavMediaTable]]). */
   val decodeAudio = QueryDef("mm_decode_audio",
     (s, d) => decodeAudioDs(wavMediaTable(s, d)).toDF()
       .orderBy(col("media_id")),

@@ -51,7 +51,12 @@ object ScaleSmoke {
         // with corpus size at fixed duplication rate, which the sf0.1
         // bench covers (151 k pairs, single-digit seconds).
         "sink_zorder_layout", "ev_resample_locf", "text_entropy",
-        "stat_winsorized", "stat_histogram")
+        "stat_winsorized", "stat_histogram",
+        // round-5 additions: the fat-series LOCF two-phase carry, both
+        // real codec round trips (linear decode), the salted shuffle
+        // join, and the rewritten bucket-rank q37
+        "ev_resample_locf_fat", "mm_decode_real", "mm_decode_audio",
+        "skew_salted_join", "q37_ntile")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

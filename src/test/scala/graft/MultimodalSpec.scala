@@ -24,6 +24,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageIoDecoder.probe(garbage))
   }
 
+  test("wavMediaTable's container is real WAV: AudioSystem parses it back losslessly") {
+    // the converse interop direction: OUR writer, the JDK's parser.
+    // (AudioSystem is fine single-threaded in a test; it is banned on
+    // executors because its provider-registry lock scales negatively.)
+    val ids = Seq(0L, 1L, 128L, 4000L)
+    val byId = Multimodal.wavMediaTable(spark, sf("sf0.001"))
+      .filter(_.media_id <= 4000L).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    for (id <- ids if byId.contains(id)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(byId(id)))
+      val fmt = ais.getFormat
+      assert((fmt.getSampleRate, fmt.getSampleSizeInBits, fmt.getChannels) ===
+        ((8000f, 16, 1)))
+      val bytes = ais.readAllBytes()
+      val n = 64 + (id % 129).toInt
+      assert(bytes.length === n * 2)
+      val sum = bytes.grouped(2)
+        .map(p => ((p(0) & 0xff) | (p(1) << 8)).toShort.toLong).sum
+      val expected = (0 until n)
+        .map(i => (id * 31 + i * 17) % 65536 - 32768).sum
+      assert(sum === expected, s"id $id")
+    }
+    assert(ids.count(byId.contains) >= 2, "fixture ids missing from sf0.001")
+  }
+
   test("WAV round trip parses real RIFF structure and is sample-lossless") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 128L, 4000L)
