@@ -60,7 +60,11 @@ object Spectral {
         val y = qe.join(sr, "vec_id")
           .groupBy(col("j")).agg(sum(col("qv") * col("sv")).as("y"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        val sc = math.max(y.map(p => math.abs(p._2)).max / VScale, 1L)
+        // maxOption: an EMPTY corpus gives an empty y (no groups), which
+        // must flow through to an empty result — like the oracle's empty
+        // CTE chain — not crash the driver (EmptyInputSweepSpec)
+        val sc = math.max(
+          y.map(p => math.abs(p._2)).maxOption.getOrElse(0L) / VScale, 1L)
         v = y.map { case (_, yj) =>
           (if (yj < 0) -1L else 1L) * (math.abs(yj) / sc)
         }

@@ -197,6 +197,12 @@ object Sinks {
     val r = base.agg(
       min(col("ship_day")), max(col("ship_day")),
       min(col("l_partkey")), max(col("l_partkey"))).head()
+    if (r.isNullAt(0)) {
+      // empty table: nothing to cluster — write the empty layout as-is
+      // rather than crash on the NULL min/max (EmptyInputSweepSpec)
+      base.write.mode(SaveMode.Overwrite).parquet(path)
+      return path
+    }
     val (d0, d1, p0, p1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     def cell(c: String, lo: Long, hi: Long): String =
       s"least(1023, (($c - $lo) * 1024) div ${hi - lo + 1})"
