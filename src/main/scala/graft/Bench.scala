@@ -88,6 +88,26 @@ final class PhaseCollector extends QueryExecutionListener {
 /** Driver-run benchmark: headline queries at SPARK_GRAFT_SF_DIR (sf0.1),
   * one JSON result line on stdout. */
 object Bench {
+  /** Contention sentinel: fixed single-threaded CPU work (2e8 xorshift64
+    * steps) whose wall time depends only on how much of one core this JVM
+    * gets. Constant on an idle box; inflated roughly in proportion to the
+    * core steal under contention. Timed before each bench pass and embedded
+    * per-pass in bench_out.json so a polluted record is self-identifying
+    * (round 5: the official 154.3 s record was 9-15x off the idle-box truth
+    * on specific queries and only a manual re-run could tell regression
+    * from noisy neighbor). */
+  def calibrate(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    if (x == 0) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1000000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -126,6 +146,18 @@ object Bench {
     // full-heap collection
     System.gc()
     var failed = List.empty[String]
+    // Contention sentinel: a fixed single-threaded CPU loop whose runtime
+    // depends only on how much of one core this JVM actually gets. On an
+    // idle box it is a constant (~100-200 ms here); a noisy neighbor
+    // stealing cores inflates it roughly in proportion to the steal. Timed
+    // immediately before each pass and embedded per-pass in bench_out.json,
+    // so a contention-polluted record is self-identifying: the round-5
+    // official bench read 154.3 s (q52 at 20.8 s) while the same binary on
+    // the idle box measured 108.6 s (q52 1.78 s) — min-of-two-passes cannot
+    // defend against contention spanning both passes, but calibration
+    // timings let the reader reject the run instead of reading a phantom
+    // regression. (Loop lives in Bench.calibrate so CalibrationSpec can
+    // A/B it under synthetic load.)
     // per query: (time, succeeded). A failed pass's time is the
     // time-to-exception, which must never win the min against a
     // successful pass's real runtime.
@@ -154,11 +186,16 @@ object Bench {
     // drop cached frames queries registered (each invocation caches fresh
     // entries the session would otherwise accumulate across passes)
     spark.catalog.clearCache()
+    val cal1 = calibrate()
     val p1 = timedPass()
     spark.catalog.clearCache()
-    val results =
+    val (cal2, p2opt) =
       if (p1.map(_._2).sum <= 150.0) {
-        val p2 = timedPass()
+        val c = calibrate()
+        (Some(c), Some(timedPass()))
+      } else (None, None)
+    val results = p2opt match {
+      case Some(p2) =>
         p1.zip(p2).map { case ((n, a, okA), (_, b, okB)) =>
           n -> ((okA, okB) match {
             case (true, false) => a
@@ -166,7 +203,17 @@ object Bench {
             case _ => math.min(a, b)
           })
         }
-      } else p1.map { case (n, t, _) => n -> t }
+      case None => p1.map { case (n, t, _) => n -> t }
+    }
+    def passJson(cal: Long, p: Seq[(String, Double, Boolean)]): String = {
+      val q = p.map { case (n, t, _) => "\"" + n + "\":" + t }
+        .mkString("{", ",", "}")
+      s"""{"calibration_ms":$cal,"total":${p.map(_._2).sum},"queries":$q}"""
+    }
+    val passes =
+      (passJson(cal1, p1) ::
+        (for { c <- cal2; p <- p2opt } yield passJson(c, p)).toList)
+        .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -174,7 +221,7 @@ object Bench {
     val ph = phases.stats.map { case (k, v) => "\"" + k + "\":" + v.json }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"phases":$ph,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"phases":$ph,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is buried in sbt [info] noise and the driver only
     // captures a tail — also persist the JSON where a machine can read it
