@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -27,7 +27,8 @@ import graft.{QueryDef, Tables}
 object Multimodal {
 
   def all: Seq[QueryDef] =
-    Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal, decodeAudio)
+    Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal, decodeAudio,
+      phashNeardup)
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
@@ -209,6 +210,12 @@ object Multimodal {
         while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
           val id = chunkId(b, off)
           val len = intLE(b, off + 4)
+          // validate before advancing: a corrupt/crafted negative chunk
+          // length would otherwise stop the offset from advancing (an
+          // executor-hanging infinite loop), and an oversized one would
+          // silently skip valid chunks past the end
+          require(len >= 0 && off + 8 + len <= b.length,
+            s"media ${r.media_id}: corrupt RIFF chunk '$id' len=$len at $off")
           if (id == "fmt ") {
             require(shortLE(b, off + 8) == 1 && shortLE(b, off + 10) == 1 &&
               shortLE(b, off + 22) == 16,
@@ -228,6 +235,55 @@ object Multimodal {
           i += 2
         }
         AudioMeta(r.media_id, rate, dataLen / 2, sum)
+      }
+    }
+  }
+
+  /** 64-bit average-hash signature over a REAL decoded raster, split into
+    * two non-negative 32-bit halves (`hi` = bits 32-63, `lo` = bits 0-31)
+    * so every downstream band/XOR computation stays in non-negative BIGINT
+    * arithmetic with identical semantics in Spark and DuckDB (no
+    * sign-bit / arithmetic-shift hazards). */
+  case class PHash(media_id: Long, hi: Long, lo: Long)
+
+  /** aHash over real decoded pixels: decode with `javax.imageio`,
+    * nearest-neighbor-sample a fixed 8×8 grid (source pixel
+    * `(i·w/8, j·h/8)`), then threshold each sample against the grid mean
+    * (strictly above ⇒ bit set; exact integer compare `s·64 > Σs`, no
+    * floats). Bit `j·8+i` row-major. This is the standard perceptual
+    * average-hash: near-identical images land within a few bits. */
+  def aHashImages(media: Dataset[MediaRecord]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = new Array[Long](64)
+        var total = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val g = (img.getRGB(i * w / 8, j * h / 8) & 0xff).toLong
+            s(j * 8 + i) = g
+            total += g
+            i += 1
+          }
+          j += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < 64) {
+          if (s(b) * 64L > total) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PHash(r.media_id, hi, lo)
       }
     }
   }
@@ -382,6 +438,69 @@ object Multimodal {
       FROM documents,
         LATERAL (SELECT unnest(range(0, 64 + doc_id % 129)) AS i)
       GROUP BY doc_id ORDER BY media_id"""))
+
+  /** Perceptual-hash image near-dup — the dedup a multimodal training
+    * pipeline actually runs, composed from the two halves this engine
+    * already proves separately: REAL raster decode ([[aHashImages]] /
+    * `javax.imageio`, cf. [[decodeReal]]) and pigeonhole-banded Hamming
+    * self-join (the `dedup_simhash` machinery). A pair within Hamming ≤ 3
+    * of a 64-bit aHash differs in at most 3 of the 4 16-bit bands, so it
+    * agrees EXACTLY on at least one — four equi-joins on band values find
+    * every qualifying pair with no all-pairs stage, and making band k
+    * require bands 0..k−1 to differ keeps the four joins disjoint (no
+    * dedup shuffle). PNG is lossless, so DuckDB reproduces the decoded
+    * rasters from the generator formula and the oracle is hash-exact
+    * through decode → aHash → banding → verify.
+    *
+    * Output volume is governed by corpus redundancy, not the algorithm
+    * (cf. the same note on `dedup_prefix_jaccard`): the synthetic gradient
+    * rasters collapse into large threshold-identical classes, so the pair
+    * list is quadratic in class size (6.1 k pairs over 500 docs at sf0.01,
+    * 561 k over 5 k docs at sf0.1) — exactly as a real image corpus with
+    * heavy duplication would behave. The banding join itself never goes
+    * all-pairs (CatalogPlanSweepSpec). */
+  val phashNeardup = QueryDef("mm_phash_neardup",
+    (s, d) => {
+      val ph = aHashImages(pngMediaTable(s, d)).toDF()
+        .withColumn("b0", col("lo") % 65536L)
+        .withColumn("b1", expr("lo div 65536"))
+        .withColumn("b2", col("hi") % 65536L)
+        .withColumn("b3", expr("hi div 65536"))
+      def band(k: Int, priorDiffer: Column) = ph.alias("x").join(ph.alias("y"),
+          col(s"x.b$k") === col(s"y.b$k") &&
+            col("x.media_id") < col("y.media_id") && priorDiffer)
+        .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+          (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+            bit_count(col("x.lo").bitwiseXOR(col("y.lo")))).cast("int")
+            .as("hamming"))
+      band(0, lit(true))
+        .unionAll(band(1, col("x.b0") =!= col("y.b0")))
+        .unionAll(band(2,
+          col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1")))
+        .unionAll(band(3, col("x.b0") =!= col("y.b0") &&
+          col("x.b1") =!= col("y.b1") && col("x.b2") =!= col("y.b2")))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 13 AS BIGINT) AS w,
+          CAST(1 + doc_id % 7 AS BIGINT) AS h FROM documents),
+      samp AS (SELECT doc_id, CAST(j*8 + i AS INT) AS b,
+          CAST((doc_id*31 + ((i*w) // 8)*7 + ((j*h) // 8)*13) % 256 AS BIGINT) AS s
+        FROM dims, range(0, 8) ri(i), range(0, 8) rj(j)),
+      sampt AS (SELECT doc_id, b, s,
+          SUM(s) OVER (PARTITION BY doc_id) AS total FROM samp),
+      hh AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN b >= 32 AND s*64 > total
+            THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN b < 32 AND s*64 > total
+            THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo
+        FROM sampt GROUP BY doc_id)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+        CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT)
+          AS hamming
+      FROM hh x JOIN hh y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+      ORDER BY a, b"""))
 
   /** Frame-sample fan-out counts (every 2nd frame). */
   val frameSample = QueryDef("mm_frame_sample",
