@@ -15,7 +15,8 @@ import graft.{QueryDef, Tables}
   *    the DuckDB oracle reproduces the decoded pixel checksum from the
   *    generator formula).
   *  - [[StubDecoder]] stands in for codecs the container lacks
-  *    (JPEG-with-EXIF, PCM audio, video) — a clearly-marked deterministic
+  *    (video only — PNG, JPEG, and WAV/PCM are real) — a clearly-marked
+  *    deterministic
   *    fake; everything around it — the schema, the `mapPartitions` batch
   *    shape (the Scala analog of `mapInPandas`: one decoder instantiation
   *    per partition, streamed row batches), the frame-sampling fan-out,
@@ -28,7 +29,7 @@ object Multimodal {
 
   def all: Seq[QueryDef] =
     Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal, decodeAudio,
-      phashNeardup)
+      phashNeardup, decodeJpeg, audioFeaturesQ)
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
@@ -46,7 +47,8 @@ object Multimodal {
 
   /** STUB: deterministic fake decode derived from payload length/bytes.
     * A real deployment swaps this for an actual codec; all Spark-side
-    * plumbing is unchanged. */
+    * plumbing is unchanged. With PNG, JPEG, and WAV/PCM now decoded by
+    * real codecs, this stands in for VIDEO only. */
   object StubDecoder extends Decoder {
     def probe(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
@@ -196,38 +198,45 @@ object Multimodal {
     * length or the generator, and any container `AudioSystem` writes for
     * this format parses identically (MultimodalSpec). Executor-safe where
     * `AudioSystem.getAudioInputStream` is not: see [[wavMediaTable]]. */
+  /** Walk the RIFF/WAVE chunk structure and return
+    * `(rate, dataOff, dataLen)` for the mono 16-bit PCM data chunk. */
+  private def parseWav(b: Array[Byte], mediaId: Long): (Int, Int, Int) = {
+    require(b.length >= 12 && chunkId(b, 0) == "RIFF" &&
+      chunkId(b, 8) == "WAVE", s"media $mediaId: not a WAV")
+    var off = 12
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = chunkId(b, off)
+      val len = intLE(b, off + 4)
+      // validate before advancing: a corrupt/crafted negative chunk
+      // length would otherwise stop the offset from advancing (an
+      // executor-hanging infinite loop), and an oversized one would
+      // silently skip valid chunks past the end
+      require(len >= 0 && off + 8 + len <= b.length,
+        s"media $mediaId: corrupt RIFF chunk '$id' len=$len at $off")
+      if (id == "fmt ") {
+        require(shortLE(b, off + 8) == 1 && shortLE(b, off + 10) == 1 &&
+          shortLE(b, off + 22) == 16,
+          s"media $mediaId: unexpected WAV format")
+        rate = intLE(b, off + 12)
+      } else if (id == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
+      s"media $mediaId: truncated WAV")
+    (rate, dataOff, dataLen)
+  }
+
   def decodeAudioDs(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
         val b = r.payload
-        require(b.length >= 12 && chunkId(b, 0) == "RIFF" &&
-          chunkId(b, 8) == "WAVE", s"media ${r.media_id}: not a WAV")
-        var off = 12
-        var rate = -1
-        var dataOff = -1
-        var dataLen = -1
-        while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-          val id = chunkId(b, off)
-          val len = intLE(b, off + 4)
-          // validate before advancing: a corrupt/crafted negative chunk
-          // length would otherwise stop the offset from advancing (an
-          // executor-hanging infinite loop), and an oversized one would
-          // silently skip valid chunks past the end
-          require(len >= 0 && off + 8 + len <= b.length,
-            s"media ${r.media_id}: corrupt RIFF chunk '$id' len=$len at $off")
-          if (id == "fmt ") {
-            require(shortLE(b, off + 8) == 1 && shortLE(b, off + 10) == 1 &&
-              shortLE(b, off + 22) == 16,
-              s"media ${r.media_id}: unexpected WAV format")
-            rate = intLE(b, off + 12)
-          } else if (id == "data") {
-            dataOff = off + 8; dataLen = len
-          }
-          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
-        }
-        require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
-          s"media ${r.media_id}: truncated WAV")
+        val (rate, dataOff, dataLen) = parseWav(b, r.media_id)
         var sum = 0L
         var i = dataOff
         while (i + 1 < dataOff + dataLen) {
@@ -238,6 +247,60 @@ object Multimodal {
       }
     }
   }
+
+  /** One analysis window of decoded audio: exact integer energy/peak plus
+    * the derived RMS (one IEEE divide + sqrt over exact ints — identical
+    * in both engines). */
+  case class AudioWindow(media_id: Long, win: Int, n: Long, sum_sq: Long,
+      peak: Long, rms: Double)
+
+  /** Windowed audio feature extraction over REAL decoded PCM — turns the
+    * WAV codec from a round-trip proof into a usable operator: fixed
+    * 32-sample windows, per-window sum of squares (exact BIGINT — 16-bit
+    * samples square to < 2^31, 32 of them < 2^36), peak |amplitude|, and
+    * RMS. Zero shuffle: windows are computed inside the per-partition
+    * decode pass, the `mapInPandas` batch shape. PCM is lossless, so
+    * DuckDB reproduces every window exactly from the sample generator. */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    val WinLen = 32
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val (_, dataOff, dataLen) = parseWav(b, r.media_id)
+        val nSamples = dataLen / 2
+        (0 until (nSamples + WinLen - 1) / WinLen).iterator.map { w =>
+          val lim = math.min(nSamples, (w + 1) * WinLen)
+          var i = w * WinLen
+          var sumSq = 0L
+          var peak = 0L
+          while (i < lim) {
+            val v = ((b(dataOff + 2 * i) & 0xff) |
+              (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val n = lim - w * WinLen
+          AudioWindow(r.media_id, w, n, sumSq, peak,
+            math.sqrt(sumSq.toDouble / n))
+        }
+      }
+    }
+  }
+
+  val audioFeaturesQ = QueryDef("mm_audio_features",
+    (s, d) => audioFeatures(wavMediaTable(s, d)).toDF()
+      .orderBy(col("media_id"), col("win")),
+    Some("""SELECT doc_id AS media_id, CAST(i // 32 AS INT) AS win,
+      COUNT(*) AS n, CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      CAST(MAX(abs(v)) AS BIGINT) AS peak,
+      sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+      FROM (SELECT doc_id, i,
+          (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+        FROM documents,
+          LATERAL (SELECT unnest(range(0, 64 + doc_id % 129)) AS i))
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** 64-bit average-hash signature over a REAL decoded raster, split into
     * two non-negative 32-bit halves (`hi` = bits 32-63, `lo` = bits 0-31)
@@ -438,6 +501,65 @@ object Multimodal {
       FROM documents,
         LATERAL (SELECT unnest(range(0, 64 + doc_id % 129)) AS i)
       GROUP BY doc_id ORDER BY media_id"""))
+
+  /** Decoded JPEG metadata: dims probed from the decoded image. */
+  case class JpegMeta(media_id: Long, width: Int, height: Int)
+
+  /** Real JPEG payloads: the same deterministic gray gradient as
+    * [[pngMediaTable]] but at 8×8-DCT-meaningful dims
+    * `(16 + id % 17, 16 + id % 11)`, encoded to genuine baseline-JPEG
+    * bytes with the JDK's `ImageIO.write(_, "jpg", _)` on the executors
+    * (no new dependency; the ImageIO thread-scaling A/B recorded in
+    * BASELINE.md is POSITIVE, unlike javax.sound). */
+  def jpegMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 11).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, g * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      MediaRecord(id, "jpeg", bos.toByteArray)
+    }
+  }
+
+  /** REAL JPEG decode — the third real modality beside PNG
+    * ([[decodeReal]]) and WAV/PCM ([[decodeAudio]]): genuine baseline-JPEG
+    * bytes are encoded and decoded with `javax.imageio`, and the emitted
+    * dims are probed from the DECODED image, not the generator. JPEG is
+    * lossy, so the oracle checks probed metadata (the raster itself is
+    * spec-checked instead: MultimodalSpec asserts SOI/EOI markers and a
+    * tight mean-abs-error bound of the decoded raster against the
+    * generator formula). `StubDecoder` now stands in for video only. */
+  val decodeJpeg = QueryDef("mm_decode_jpeg",
+    (s, d) => {
+      val media = jpegMediaTable(s, d)
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"media ${r.media_id}: not a decodable JPEG")
+          JpegMeta(r.media_id, img.getWidth, img.getHeight)
+        }
+      }.toDF().orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      CAST(16 + doc_id % 17 AS INT) AS width,
+      CAST(16 + doc_id % 11 AS INT) AS height
+      FROM documents ORDER BY media_id"""))
 
   /** Perceptual-hash image near-dup — the dedup a multimodal training
     * pipeline actually runs, composed from the two halves this engine

@@ -84,6 +84,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpegMediaTable emits genuine JPEG bytes and decode stays close to the source raster") {
+    val byId = Multimodal.jpegMediaTable(spark, sf("sf0.001"))
+      .filter(_.media_id <= 40L).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(byId.size >= 2, "fixture ids missing from sf0.001")
+    for ((id, payload) <- byId) {
+      // JPEG SOI marker FF D8 at the start, EOI FF D9 at the end — these
+      // are real entropy-coded JPEG streams, not renamed rasters
+      assert((payload(0) & 0xff, payload(1) & 0xff) === ((0xff, 0xd8)), s"id $id SOI")
+      assert((payload(payload.length - 2) & 0xff,
+        payload(payload.length - 1) & 0xff) === ((0xff, 0xd9)), s"id $id EOI")
+      // lossy decode: dims exact, raster within a tight mean-abs-error of
+      // the generator formula (smooth gradients compress near-losslessly)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 11).toInt
+      assert((img.getWidth, img.getHeight) === ((w, h)), s"id $id dims")
+      var absErr = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = (id * 31 + x * 7 + y * 13) % 256
+        val got = img.getRGB(x, y) & 0xff
+        absErr += math.abs(got - want)
+      }
+      val mae = absErr.toDouble / (w * h)
+      assert(mae < 24.0, s"id $id decoded raster MAE $mae")
+    }
+  }
+
   test("PNG round trip is pixel-lossless end to end") {
     import spark.implicits._
     val ids = spark.createDataset(Seq(0L, 1L, 12L, 90L, 1001L))
