@@ -45,8 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = planString(q("text_heavy_hitters"))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       p.take(2000))
-    assert(!p.toLowerCase.contains(" in ("),
-      "candidate set regressed to a plan-embedded IN literal")
+    // inspect the optimized plan for an actual In/InSet expression rather
+    // than substring-matching plan text (" in (" would also fire on a
+    // benign name ending in "in")
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val inLiterals = q("text_heavy_hitters").queryExecution.optimizedPlan
+      .collect { case node => node.expressions.flatMap(_.collect {
+        case i: In => i: Any
+        case i: InSet => i: Any
+      }) }.flatten
+    assert(inLiterals.isEmpty,
+      s"candidate set regressed to a plan-embedded IN literal: $inLiterals")
   }
 
   test("skew_salted_join: salt explode feeds a real shuffle join, not a broadcast") {
@@ -56,6 +65,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
     assert(!p.contains("BroadcastHashJoin"),
       "dim side broadcast — the salt would be decorative")
+  }
+
+  test("sim_ann_ivf_trained: centroid crossJoins broadcast by HINT, independent of auto-broadcast config") {
+    // the K-row centroid frames carry explicit broadcast() hints; prove
+    // the plan shape does not silently depend on stats-based
+    // auto-broadcast by disabling it entirely (VERDICT r5 #7)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planString(q("sim_ann_ivf_trained"))
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"centroid crossJoin lost its broadcast hint:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"centroid join regressed to a cartesian shuffle:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q2_filter_project: predicate and projection reach the parquet scan") {
