@@ -71,7 +71,9 @@ object Chunking {
           expr("roll_hash(split(g, ' ')[0])").as("ph"))
       val c2 = inst.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
       val c1 = inst.groupBy(col("ph")).agg(count(lit(1)).as("c1"))
-      inst.join(c2, "gh").join(broadcast(c1), "ph")
+      // neither count relation is hinted: bigram/prefix vocabularies are
+      // data-scaled, so AQE broadcasts them at runtime only while small
+      inst.join(c2, "gh").join(c1, "ph")
         .withColumn("term",
           expr("math_ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))"))
         .groupBy(col("doc_id"))

@@ -285,7 +285,9 @@ object Dedup {
     * precisely the qualifying pairs, so both engines agree on the final
     * rows no matter how their candidate sets differ.
     *
-    * Plan: token sets → broadcast vocabulary frequencies → per-doc
+    * Plan: token sets → vocabulary frequencies (un-hinted: AQE
+    * broadcasts them at runtime while the vocabulary is small, and a
+    * 100 TB vocabulary correctly falls back to a shuffle join) → per-doc
     * (freq, token)-ordered prefix via a doc-partitioned window → prefix
     * self-equi-join → distinct pairs → set-intersection scoring. No
     * all-pairs stage anywhere. τ = 0.9 (near-identical dedup): on this
@@ -303,7 +305,7 @@ object Dedup {
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("cnt"), col("w"))
-      val pref = tok.join(broadcast(freq), "w")
+      val pref = tok.join(freq, "w")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <=
           col("sz") - ceil(lit(Tau) * col("sz").cast("double")) + 1)

@@ -27,8 +27,14 @@ object Pipeline2 {
     * scores flag token streams that are implausible for the corpus —
     * the cheap first-pass twin of model-based perplexity filtering.
     *
-    * Scale shape: token explode ⋈ broadcast frequency table (vocabulary-
-    * sized), per-doc state bounded by document length. Float discipline:
+    * Scale shape: token explode ⋈ frequency table. The frequency side is
+    * vocabulary-sized — NOT bounded by construction — so it carries no
+    * broadcast hint: AQE's runtime stats convert the join to broadcast
+    * while the vocabulary is small and correctly keep the shuffle join
+    * once it outgrows executor memory (the catalog-wide
+    * broadcast-boundedness sweep enforces that no hinted broadcast is
+    * data-scaled). Per-doc state bounded by document length. Float
+    * discipline:
     * the per-token terms are summed in POSITION order via a sorted fold,
     * and the log is the custom `math_ln` expression
     * ([[graft.functions.MathLog]]) — `java.lang.Math.log` is bit-equal
@@ -44,7 +50,7 @@ object Pipeline2 {
         .toDF("doc_id", "pos", "w")
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
       val tot = tok.agg(count(lit(1)).as("n_total"))
-      tok.join(broadcast(freq), "w")
+      tok.join(freq, "w")
         .crossJoin(broadcast(tot))
         .withColumn("term",
           expr("math_ln(CAST(f AS DOUBLE) / CAST(n_total AS DOUBLE))"))
@@ -134,7 +140,7 @@ object Pipeline2 {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
-      tok.join(broadcast(freq), "w")
+      tok.join(freq, "w")
         .groupBy(col("doc_id"))
         .agg((sum(col("f")).cast("double") / count(lit(1))).as("mean_freq"),
           min(col("f")).as("min_freq"))

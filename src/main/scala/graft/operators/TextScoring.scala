@@ -98,8 +98,10 @@ object TextScoring {
     *
     * Plan: one (doc_id, w) hash-agg for term counts, a window over
     * doc_id for document length (reuses the same doc_id clustering),
-    * one vocabulary-sized df agg joined back via broadcast — the corpus
-    * rows never shuffle a second time. Ties at the rank-3 boundary break
+    * one vocabulary-sized df agg joined back. The df side is NOT
+    * broadcast-hinted — a vocabulary is data-scaled, so AQE's runtime
+    * stats broadcast it while small and keep the shuffle join once it
+    * outgrows executor memory. Ties at the rank-3 boundary break
     * by term, so the kept set is deterministic in both engines. */
   val tfidf = QueryDef("text_tfidf",
     (s, d) => {
@@ -111,7 +113,7 @@ object TextScoring {
         sum(col("c")).over(Window.partitionBy(col("doc_id"))))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-      val scored = withLen.join(broadcast(df), "w")
+      val scored = withLen.join(df, "w")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           (col("c").cast("double") / col("n")) *

@@ -58,6 +58,144 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_mad", "stat_winsorized", "pack_sequences",
     "q42_moving_range", "sql_text_surface")
 
+  /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
+    * boundedness witness (local relation, limit, global aggregate, range,
+    * or fixed-cardinality table): entry name → substrings matching the
+    * broadcast descriptor, each with the reviewed reason the relation
+    * stays small at ANY corpus size. A new data-scaled hinted broadcast
+    * fails the sweep until it is bounded here — a deliberate reviewed
+    * act, like the serial-window list. (Vocabulary-sized relations —
+    * tf-idf document frequencies, LM count tables, prefix-filter token
+    * frequencies — are deliberately NOT here: round 6 removed their
+    * hints so AQE's runtime stats broadcast them only while they are
+    * actually small.) */
+  private val boundedBroadcastsByReview: Map[String, Seq[String]] = Map(
+    // K centroid seeds: `vec_id < K` key-range filter, K fixed
+    "emb_kmeans_assign" -> Seq("agg[-]<-[embeddings]"),
+    // 20-query probe set (`vec_id < 20`), and for IVF the K-cell
+    // centroid sample plus 20×nprobe probe assignments
+    "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),
+    "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
+    "sim_ann_lsh" -> Seq("agg[-]<-[embeddings]"),
+    "sim_ann_ivf" -> Seq("agg[-]<-[embeddings]"),
+    // calendar-bounded minute-bucket grid (distinct minutes of the span)
+    "ev_range_join" -> Seq("agg[_groupingexpression]<-[events]"),
+    // LOCF carry offsets: one row per (series × hour bucket) — series set
+    // is the declared few-fat-series shape, hours are calendar-bounded
+    "ev_resample_locf_fat" -> Seq("agg[event_type,bkt]<-[events]"),
+    // bucket offsets: ≤ P rows, P = cluster parallelism by construction
+    "pack_sequences" -> Seq("agg[bucket]<-[documents]"),
+    // iterative-narrowing state: ≤ 2 rows per (group × active rank)
+    "q23_percentiles" -> Seq("agg["),
+    // Quantiles bucket-offset relation: B fixed buckets
+    "stat_mad" -> Seq("agg[bkt]<-[lineitem]"),
+    "stat_winsorized" -> Seq("agg[bkt]<-[lineitem]"),
+    // ntile bucket counts/offsets: B fixed buckets
+    "q37_ntile" -> Seq("agg[bkt]<-[customer]"),
+    // language signature profile: rank ≤ 10 filter keeps ≤ 10 words per
+    // language, language set is ISO-code bounded, not corpus-scaled
+    // (the topmost agg the walk sees is the lang×w count feeding the
+    // rank window); langs = distinct of that profile
+    "text_langid" -> Seq("agg[lang,w]<-[documents]",
+      "agg[sig_lang]<-[documents]", "agg[-]<-[]"))
+
+  test("every BroadcastExchange in every catalog plan is bounded by construction or by review") {
+    import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec,
+      LocalTableScanExec, GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, RangeExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+      ReusedExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    // region (5 rows) and nation (25) have FIXED cardinality at every
+    // scale factor — broadcasting them is bounded by construction
+    val fixedCardTables = Set("region", "nation")
+    def tableName(f: FileSourceScanExec): String =
+      f.relation.location.rootPaths.headOption
+        .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+    def describe(b: SparkPlan): (String, Boolean) = {
+      var hasLocal = false
+      var hasLimit = false
+      val tables = scala.collection.mutable.SortedSet.empty[String]
+      var aggKeys: Option[Seq[String]] = None
+      var globalAgg = false
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          // driver-built local relations and literal ranges are bounded
+          // by construction
+          case _: LocalTableScanExec | _: RangeExec => hasLocal = true
+          case _: GlobalLimitExec | _: LocalLimitExec |
+              _: TakeOrderedAndProjectExec => hasLimit = true
+          case f: FileSourceScanExec => tables += tableName(f)
+          case r: ReusedExchangeExec => walk(r.child)
+          case a: HashAggregateExec if aggKeys.isEmpty =>
+            aggKeys = Some(a.groupingExpressions.map(_.name))
+            globalAgg = a.groupingExpressions.isEmpty
+          case a: ObjectHashAggregateExec if aggKeys.isEmpty =>
+            aggKeys = Some(a.groupingExpressions.map(_.name))
+            globalAgg = a.groupingExpressions.isEmpty
+          case a: SortAggregateExec if aggKeys.isEmpty =>
+            aggKeys = Some(a.groupingExpressions.map(_.name))
+            globalAgg = a.groupingExpressions.isEmpty
+          case _ =>
+        }
+        p.children.foreach(walk)
+        p.subqueries.foreach(walk)
+      }
+      walk(b)
+      val desc = s"agg[${aggKeys.map(_.mkString(",")).getOrElse("-")}]" +
+        s"<-[${tables.mkString(",")}]"
+      // bounded witnesses: a driver-local/range relation, an explicit
+      // limit, a topmost GLOBAL aggregate (exactly one row), or leaves
+      // drawn only from fixed-cardinality tables
+      val bounded = hasLocal || hasLimit || globalAgg ||
+        (tables.nonEmpty && tables.forall(fixedCardTables))
+      (desc, bounded)
+    }
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var found = 0
+    // exchanges are inserted by the plan preparations (EnsureRequirements),
+    // which AQE hides inside AdaptiveSparkPlanExec until execution —
+    // disable it so executedPlan is the fully-prepared static plan. Also
+    // disable stats-based auto-broadcast: a small-at-this-SF relation that
+    // auto-broadcasts at sf0.001 correctly stops broadcasting at 100 TB,
+    // so it is not a scale hazard — the broadcasts that must be bounded
+    // are the ones FORCED by an explicit broadcast() hint, which survive
+    // at any scale. Threshold -1 leaves exactly those in the plan.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.queries.Registry.all
+        .filterNot(q => eagerOrWriting(q.name))
+        .foreach { q =>
+          try {
+            val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan
+            val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+            found += broadcasts.size
+            broadcasts.foreach { b =>
+              val (desc, bounded) = describe(b)
+              val reviewed = boundedBroadcastsByReview.getOrElse(q.name, Nil)
+                .exists(desc.contains)
+              if (!bounded && !reviewed)
+                failures += s"${q.name}: unbounded broadcast $desc"
+            }
+          } catch {
+            case e: Throwable =>
+              failures += s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage}"
+          }
+        }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    info(s"$found broadcast exchanges enumerated across the catalog")
+    assert(found > 0, "sweep found no broadcasts — plan walk is broken")
+    assert(failures.isEmpty,
+      s"${failures.size} unbounded broadcast(s):\n${failures.mkString("\n")}")
+  }
+
   test("every catalog entry plans; no CartesianProduct outside the declared yardsticks") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     graft.queries.Registry.all

@@ -258,11 +258,21 @@ class PlanShapeSpec extends SparkSpec {
       s"z-order lost the part-dimension skip: $partZ vs $partU")
   }
 
-  test("text_tfidf: df relation broadcasts; top-3 rank filter gets the heap pre-filter") {
-    val p = planString(q("text_tfidf"))
+  test("text_tfidf: df relation broadcasts AT RUNTIME via AQE; top-3 rank filter gets the heap pre-filter") {
+    // the vocabulary-sized df relation deliberately carries NO broadcast
+    // hint (a vocabulary is data-scaled — a hint would OOM at 100 TB);
+    // the small-scale broadcast comes from AQE's runtime stats, so
+    // execute and inspect the final adaptive plan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = q("text_tfidf")
+    df.collect()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).toString
     assert(p.contains("BroadcastHashJoin"),
-      s"document-frequency join must broadcast the vocab side:\n${p.take(2000)}")
-    assert(p.contains("WindowGroupLimit"),
+      s"AQE no longer converts the small df join to broadcast:\n${p.take(2000)}")
+    assert(planString(q("text_tfidf")).contains("WindowGroupLimit"),
       "rank<=3 filter lost the per-group heap limit")
   }
 
