@@ -31,6 +31,15 @@ import graft.functions.TextFunctions._
   * direct one-window SQL spelling. PlanShapeSpec asserts the plan shape:
   * the doc-level window is partitioned, and the bucket-offset join is a
   * broadcast.
+  *
+  * Density assumption: ranging on raw `doc_id` balances buckets only when
+  * ids are roughly dense (the test tables' ids are 0..N−1). A sparse id
+  * space (snowflake-style) would leave most buckets empty and concentrate
+  * the corpus in few — output stays correct (it is bucketing-independent)
+  * but the intra-bucket window loses its parallelism. For such corpora,
+  * range on a dense surrogate instead: a precomputed split id, or
+  * `zip_with_index`-style partition offsets — the same three-level scan
+  * works unchanged on any monotone dense key.
   */
 object Packing {
 

@@ -16,23 +16,23 @@ import org.apache.spark.sql.functions.lit
 class EmptyInputSweepSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
-    val dir = "/tmp/graft_empty_sf"
-    val marker = new java.io.File(s"$dir/_built")
-    if (!marker.exists()) {
-      val tables = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      // events.parquet is TIMESTAMP(NANOS): read it as raw int64 nanos,
-      // exactly like ScaleSmoke.buildScaledDir — the empty copy then
-      // carries a plain long ts, which Tables.events converts the same way
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tables.foreach { t =>
-        spark.read.parquet(sf("sf0.001") + s"/$t.parquet")
-          .filter(lit(false))
-          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-      }
-      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      marker.createNewFile()
+    // per-run temp directory: a fixed cached path went stale when source
+    // schemas changed and was shared between concurrent CI runs — the
+    // build is 10 empty writes, cheap enough to redo every run
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // events.parquet is TIMESTAMP(NANOS): read it as raw int64 nanos,
+    // exactly like ScaleSmoke.buildScaledDir — the empty copy then
+    // carries a plain long ts, which Tables.events converts the same way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      spark.read.parquet(sf("sf0.001") + s"/$t.parquet")
+        .filter(lit(false))
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     dir
   }
 

@@ -40,6 +40,15 @@ class PartitioningInvarianceSpec extends SparkSpec {
   test("every catalog entry emits identical rows at 3 and 32 shuffle partitions") {
     val narrow = runAll(3)
     val wide = runAll(32)
+    // an entry that throws the SAME layout-independent exception in both
+    // runs would otherwise pass silently — execution failure is a failure
+    // of this sweep too, not just a matching pair of ERROR rows
+    val errors = (narrow.toSeq ++ wide.toSeq).collect {
+      case (name, rows) if rows.exists(_.startsWith("ERROR ")) =>
+        s"$name: ${rows.find(_.startsWith("ERROR ")).get}"
+    }.distinct
+    assert(errors.isEmpty,
+      s"${errors.size} entries failed to execute:\n${errors.mkString("\n")}")
     val diffs = narrow.keys.toSeq.sorted.flatMap { name =>
       val (a, b) = (narrow(name), wide(name))
       if (a == b) None
