@@ -9,7 +9,7 @@ import graft.apps.ShortestPath
   * `sbt "runMain graft.tools.SsspBench [path]"` */
 object SsspBench {
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse(
+    val path = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       "/root/reference/sample_apps/shortest_path/syn.graph")
     val spark = SparkSession.builder()
       .master("local[8]")

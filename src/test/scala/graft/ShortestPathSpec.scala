@@ -58,9 +58,9 @@ class ShortestPathSpec extends SparkSpec {
     // in double and full == parity with the serial oracle is sound).
     // sssp() solves this size via the documented local cutover; the fully
     // distributed path's parity + timing on this same graph is the
-    // SsspBench --distributed run recorded in BASELINE.md (279 supersteps
-    // is too slow for CI, not wrong — distributedSssp parity is covered
-    // on multi-superstep graphs below).
+    // SsspBench --distributed run recorded in BASELINE.md (40.6 s over 35
+    // k=8 frontier batches — too slow for CI, not wrong; distributedSssp
+    // parity is covered on multi-batch graphs below).
     val path = getClass.getResource("/syn.graph").getPath
     val edges = ShortestPath.loadGraph(spark, path)
     assert(edges.count() == 2L * 23797)
