@@ -29,7 +29,7 @@ object Multimodal {
 
   def all: Seq[QueryDef] =
     Seq(decodeMeta, frameSample, resizeQ, featuresQ, decodeReal, decodeAudio,
-      phashNeardup, decodeJpeg, audioFeaturesQ)
+      phashNeardup, decodeJpeg, audioFeaturesQ, decodeVideo, videoFrames)
 
   /** A media row: opaque payload + source metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
