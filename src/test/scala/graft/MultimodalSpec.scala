@@ -113,6 +113,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviMediaTable emits a real RIFF/AVI container with genuine MJPEG frames") {
+    val byId = Multimodal.aviMediaTable(spark, sf("sf0.001"))
+      .filter(_.media_id <= 40L).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(byId.size >= 2, "fixture ids missing from sf0.001")
+    for ((id, payload) <- byId) {
+      // real RIFF grammar: form tag, hdrl dims, movi frame chunks
+      assert(new String(payload.take(4), "US-ASCII") === "RIFF", s"id $id")
+      assert(new String(payload, 8, 4, "US-ASCII") === "AVI ", s"id $id")
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 11).toInt
+      val nf = 2 + (id % 4).toInt
+      assert(Multimodal.AviDecoder.probe(payload) === ((w, h, nf)), s"id $id")
+      for (f <- 0 until nf) {
+        val jpeg = Multimodal.AviDecoder.frame(payload, f)
+        // every frame chunk is an independent entropy-coded JPEG stream
+        assert((jpeg(0) & 0xff, jpeg(1) & 0xff) === ((0xff, 0xd8)), s"id $id f$f SOI")
+        assert((jpeg(jpeg.length - 2) & 0xff, jpeg(jpeg.length - 1) & 0xff) ===
+          ((0xff, 0xd9)), s"id $id f$f EOI")
+        // lossy per-frame decode stays close to the generator raster
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpeg))
+        assert((img.getWidth, img.getHeight) === ((w, h)), s"id $id f$f dims")
+        var absErr = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val want = (id * 31 + f * 41 + x * 7 + y * 13) % 256
+          absErr += math.abs((img.getRGB(x, y) & 0xff) - want)
+        }
+        val mae = absErr.toDouble / (w * h)
+        assert(mae < 24.0, s"id $id frame $f decoded raster MAE $mae")
+      }
+    }
+  }
+
+  test("AviDecoder rejects non-AVI bytes (garbage, and a valid WAV)") {
+    intercept[IllegalArgumentException](
+      Multimodal.AviDecoder.probe("definitely not an AVI".getBytes("UTF-8")))
+    // a well-formed RIFF of the WRONG form must also be rejected: the
+    // parser reads the form tag, not just the RIFF magic
+    val wav = Multimodal.wavMediaTable(spark, sf("sf0.001"))
+      .filter(_.media_id == 0L).collect().head.payload
+    intercept[IllegalArgumentException](Multimodal.AviDecoder.probe(wav))
+  }
+
+  test("AviDecoder fails loudly when movi is truncated vs the avih header") {
+    val good = Multimodal.aviMediaTable(spark, sf("sf0.001"))
+      .filter(_.media_id == 1L).collect().head.payload
+    val (w, h, frames) = Multimodal.parseAvi(good, 1L)
+    assert(frames.size >= 2)
+    // rebuild the container with the LAST frame dropped but leave the
+    // header's dwTotalFrames as-is by patching the rebuilt header back
+    val fewer = frames.dropRight(1).map { case (o, l) =>
+      java.util.Arrays.copyOfRange(good, o, o + l)
+    }
+    val rebuilt = Multimodal.buildAvi(w, h, fewer)
+    // dwTotalFrames lives at hdrl avih data offset 16 → absolute 12+12+8+16
+    rebuilt(12 + 12 + 8 + 16) = frames.size.toByte
+    intercept[IllegalArgumentException](Multimodal.parseAvi(rebuilt, 1L))
+  }
+
   test("PNG round trip is pixel-lossless end to end") {
     import spark.implicits._
     val ids = spark.createDataset(Seq(0L, 1L, 12L, 90L, 1001L))
