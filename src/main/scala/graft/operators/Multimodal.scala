@@ -568,49 +568,79 @@ object Multimodal {
       CAST(16 + doc_id % 11 AS INT) AS height
       FROM documents ORDER BY media_id"""))
 
+  /** Near-dup EDGE SET over a phash table `(media_id, hi, lo)` — the
+    * hot-bucket-proof core of [[phashNeardup]], callable on any hash
+    * table (the pathological-corpus spec drives it directly).
+    *
+    * Two-stage design (r6 verdict "Missing #3" — hot-bucket defense):
+    *  1. Hash-identical images collapse into CLASSES first (one hash
+    *     agg — the exact-dedup path), each emitting LINEAR
+    *     representative→member edges `(rep, member, 0)` instead of the
+    *     quadratic within-class pair list. A degenerate corpus of N
+    *     threshold-identical rasters (constant-color images, replica
+    *     corpora) produces N−1 rows, not N(N−1)/2.
+    *  2. The pigeonhole-banded Hamming join runs over DISTINCT hashes
+    *     only (class representatives): a band bucket can no longer be
+    *     inflated by duplicate images — its size is bounded by distinct
+    *     hashes sharing a 16-bit band value, the quantity LSH banding
+    *     is designed around. Hamming ≤ 3 between distinct hashes means
+    *     at most 3 of 4 16-bit bands differ, so at least one agrees
+    *     exactly; four equi-joins with "prior bands differ" guards find
+    *     every class pair exactly once, never all-pairs
+    *     (CatalogPlanSweepSpec).
+    *
+    * The edge set is dedup-sufficient: any two images whose hashes are
+    * equal (class edges) or within the threshold (class-pair edges,
+    * one per DISTINCT hash pair — hamming is a function of the hashes,
+    * so expanding it to member pairs would add pure redundancy) are
+    * connected; components recover the full duplicate groups, as in
+    * `dedup_components`. */
+  def phashEdges(ph0: DataFrame): DataFrame = {
+    val cls = ph0.groupBy(col("hi"), col("lo"))
+      .agg(min(col("media_id")).as("rep"))
+    // post-agg the class table is already partitioned by (hi, lo) — the
+    // member-edge join reuses that partitioning, one shuffle of ph0 only
+    val member = ph0.join(cls, Seq("hi", "lo"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("media_id").as("b"),
+        lit(0).cast("int").as("hamming"))
+    val reps = cls
+      .withColumn("b0", col("lo") % 65536L)
+      .withColumn("b1", expr("lo div 65536"))
+      .withColumn("b2", col("hi") % 65536L)
+      .withColumn("b3", expr("hi div 65536"))
+    def band(k: Int, priorDiffer: Column) = reps.alias("x").join(reps.alias("y"),
+        col(s"x.b$k") === col(s"y.b$k") &&
+          col("x.rep") < col("y.rep") && priorDiffer)
+      .select(col("x.rep").as("a"), col("y.rep").as("b"),
+        (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+          bit_count(col("x.lo").bitwiseXOR(col("y.lo")))).cast("int")
+          .as("hamming"))
+    val classPairs = band(0, lit(true))
+      .unionAll(band(1, col("x.b0") =!= col("y.b0")))
+      .unionAll(band(2,
+        col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1")))
+      .unionAll(band(3, col("x.b0") =!= col("y.b0") &&
+        col("x.b1") =!= col("y.b1") && col("x.b2") =!= col("y.b2")))
+      .filter(col("hamming") <= 3)
+    member.unionAll(classPairs)
+  }
+
   /** Perceptual-hash image near-dup — the dedup a multimodal training
     * pipeline actually runs, composed from the two halves this engine
     * already proves separately: REAL raster decode ([[aHashImages]] /
-    * `javax.imageio`, cf. [[decodeReal]]) and pigeonhole-banded Hamming
-    * self-join (the `dedup_simhash` machinery). A pair within Hamming ≤ 3
-    * of a 64-bit aHash differs in at most 3 of the 4 16-bit bands, so it
-    * agrees EXACTLY on at least one — four equi-joins on band values find
-    * every qualifying pair with no all-pairs stage, and making band k
-    * require bands 0..k−1 to differ keeps the four joins disjoint (no
-    * dedup shuffle). PNG is lossless, so DuckDB reproduces the decoded
-    * rasters from the generator formula and the oracle is hash-exact
-    * through decode → aHash → banding → verify.
+    * `javax.imageio`, cf. [[decodeReal]]) and the hot-bucket-proof
+    * class/banding edge set ([[phashEdges]]). PNG is lossless, so DuckDB
+    * reproduces the decoded rasters from the generator formula and the
+    * oracle is hash-exact through decode → aHash → classes → banding.
     *
-    * Output volume is governed by corpus redundancy, not the algorithm
-    * (cf. the same note on `dedup_prefix_jaccard`): the synthetic gradient
-    * rasters collapse into large threshold-identical classes, so the pair
-    * list is quadratic in class size (6.1 k pairs over 500 docs at sf0.01,
-    * 561 k over 5 k docs at sf0.1) — exactly as a real image corpus with
-    * heavy duplication would behave. The banding join itself never goes
-    * all-pairs (CatalogPlanSweepSpec). */
+    * Output volume is LINEAR in corpus size plus one row per
+    * distinct-hash near-pair (6.1 k quadratic pairs over 500 docs at
+    * sf0.01 under the r6 all-pairs semantics become a linear edge set
+    * here — see [[phashEdges]] for why nothing is lost). */
   val phashNeardup = QueryDef("mm_phash_neardup",
-    (s, d) => {
-      val ph = aHashImages(pngMediaTable(s, d)).toDF()
-        .withColumn("b0", col("lo") % 65536L)
-        .withColumn("b1", expr("lo div 65536"))
-        .withColumn("b2", col("hi") % 65536L)
-        .withColumn("b3", expr("hi div 65536"))
-      def band(k: Int, priorDiffer: Column) = ph.alias("x").join(ph.alias("y"),
-          col(s"x.b$k") === col(s"y.b$k") &&
-            col("x.media_id") < col("y.media_id") && priorDiffer)
-        .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
-          (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
-            bit_count(col("x.lo").bitwiseXOR(col("y.lo")))).cast("int")
-            .as("hamming"))
-      band(0, lit(true))
-        .unionAll(band(1, col("x.b0") =!= col("y.b0")))
-        .unionAll(band(2,
-          col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1")))
-        .unionAll(band(3, col("x.b0") =!= col("y.b0") &&
-          col("x.b1") =!= col("y.b1") && col("x.b2") =!= col("y.b2")))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("a"), col("b"))
-    },
+    (s, d) => phashEdges(aHashImages(pngMediaTable(s, d)).toDF())
+      .orderBy(col("a"), col("b")),
     Some("""WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 13 AS BIGINT) AS w,
           CAST(1 + doc_id % 7 AS BIGINT) AS h FROM documents),
       samp AS (SELECT doc_id, CAST(j*8 + i AS INT) AS b,
@@ -623,12 +653,17 @@ object Multimodal {
             THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
           CAST(SUM(CASE WHEN b < 32 AND s*64 > total
             THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo
-        FROM sampt GROUP BY doc_id)
-      SELECT x.doc_id AS a, y.doc_id AS b,
-        CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT)
-          AS hamming
-      FROM hh x JOIN hh y ON x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        FROM sampt GROUP BY doc_id),
+      cls AS (SELECT hi, lo, MIN(doc_id) AS rep FROM hh GROUP BY hi, lo),
+      member_edges AS (SELECT c.rep AS a, h.doc_id AS b, 0 AS hamming
+        FROM hh h JOIN cls c USING (hi, lo) WHERE h.doc_id <> c.rep),
+      class_pairs AS (SELECT x.rep AS a, y.rep AS b,
+          bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS hamming
+        FROM cls x JOIN cls y ON x.rep < y.rep
+        WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3)
+      SELECT a, b, CAST(hamming AS INT) AS hamming FROM member_edges
+      UNION ALL
+      SELECT a, b, CAST(hamming AS INT) AS hamming FROM class_pairs
       ORDER BY a, b"""))
 
   // ------------------------------------------------------------------

@@ -173,6 +173,29 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseAvi(rebuilt, 1L))
   }
 
+  test("phashEdges stays linear on a pathological all-identical-hash corpus") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 20,000 threshold-identical images (e.g. constant-color rasters all
+    // hashing to the same 64-bit value): the r6 all-pairs semantics would
+    // emit ~2×10^8 pairs through ONE band bucket; the class/banding edge
+    // set must emit exactly N−1 rep→member edges and see a single row in
+    // the banding stage.
+    val n = 20000
+    val degenerate = spark.range(n)
+      .select(col("id").as("media_id"), lit(0L).as("hi"), lit(0L).as("lo"))
+    val edges = Multimodal.phashEdges(degenerate)
+    assert(edges.count() === (n - 1).toLong)
+    assert(edges.agg(org.apache.spark.sql.functions.max(col("hamming")))
+      .head().getInt(0) === 0)
+    // near-pair structure is preserved across classes: two classes one
+    // bit apart yield their members' rep edges plus ONE class-pair row
+    val twoClasses = spark.range(6).select(col("id").as("media_id"),
+      lit(0L).as("hi"), when(col("id") % 2 === 0, 0L).otherwise(1L).as("lo"))
+    val e2 = Multimodal.phashEdges(twoClasses).collect()
+    assert(e2.count(_.getInt(2) == 0) === 4) // 3-member classes → 2 edges each
+    assert(e2.count(_.getInt(2) == 1) === 1) // one distinct-hash pair row
+  }
+
   test("PNG round trip is pixel-lossless end to end") {
     import spark.implicits._
     val ids = spark.createDataset(Seq(0L, 1L, 12L, 90L, 1001L))
