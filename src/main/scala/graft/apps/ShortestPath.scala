@@ -164,6 +164,12 @@ object ShortestPath {
     * stats anyway) and the edge relation never reshuffles. The only
     * per-level exchange is the candidate min agg, sized by the frontier's
     * out-edges, not the graph. */
+  /** Deepest batch at which the O(k²)-node analyzed plan of the persist
+    * path is known-safe for a default driver heap (measured: k=8 fine,
+    * k=16 OOM). Beyond it, levels are cut to LogicalRDD leaves instead —
+    * see the regime comment in [[distributedSssp]]. */
+  val PersistDepthLimit = 8
+
   def distributedSssp(edges: DataFrame, source: Long,
       batchLevels: Int = 8): DataFrame = {
     val spark = edges.sparkSession
@@ -187,25 +193,44 @@ object ShortestPath {
     var frontier = dist
     var active = 1L
 
+    // Per-level state cut, depth-dependent (the k=16 OOM fix, r6 verdict
+    // #5). The k-level union's ANALYZED tree embeds level i's subtree in
+    // level i+1's, so with plain per-level persist() the batch plan grows
+    // O(k²) nodes and the optimizer/stats passes OOM the default driver
+    // heap at k=16 (reproduced). Two regimes:
+    //   - shallow batches (k ≤ PersistDepthLimit): persist() — the O(k²)
+    //     tree is measured-small and the columnar cache is the faster
+    //     store (k=8: 40.6 s round 6 vs 51.5 s under leaf-cutting);
+    //   - deep batches: LAZY localCheckpoint (eager=false — no job per
+    //     level) returns a frame whose logical plan is a single
+    //     LogicalRDD leaf, so the batch plan is O(k): k=16 57.4 s and
+    //     k=32 68.6 s now run in the default heap, parity 0/18,263.
+    // The operator therefore cannot be configured into the plan-size OOM:
+    // depth selects the bounded representation automatically. Checkpointed
+    // levels still persist their rows (MEMORY_AND_DISK), so the single
+    // action computes each level once — the cache role persist() plays —
+    // and their blocks are reclaimed by the ContextCleaner when the batch
+    // ends (a localCheckpointed RDD must never be unpersisted manually:
+    // its truncated lineage cannot recompute).
+    val usePersist = batchLevels <= PersistDepthLimit
     while (active > 0) {
       // k relaxation levels, one plan, no driver synchronization between
-      // levels. Each level is LAZILY cached: the union references every
-      // level's subplan and level i's lineage is embedded in level i+1's,
-      // so without the cache the single action would recompute level i in
-      // O(k−i) branches — O(k²) level-joins per batch. persist() adds no
-      // job; the one real computation fills the cache inside the action.
+      // levels. Without a per-level cut the single action would recompute
+      // level i in O(k−i) union branches — O(k²) level-joins per batch,
+      // measured 118.7 s.
       // (alias both sides: a frontier's lineage could otherwise collide
       // with the edge relation's attribute ids)
       val levels = Seq.iterate(frontier, batchLevels + 1) { f =>
         // A4 edge relaxation: frontier ⋈ edges, candidate = dist[src] + w;
         // A6 min-per-key (map-side partial min for free) — the min-reduced
         // level is the next level's frontier
-        f.alias("f").hint("shuffle_hash")
+        val level = f.alias("f").hint("shuffle_hash")
           .join(e.alias("ed"), col("f.node") === col("ed.src"))
           .select(col("ed.dst").as("node"),
             (col("f.dist") + col("ed.weight")).as("cand"))
           .groupBy("node").agg(min(col("cand")).as("dist"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (usePersist) level.persist(StorageLevel.MEMORY_AND_DISK)
+        else level.localCheckpoint(false)
       }.tail
       val batchBest = levels.reduce(_ unionAll _)
         .groupBy("node").agg(min(col("dist")).as("cand"))
@@ -218,7 +243,7 @@ object ShortestPath {
           least(col("cur"), col("cand")).as("dist"),
           (col("cur").isNull || col("cand") < col("cur")).as("improved")))
       active = folded.where(col("improved")).count()
-      levels.foreach(_.unpersist(false)) // folded is checkpointed; levels done
+      if (usePersist) levels.foreach(_.unpersist(false)) // folded checkpointed
       frontier = folded.where(col("improved")).select(col("node"), col("dist"))
       dist = folded.select(col("node"), col("dist"))
     }

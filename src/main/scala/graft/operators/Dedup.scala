@@ -125,8 +125,13 @@ object Dedup {
     * aggregation. (The first cut crossJoined each shingle with
     * `range(16)`, multiplying the shuffled rows 16×; at 100 TB that factor
     * is the difference between one corpus-sized shuffle and sixteen.) */
-  val minhashLsh = QueryDef("dedup_minhash_lsh",
-    (s, d) => {
+  /** MinHash+LSH near-dup pairs over an arbitrary `(doc_id, text, ...)`
+    * corpus frame — the reusable core of [[minhashLsh]], also the
+    * near-dup stage of the end-to-end curation pipeline
+    * ([[PipelineE2E]]). Returns `(a, b, jaccard)` with `a < b`,
+    * Jaccard ≥ 0.5 on distinct word-3-gram shingles. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+      val s = docs.sparkSession
       graft.functions.HashExpressions.register(s)
       // Materialize the shingle sets ONCE for the 3 uses below — A/B at
       // sf0.1: recompute min 4.50 s vs materialized min 1.27 s (the
@@ -139,7 +144,12 @@ object Dedup {
       // CacheHygieneSpec pins the no-cache-entry invariant catalog-wide.
       // Lazy (false): materializes with the first action instead of at
       // query-construction time, so plan-only callers (Explain) stay free.
-      val sets = shingleSets(s, d).localCheckpoint(false)
+      val sets = docs
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
+        .select(col("doc_id"), col("ss"))
+        .localCheckpoint(false)
       // (doc_id, m0..m15): minhash i = min over shingles of perm_i(rollhash)
       val minCols = (0 until 16).map(i =>
         min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
@@ -168,8 +178,11 @@ object Dedup {
         .withColumn("jaccard", jaccardExpr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), col("jaccard"))
-        .orderBy(col("a"), col("b"))
-    },
+  }
+
+  val minhashLsh = QueryDef("dedup_minhash_lsh",
+    (s, d) => minhashPairs(Tables.documents(s, d))
+      .orderBy(col("a"), col("b")),
     Some("""WITH sets AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
           j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss

@@ -48,11 +48,12 @@ object Packing {
 
   def all: Seq[QueryDef] = Seq(packSequences)
 
-  val packSequences = QueryDef("pack_sequences",
-    (s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n"))
+  /** Pack a `(doc_id, n)` token-count relation into fixed-budget
+    * sequences — the reusable core of [[packSequences]], also the packing
+    * stage of the end-to-end curation pipeline ([[PipelineE2E]]).
+    * Returns one row per sequence, unordered. */
+  def packCounts(s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // Bucket width from a broadcast max(doc_id) scalar: ≤ P buckets at
       // any corpus size (the id scan reads one parquet column and can be
       // answered from footer statistics).
@@ -89,8 +90,13 @@ object Packing {
             greatest(col("seq_id") * Budget, col("o"))).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("seq_id"))
-    },
+  }
+
+  val packSequences = QueryDef("pack_sequences",
+    (s, d) => packCounts(s, Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n")))
+      .orderBy(col("seq_id")),
     Some(s"""WITH docs AS (SELECT doc_id,
         CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
       off AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id

@@ -11,7 +11,8 @@ object Registry {
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
       graft.operators.TextScoring.all ++ graft.operators.HeavyHitters.all ++
       graft.operators.Bpe.all ++ graft.operators.Curation.all ++
-      graft.operators.Pipeline2.all ++ graft.operators.Packing.all ++
+      graft.operators.Pipeline2.all ++ graft.operators.PipelineE2E.all ++
+      graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Spectral.all ++

@@ -20,13 +20,15 @@ object SsspBench {
     val edges = ShortestPath.loadGraph(spark, path)
     println(s"edges: ${edges.count()}")
     val distributed = args.contains("--distributed")
+    val k = args.collectFirst { case a if a.startsWith("--k=") =>
+      a.stripPrefix("--k=").toInt }.getOrElse(8)
     val t0 = System.nanoTime()
     val dist =
-      if (distributed) ShortestPath.distributedSssp(edges, 0L)
+      if (distributed) ShortestPath.distributedSssp(edges, 0L, batchLevels = k)
       else ShortestPath.sssp(edges, 0L)
     val n = dist.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"SSSP_RESULT nodes=$n time=$secs%.1fs distributed=$distributed")
+    println(f"SSSP_RESULT nodes=$n time=$secs%.1fs distributed=$distributed k=$k")
     // Dijkstra parity audit (the reference's serial solve,
     // main.cpp:108-140). Driver-side by nature, so only run it where the
     // serial oracle itself is feasible; on integer-weight graphs (the

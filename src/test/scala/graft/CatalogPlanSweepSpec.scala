@@ -56,6 +56,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * both engines, so no Spark-side rewrite is possible). */
   private val serialWindowsByConstruction = Set(
     "stat_mad", "stat_winsorized", "pack_sequences",
+    // the e2e pipeline ends in the same packCounts level-2 offsets
+    // (≤ P-row bucket relation)
+    "pipeline_curation_e2e",
     "q42_moving_range", "sql_text_surface")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
@@ -85,6 +88,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "ev_resample_locf_fat" -> Seq("agg[event_type,bkt]<-[events]"),
     // bucket offsets: ≤ P rows, P = cluster parallelism by construction
     "pack_sequences" -> Seq("agg[bucket]<-[documents]"),
+    // same packCounts bucket-offset broadcast at the e2e pipeline's tail
+    "pipeline_curation_e2e" -> Seq("agg[bucket]<-[documents]"),
     // iterative-narrowing state: ≤ 2 rows per (group × active rank)
     "q23_percentiles" -> Seq("agg["),
     // Quantiles bucket-offset relation: B fixed buckets
