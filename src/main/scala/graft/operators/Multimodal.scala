@@ -596,11 +596,19 @@ object Multimodal {
     * connected; components recover the full duplicate groups, as in
     * `dedup_components`. */
   def phashEdges(ph0: DataFrame): DataFrame = {
-    val cls = ph0.groupBy(col("hi"), col("lo"))
+    // Materialize the hash table ONCE (lazy localCheckpoint — the
+    // minhashPairs discipline: RDD-owned blocks, no CacheManager entry,
+    // plan-only callers stay free). Without it every downstream branch
+    // (member join + 4 band joins = 10 consumers) re-runs the full
+    // upstream DECODE: the r7 plan audit showed 10 separate
+    // scan→ImageIO-decode passes per run. Hashes are ~24 bytes/row —
+    // negligible next to one saved raster decode of the corpus.
+    val ph = ph0.localCheckpoint(false)
+    val cls = ph.groupBy(col("hi"), col("lo"))
       .agg(min(col("media_id")).as("rep"))
     // post-agg the class table is already partitioned by (hi, lo) — the
-    // member-edge join reuses that partitioning, one shuffle of ph0 only
-    val member = ph0.join(cls, Seq("hi", "lo"))
+    // member-edge join reuses that partitioning, one shuffle of ph only
+    val member = ph.join(cls, Seq("hi", "lo"))
       .filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("a"), col("media_id").as("b"),
         lit(0).cast("int").as("hamming"))

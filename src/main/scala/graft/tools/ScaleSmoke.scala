@@ -56,7 +56,15 @@ object ScaleSmoke {
         // real codec round trips (linear decode), the salted shuffle
         // join, and the rewritten bucket-rank q37
         "ev_resample_locf_fat", "mm_decode_real", "mm_decode_audio",
-        "skew_salted_join", "q37_ntile")
+        "skew_salted_join", "q37_ntile",
+        // round-7 additions: the r6 multimodal entries (JPEG decode,
+        // audio windows — linear codec passes), phash near-dup (now the
+        // hot-bucket-proof class/banding edge set: banding runs over
+        // DISTINCT hashes, so replica-corpus duplicate inflation collapses
+        // into classes instead of quadratic band buckets), real video
+        // decode + frame fan-out, and the composed curation pipeline
+        "mm_decode_jpeg", "mm_audio_features", "mm_phash_neardup",
+        "mm_decode_video", "mm_video_frames", "pipeline_curation_e2e")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
