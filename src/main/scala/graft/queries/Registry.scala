@@ -15,6 +15,7 @@ object Registry {
       graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
+      graft.operators.Semantic.all ++ graft.operators.Retrieval.all ++
       graft.operators.Spectral.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.Triangles.all ++

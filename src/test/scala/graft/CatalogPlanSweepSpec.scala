@@ -75,6 +75,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
   private val boundedBroadcastsByReview: Map[String, Seq[String]] = Map(
     // K centroid seeds: `vec_id < K` key-range filter, K fixed
     "emb_kmeans_assign" -> Seq("agg[-]<-[embeddings]"),
+    // same K-seed centroid broadcast for the SemDeDup assignment step
+    "dedup_semantic" -> Seq("agg[-]<-[embeddings]"),
+    // 4×8-entry PQ codebook and the 32-row query-ADC table: both bounded
+    // by `vec_id < 8` / `vec_id = 0` key filters over the seed prefix
+    "emb_pq_topk" -> Seq("agg[-]<-[embeddings]"),
+    // query-term document frequencies: ≤ |q| rows by the literal IN
+    // filter on the fixed 3-term query — bounded at any corpus size
+    "text_bm25" -> Seq("agg[w]<-[documents]"),
     // 20-query probe set (`vec_id < 20`), and for IVF the K-cell
     // centroid sample plus 20×nprobe probe assignments
     "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),
