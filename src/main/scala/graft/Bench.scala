@@ -224,10 +224,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"phases":$ph,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is buried in sbt [info] noise and the driver only
-    // captures a tail — also persist the JSON where a machine can read it
-    // (BENCH_r01-r04 all recorded "parsed": null for exactly this reason).
+    // captures a ~2 kB tail — too short for a 149-query line — so persist
+    // the JSON where a machine can read it (BENCH_r01-r04 and r07 all
+    // recorded "parsed": null for exactly this reason). Two copies: the
+    // legacy cwd file (gitignored, local iteration) and a tracked path
+    // under bench_records/ so the driver's own end-of-round run survives
+    // into the next commit as a durable record.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    try {
+      val rec = java.nio.file.Paths.get("bench_records")
+      java.nio.file.Files.createDirectories(rec)
+      java.nio.file.Files.writeString(rec.resolve("BENCH_LATEST.json"), json + "\n")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write bench_records copy: $t")
+    }
     spark.stop()
   }
 }

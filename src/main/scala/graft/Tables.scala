@@ -26,16 +26,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and floor-convert to a
-    * microsecond TimestampType — lossless for this data (the generator
-    * emits µs-aligned values) and matching DuckDB's ns→µs comparisons. */
+  /** Schema-adaptive events loader. The driver's generator has emitted
+    * `ts` under two physical encodings across rounds, and a real lake holds
+    * both, so we branch on the *loaded* dtype rather than assuming one:
+    *
+    *  - INT64 annotated TIMESTAMP(NANOS): Spark's vectorized reader rejects
+    *    it outright, so we always set `nanosAsLong` before the scan — under
+    *    that conf the column surfaces as LongType and we floor-convert to a
+    *    microsecond TimestampType (lossless here; generator values are
+    *    µs-aligned, and DuckDB compares at µs too).
+    *  - real TIMESTAMP(MICROS) with isAdjustedToUTC=false: surfaces as
+    *    TIMESTAMP_NTZ; cast to session-time TimestampType (session tz is
+    *    pinned to UTC by every entry point), which keeps the wall-clock
+    *    values identical to DuckDB's naive read while giving the `window()`
+    *    / interval arithmetic the ev_* queries were written against.
+    *  - TIMESTAMP(MICROS) adjusted-to-UTC: already TimestampType; pass
+    *    through.
+    *
+    * Anything else fails loudly with the table/column/actual type so the
+    * next generator drift surfaces in one place, not as 15 scattered
+    * analysis errors. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"Tables.events: unsupported dtype for events.ts — expected " +
+          s"LongType (nanos-as-long), TimestampNTZType or TimestampType, " +
+          s"got $other in $d/events.parquet")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -102,6 +102,63 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("events loader reads INT64 TIMESTAMP(NANOS) and TIMESTAMP_MICROS NTZ identically") {
+    // The driver's generator has emitted both encodings across rounds
+    // (round 7 died to the switch); pin that Tables.events adapts to either.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val rows = Seq(
+      (1L, 1700000000000000L, 10L, "click", 2.5, """{"k":1}"""),
+      (2L, 1700000000123456L, 11L, "view",  1.0, """{"k":2}"""),
+      (3L, 1700003600000000L, 10L, "click", 0.0, """{"k":3}"""))
+
+    // Encoding A: genuine INT64 annotated TIMESTAMP(NANOS, ntz), written
+    // with parquet-mr directly (Spark cannot emit this encoding itself).
+    val dirA = tmpDir()
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dirA/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, tsMicros, uid, et, v, p) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", tsMicros * 1000L); g.add("user_id", uid)
+      g.add("event_type", et); g.add("value", v); g.add("props", p)
+      writer.write(g)
+    }
+    writer.close()
+
+    // Encoding B: real TIMESTAMP(MICROS, isAdjustedToUTC=false) — what the
+    // round-7 regenerated testdata contains — via Spark's native NTZ write.
+    val dirB = tmpDir()
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirB/events.parquet")
+
+    val a = Tables.events(spark, dirA)
+    val b = Tables.events(spark, dirB)
+    assert(a.schema == b.schema, s"schemas differ: ${a.schema} vs ${b.schema}")
+    assert(a.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val collect = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("event_id").collect().toSeq
+    assert(collect(a) == collect(b),
+      "same logical rows must read bit-identically from both encodings")
+  }
+
   // NB: syn.graph SSSP parity lives in ShortestPathSpec against the
   // hermetic src/test/resources fixture — one copy, one test.
 }
