@@ -44,7 +44,120 @@ import graft.{QueryDef, Tables}
   */
 object Semantic {
 
-  def all: Seq[QueryDef] = Seq(semanticDedup, pqTopK)
+  def all: Seq[QueryDef] = Seq(semanticDedup, pqTopK, pqTopKTrained)
+
+  /** PQ geometry shared by [[pqTopK]] and [[pqTopKTrained]]: M subspaces
+    * of `PqDim` contiguous dims, K sub-centroids per subspace. Two Lloyd
+    * rounds are enough to move every sub-centroid off its seed subvector
+    * (asserted in ScalaTest); more rounds change recall, not the plan. */
+  val PqM = 16
+  val PqDim = 4
+  val PqK = 32
+  val PqRounds = 2
+
+  /** The (vec_id, m, sub, xx) subvector relation with subvectors cast to
+    * double ONCE — every downstream fold is then double×double, matching
+    * the oracle's `CAST(v AS DOUBLE)` transform (float→double widening is
+    * exact, so this reads the same values as [[pqTopK]]'s float path). */
+  private def subvectors(e: DataFrame): DataFrame = {
+    val subCols = (0 until PqM).map(m => expr(
+      s"transform(slice(embedding, ${m * PqDim + 1}, $PqDim), " +
+        "v -> CAST(v AS DOUBLE))"))
+    e.select(col("vec_id"), posexplode(array(subCols: _*)).as(Seq("m", "sub")))
+      .withColumn("xx", expr("dot_f64(sub, sub)"))
+  }
+
+  /** Per-subspace k-means (Lloyd) for PQ codebooks — the
+    * [[Similarity.trainCentroids]] superstep pattern lifted to all M
+    * subspaces at once: the codebook is keyed by (m, cid), assignment is
+    * one broadcast equi-join on `m` over the subvector relation (never a
+    * cross join — each subvector only sees its own subspace's K
+    * centroids), and the update is a per-(m, cid, pos) mean. All
+    * M·K·PqDim = 2048 doubles collect to the driver per round (centroids
+    * are driver state in any k-means — the documented BPE-argmax
+    * precedent).
+    *
+    * Determinism, mirrored CTE-for-CTE in [[pqTrainSqlDuck]]:
+    * init = subvectors of vec_id < K; assignment = min squared-L2
+    * (‖x‖² − 2·x·c + ‖c‖², ties on cid); means fold each (m, cid, pos)
+    * value list in vec_id order; emptied cells keep their previous
+    * centroid. */
+  def trainPqCodebooks(e0: DataFrame, rounds: Int): Seq[(Int, Long, Seq[Double])] = {
+    val s = e0.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val subs = subvectors(e0)
+    var book: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id"), col("sub")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 0 until rounds) {
+      val bdf = broadcast(book.toDF("bm", "cid", "cvec")
+        .withColumn("cc", expr("dot_f64(cvec, cvec)")))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("cid"))
+      val assigned = subs.join(bdf, col("m") === col("bm"))
+        .withColumn("d2",
+          col("xx") - lit(2.0) * expr("dot_f64(sub, cvec)") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("cid"), col("vec_id"), col("sub"))
+      val means = assigned
+        .select(col("m"), col("cid"), col("vec_id"), posexplode(col("sub")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(sort_array(collect_list(
+          struct(col("vec_id").as("v"), col("col").as("x")))).as("vals"))
+        .select(col("m"), col("cid"), col("pos"),
+          (expr("aggregate(vals, 0d, (a, s) -> a + s.x)") /
+            size(col("vals"))).as("mn"))
+        .groupBy(col("m"), col("cid"))
+        .agg(sort_array(collect_list(
+          struct(col("pos").as("p"), col("mn").as("mn")))).as("pm"))
+        .select(col("m"), col("cid"), expr("transform(pm, s -> s.mn)").as("ce"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+        .toMap
+      book = book.map { case (m, cid, old) =>
+        (m, cid, means.getOrElse((m, cid), old)) }
+    }
+    book
+  }
+
+  /** The Lloyd loop above, unrolled into DuckDB CTEs (`b0 → bR`) keyed by
+    * (m, cid) — the [[Similarity]] `ivfTrainSqlDuck` convention, generated
+    * from the same constants so the two spellings cannot drift. */
+  private def pqTrainSqlDuck(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""subsx AS (SELECT vec_id, m,
+        list_transform(embedding[m*$PqDim+1 : m*$PqDim+$PqDim],
+          v -> CAST(v AS DOUBLE)) AS sub
+        FROM embeddings, (SELECT unnest(range($PqM)) AS m)),
+      subsq AS (SELECT vec_id, m, sub,
+        list_sum(list_transform(sub, v -> v * v)) AS xx FROM subsx),
+      b0 AS (SELECT m, vec_id AS cid, sub AS cvec FROM subsx
+        WHERE vec_id < $PqK)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      n$r AS (SELECT m, cid, cvec,
+          list_sum(list_transform(cvec, v -> v * v)) AS cc FROM b$r),
+      a$r AS (SELECT m, cid, vec_id, sub FROM (
+          SELECT s.m, b.cid, s.vec_id, s.sub, ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.m ORDER BY
+              s.xx - 2 * list_sum(list_transform(range(1, len(s.sub)+1),
+                i -> s.sub[i] * b.cvec[i])) + b.cc,
+              b.cid) AS rn
+          FROM subsq s JOIN n$r b ON s.m = b.m) WHERE rn = 1),
+      s$r AS (SELECT m, cid, i,
+          list_sum(list(x ORDER BY vec_id)) / count(*) AS mn
+          FROM (SELECT m, cid, vec_id, unnest(sub) AS x,
+              unnest(range(1, len(sub)+1)) AS i FROM a$r)
+          GROUP BY m, cid, i),
+      b${r + 1} AS (SELECT p.m, p.cid, COALESCE(s.ce, p.cvec) AS cvec
+          FROM b$r p LEFT JOIN (SELECT m, cid, list(mn ORDER BY i) AS ce
+            FROM s$r GROUP BY m, cid) s
+          ON p.m = s.m AND p.cid = s.cid)"""
+    }
+    sb.toString
+  }
 
   /** Nearest-of-8-seed-centroid assignment (the [[Clustering]] kernel)
     * plus the shared LSH bucket id and the L2 norm — the per-vector
@@ -208,4 +321,83 @@ object Semantic {
           AS score
       FROM shortlist s JOIN embeddings e USING (vec_id) CROSS JOIN qv
       ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  /** [[pqTopK]] with TRAINED codebooks — the deployment-practice variant
+    * (round-7 verdict stretch item): per-subspace Lloyd k-means replaces
+    * the first-K seed subvectors, then the identical ADC scan + exact
+    * re-rank runs against the learned codes. Same scale stance as the
+    * seeded twin (codebooks broadcast and bounded at M·K rows; ADC scan
+    * linear in the codes relation; re-rank LIMIT-bounded); training adds
+    * `PqRounds` broadcast-join supersteps whose driver state is 2048
+    * doubles. Out of the headline bench like the other driver-loop
+    * training entries. Measured recall@10 vs exact search exceeds the
+    * seeded variant's (asserted alongside it in ScalaTest). */
+  val pqTopKTrained = QueryDef("emb_pq_topk_trained",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val subs = subvectors(e)
+      val trained = trainPqCodebooks(e, PqRounds)
+      val book = broadcast(trained.toDF("bm", "cid", "cvec")
+        .withColumn("cc", expr("dot_f64(cvec, cvec)")))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("cid"))
+      val codes = subs.join(book, col("m") === col("bm"))
+        .withColumn("d2",
+          col("xx") - lit(2.0) * expr("dot_f64(sub, cvec)") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+      val adc = subs.filter(col("vec_id") === 0)
+        .select(col("m").as("qm"), col("sub").as("qsub"))
+        .join(book, col("qm") === col("bm"))
+        .select(col("qm").as("am"), col("cid").as("acode"),
+          expr("dot_f64(qsub, cvec)").as("p"))
+      val shortlist = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(adc),
+          col("m") === col("am") && col("code") === col("acode"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("p")))).as("ps"))
+        .select(col("vec_id"),
+          expr("aggregate(ps, 0d, (a, x) -> a + x.p)").as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(50)
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(qvec))
+        .select(col("vec_id"), expr("dot_f64(embedding, qe)").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH ${pqTrainSqlDuck(PqRounds)},
+      book AS (SELECT m AS bm, cid, cvec,
+        list_sum(list_transform(cvec, v -> v * v)) AS cc FROM b$PqRounds),
+      codes AS (SELECT vec_id, m, cid AS code FROM (
+        SELECT s.vec_id, s.m, b.cid, ROW_NUMBER() OVER (
+          PARTITION BY s.vec_id, s.m ORDER BY
+            s.xx - 2 * list_sum(list_transform(range(1, len(s.sub)+1),
+              i -> s.sub[i] * b.cvec[i])) + b.cc,
+            b.cid) AS rn
+        FROM subsq s JOIN book b ON s.m = b.bm) WHERE rn = 1),
+      adc AS (SELECT q.m AS am, b.cid AS acode,
+        list_sum(list_transform(range(1, len(q.sub)+1),
+          i -> q.sub[i] * b.cvec[i])) AS p
+        FROM subsq q JOIN book b ON q.m = b.bm WHERE q.vec_id = 0),
+      shortlist AS (SELECT vec_id, list_sum(list(p ORDER BY m)) AS adc_score
+        FROM codes JOIN adc ON codes.m = adc.am AND codes.code = adc.acode
+        WHERE vec_id <> 0
+        GROUP BY vec_id
+        ORDER BY adc_score DESC, vec_id LIMIT 50),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT s.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding)+1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+          AS score
+      FROM shortlist s JOIN embeddings e USING (vec_id) CROSS JOIN qv
+      ORDER BY score DESC, vec_id LIMIT 10"""),
+    // driver-loop training rounds — correctness exemplar, out of the
+    // headline bench like sim_ann_ivf_trained and the BPE superstep loop
+    bench = false)
 }

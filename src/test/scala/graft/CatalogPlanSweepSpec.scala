@@ -80,6 +80,11 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // 4×8-entry PQ codebook and the 32-row query-ADC table: both bounded
     // by `vec_id < 8` / `vec_id = 0` key filters over the seed prefix
     "emb_pq_topk" -> Seq("agg[-]<-[embeddings]"),
+    // trained twin: the remaining embeddings-scanning broadcasts are the
+    // one-row query vector (`vec_id = 0`) and the query-ADC table (same
+    // filter × the M·K driver-local codebook) — the learned codebook
+    // itself is a LocalTableScan, bounded by construction
+    "emb_pq_topk_trained" -> Seq("agg[-]<-[embeddings]"),
     // query-term document frequencies: ≤ |q| rows by the literal IN
     // filter on the fixed 3-term query — bounded at any corpus size
     "text_bm25" -> Seq("agg[w]<-[documents]"),

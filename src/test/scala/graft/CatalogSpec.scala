@@ -25,8 +25,8 @@ class CatalogSpec extends AnyFunSuite {
 
   test("catalog counts match the documented contract") {
     val all = graft.queries.Registry.all
-    assert(all.size == 149, s"catalog size ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 147,
+    assert(all.size == 150, s"catalog size ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 148,
       s"oracle-backed ${all.count(_.oracle.isDefined)}")
     assert(all.count(_.bench) == 141, s"bench ${all.count(_.bench)}")
     // the only rows-only entries are the two engine-specific sketches
