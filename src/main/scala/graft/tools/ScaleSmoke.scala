@@ -64,7 +64,14 @@ object ScaleSmoke {
         // into classes instead of quadratic band buckets), real video
         // decode + frame fan-out, and the composed curation pipeline
         "mm_decode_jpeg", "mm_audio_features", "mm_phash_neardup",
-        "mm_decode_video", "mm_video_frames", "pipeline_curation_e2e")
+        "mm_decode_video", "mm_video_frames", "pipeline_curation_e2e",
+        // round-8 additions: the r7 embedding-space entries (semantic
+        // dedup's cluster∩bucket candidate join, the PQ ADC scan, BM25's
+        // query-filtered scorer) and the event entries that previously
+        // had no tier rows (the loader became schema-adaptive this round)
+        "dedup_semantic", "emb_pq_topk", "text_bm25",
+        "ev_sessionize", "ev_top_minute", "ev_sliding_window",
+        "ev_json_props")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -109,9 +116,11 @@ object ScaleSmoke {
   def buildScaledDir(spark: SparkSession, src: String, dir: String,
       mult: Int): Unit = {
     if (new java.io.File(s"$dir/_built_$mult").exists()) return
-    // events.parquet is TIMESTAMP(NANOS); read it as raw nanos (the scaled
-    // copy then carries a plain int64 ts, which Tables.events converts the
-    // same way)
+    // events.ts has shipped as both INT64 TIMESTAMP(NANOS) and real
+    // TIMESTAMP(MICROS) across generator versions; nanosAsLong makes the
+    // legacy encoding readable (micros is unaffected by the conf), and
+    // the scaled copy re-emits whatever dtype came in — Tables.events is
+    // schema-adaptive and converts either on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val OFF = 1000000000L
     def scaled(name: String, keyCols: Seq[String]): DataFrame = {
