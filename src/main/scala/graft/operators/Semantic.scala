@@ -44,7 +44,7 @@ import graft.{QueryDef, Tables}
   */
 object Semantic {
 
-  def all: Seq[QueryDef] = Seq(semanticDedup, pqTopK, pqTopKTrained)
+  def all: Seq[QueryDef] = Seq(semanticDedup, pqTopK, pqTopKTrained, ivfPqTopK)
 
   /** PQ geometry shared by [[pqTopK]] and [[pqTopKTrained]]: M subspaces
     * of `PqDim` contiguous dims, K sub-centroids per subspace. Two Lloyd
@@ -400,4 +400,161 @@ object Semantic {
     // driver-loop training rounds — correctness exemplar, out of the
     // headline bench like sim_ann_ivf_trained and the BPE superstep loop
     bench = false)
+
+  /** Coarse cells / probe width for [[ivfPqTopK]]. */
+  val IvfPqCoarseK = 8
+  val IvfPqNProbe = 2
+
+  /** IVF-PQ (IVFADC) top-k — the composite index every large-scale vector
+    * deployment actually runs (FAISS `IVF,PQ`): a coarse quantizer
+    * partitions the corpus into cells, each vector stores PQ codes of its
+    * RESIDUAL (x − cell centroid), and a query probes only its `nprobe`
+    * nearest cells, scoring candidates by an ADC lookup of per-subspace
+    * squared distances between the QUERY residual and the codebook —
+    * within one cell, ‖q − x‖² = ‖q_res − x_res‖² exactly, which is why
+    * residual coding beats raw-vector PQ at equal bits. Exact re-rank of
+    * the LIMIT-bounded shortlist finishes the standard two-stage shape.
+    *
+    * Unlike the trained twins, the whole index+search is ONE declarative
+    * plan — no supersteps, no driver state: coarse assignment is a
+    * broadcast join (CoarseK rows), residuals are a `zip_with` over the
+    * assigned centroid, codes reuse the [[pqTopK]] subspace machinery on
+    * residual subvectors, and the probe restriction is the inner join on
+    * the probed cell ids — candidates outside the probed cells never
+    * reach the ADC scan. At 100 TB the codes relation (16 B/vector) is
+    * the only full-corpus relation in the search path, and the per-query
+    * broadcasts (probes × codebook ADC table, shortlist) are size-fixed.
+    *
+    * Float discipline: embeddings cast to double ONCE; residual
+    * subtraction, every dot, and the per-subspace folds are then
+    * double-exact and order-pinned (sorted (m, p) fold), so Spark and
+    * DuckDB agree bit-for-bit. Distances are squared L2 throughout
+    * (ascending), ties on id. */
+  val ivfPqTopK = QueryDef("emb_ivfpq_topk",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+        .withColumn("xx", expr("dot_f64(emb, emb)"))
+      val coarse = e.filter(col("vec_id") < IvfPqCoarseK)
+        .select(col("vec_id").as("g_id"), col("emb").as("g_emb"),
+          col("xx").as("gg"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("g_id"))
+      val assigned = e.crossJoin(broadcast(coarse))
+        .withColumn("d2",
+          col("xx") - lit(2.0) * expr("dot_f64(emb, g_emb)") + col("gg"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("g_id"),
+          expr("zip_with(emb, g_emb, (x, y) -> x - y)").as("res"))
+      val rsubCols = (0 until PqM).map(m =>
+        expr(s"slice(res, ${m * PqDim + 1}, $PqDim)"))
+      val rsubs = assigned
+        .select(col("vec_id"), col("g_id"),
+          posexplode(array(rsubCols: _*)).as(Seq("m", "sub")))
+        .withColumn("sxx", expr("dot_f64(sub, sub)"))
+      val book = rsubs.filter(col("vec_id") < PqK)
+        .select(col("m").as("bm"), col("vec_id").as("cid"),
+          col("sub").as("cvec"), col("sxx").as("cc"))
+      val wC = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("cd2"), col("cid"))
+      val codes = rsubs.join(broadcast(book), col("m") === col("bm"))
+        .withColumn("cd2",
+          col("sxx") - lit(2.0) * expr("dot_f64(sub, cvec)") + col("cc"))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("g_id"), col("m"), col("cid").as("code"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("xx").as("qq"))
+      // nprobe nearest cells via sort+limit over the CoarseK-row relation
+      // (TakeOrderedAndProject — deliberately NOT a window: windows over
+      // unpartitioned relations are banned catalog-wide)
+      val probes = q.crossJoin(broadcast(coarse))
+        .withColumn("qd2",
+          col("qq") - lit(2.0) * expr("dot_f64(q_emb, g_emb)") + col("gg"))
+        .orderBy(col("qd2"), col("g_id")).limit(IvfPqNProbe)
+        .select(col("g_id").as("ag"),
+          expr("zip_with(q_emb, g_emb, (x, y) -> x - y)").as("qres"))
+      val qsubCols = (0 until PqM).map(m =>
+        expr(s"slice(qres, ${m * PqDim + 1}, $PqDim)"))
+      val qsubs = probes
+        .select(col("ag"), posexplode(array(qsubCols: _*)).as(Seq("qm", "qsub")))
+      val adc = qsubs.join(broadcast(book), col("qm") === col("bm"))
+        .withColumn("diff", expr("zip_with(qsub, cvec, (x, y) -> x - y)"))
+        .select(col("ag"), col("qm").as("am"), col("cid").as("acode"),
+          expr("dot_f64(diff, diff)").as("p"))
+      val shortlist = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(adc),
+          col("g_id") === col("ag") && col("m") === col("am") &&
+            col("code") === col("acode"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("p")))).as("ps"))
+        .select(col("vec_id"),
+          expr("aggregate(ps, 0d, (a, x) -> a + x.p)").as("adc_d2"))
+        .orderBy(col("adc_d2"), col("vec_id")).limit(50)
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (col("xx") - lit(2.0) * expr("dot_f64(emb, q_emb)") + col("qq"))
+            .as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+    },
+    Some(s"""WITH e2 AS (SELECT vec_id,
+        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+        list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS xx
+        FROM embeddings),
+      g AS (SELECT vec_id AS g_id, emb AS g_emb, xx AS gg FROM e2
+        WHERE vec_id < $IvfPqCoarseK),
+      asg AS (SELECT vec_id, g_id, g_emb, emb FROM (
+          SELECT x.vec_id, x.emb, c.g_id, c.g_emb, ROW_NUMBER() OVER (
+            PARTITION BY x.vec_id ORDER BY
+              x.xx - 2 * list_sum(list_transform(range(1, len(x.emb)+1),
+                i -> x.emb[i] * c.g_emb[i])) + c.gg,
+              c.g_id) AS rn
+          FROM e2 x CROSS JOIN g c) WHERE rn = 1),
+      res AS (SELECT vec_id, g_id,
+        list_transform(range(1, len(emb)+1), i -> emb[i] - g_emb[i]) AS r
+        FROM asg),
+      rsub AS (SELECT vec_id, g_id, m,
+        r[m*$PqDim+1 : m*$PqDim+$PqDim] AS sub
+        FROM res, (SELECT unnest(range($PqM)) AS m)),
+      rsubx AS (SELECT vec_id, g_id, m, sub,
+        list_sum(list_transform(sub, v -> v * v)) AS sxx FROM rsub),
+      book AS (SELECT m AS bm, vec_id AS cid, sub AS cvec, sxx AS cc
+        FROM rsubx WHERE vec_id < $PqK),
+      codes AS (SELECT vec_id, g_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.g_id, s.m, b.cid, ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.m ORDER BY
+              s.sxx - 2 * list_sum(list_transform(range(1, len(s.sub)+1),
+                i -> s.sub[i] * b.cvec[i])) + b.cc,
+              b.cid) AS rn
+          FROM rsubx s JOIN book b ON s.m = b.bm) WHERE rn = 1),
+      q AS (SELECT emb AS q_emb, xx AS qq FROM e2 WHERE vec_id = 0),
+      probes AS (SELECT c.g_id AS ag,
+          list_transform(range(1, len(q.q_emb)+1),
+            i -> q.q_emb[i] - c.g_emb[i]) AS qres
+        FROM g c CROSS JOIN q
+        ORDER BY q.qq - 2 * list_sum(list_transform(range(1, len(q.q_emb)+1),
+            i -> q.q_emb[i] * c.g_emb[i])) + c.gg,
+          c.g_id
+        LIMIT $IvfPqNProbe),
+      qsub AS (SELECT ag, m, qres[m*$PqDim+1 : m*$PqDim+$PqDim] AS sub
+        FROM probes, (SELECT unnest(range($PqM)) AS m)),
+      adc AS (SELECT q2.ag, q2.m AS am, b.cid AS acode,
+        list_sum(list_transform(range(1, len(q2.sub)+1),
+          i -> (q2.sub[i] - b.cvec[i]) * (q2.sub[i] - b.cvec[i]))) AS p
+        FROM qsub q2 JOIN book b ON q2.m = b.bm),
+      shortlist AS (SELECT vec_id, list_sum(list(p ORDER BY m)) AS adc_d2
+        FROM codes c JOIN adc a
+          ON c.g_id = a.ag AND c.m = a.am AND c.code = a.acode
+        WHERE c.vec_id <> 0
+        GROUP BY vec_id
+        ORDER BY adc_d2 ASC, vec_id LIMIT 50)
+      SELECT s.vec_id,
+        e.xx - 2 * list_sum(list_transform(range(1, len(e.emb)+1),
+          i -> e.emb[i] * q.q_emb[i])) + q.qq AS d2
+      FROM shortlist s JOIN e2 e USING (vec_id) CROSS JOIN q
+      ORDER BY d2 ASC, vec_id LIMIT 10"""))
 }

@@ -85,6 +85,11 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // filter × the M·K driver-local codebook) — the learned codebook
     // itself is a LocalTableScan, bounded by construction
     "emb_pq_topk_trained" -> Seq("agg[-]<-[embeddings]"),
+    // IVF-PQ: coarse centroids (vec_id < 8), residual codebook seeds
+    // (vec_id < 32), the per-probe ADC table, and the one-row query —
+    // each a key-range filter over the seed prefix or derived from one;
+    // the shortlist carries an explicit LIMIT
+    "emb_ivfpq_topk" -> Seq("agg[-]<-[embeddings]"),
     // query-term document frequencies: ≤ |q| rows by the literal IN
     // filter on the fixed 3-term query — bounded at any corpus size
     "text_bm25" -> Seq("agg[w]<-[documents]"),

@@ -172,6 +172,36 @@ class OperatorsSpec extends SparkSpec {
       "training should not lose recall vs the seeded codebooks")
   }
 
+  test("IVF-PQ: exact re-rank distances, probed-cell restriction, recall measured") {
+    import graft.operators.Semantic
+    val rows = Semantic.ivfPqTopK.fn(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // ground truth by exact squared L2 over the collected corpus (double
+    // math mirrors the entry's cast-once convention)
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def d2(x: Array[Double]): Double = {
+      var xx = 0.0; var xq = 0.0; var qq = 0.0; var i = 0
+      while (i < x.length) { xx += x(i)*x(i); xq += x(i)*q(i); qq += q(i)*q(i); i += 1 }
+      xx - 2.0 * xq + qq
+    }
+    val exact = all.filter(_._1 != 0L).map { case (id, v) => id -> d2(v) }.toMap
+    // every reported d2 is the true exact distance for that id
+    rows.foreach { r =>
+      assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) == 0.0,
+        s"re-rank distance for ${r.getLong(0)} is not the exact d2")
+    }
+    // recall@10 vs the exact L2 top-10 (probing 2 of 8 cells)
+    val truth = exact.toSeq.sortBy { case (id, dd) => (dd, id) }
+      .take(10).map(_._1).toSet
+    val hits = rows.map(_.getLong(0)).toSet
+    val recall = (truth & hits).size.toDouble / truth.size
+    info(f"IVF-PQ recall@10 = $recall%.2f (nprobe=${Semantic.IvfPqNProbe} of ${Semantic.IvfPqCoarseK} cells)")
+    assert(recall >= 0.4, f"IVF-PQ recall@10 $recall%.2f below 0.4")
+  }
+
   test("simhash pairs are well-formed and deterministic") {
     // NB: recall against planted near-dups is inherently partial here — a
     // 31-word vocabulary makes 32-bit simhash noisy (word swaps flip
