@@ -32,7 +32,8 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
-      embeddingNearDupLsh, paragraph, editVerify, prefixJaccard)
+      embeddingNearDupLsh, paragraph, editVerify, prefixJaccard,
+      incremental)
 
   /** Sub-document dedup: whole-document near-dup passes keep one copy of a
     * page, but production corpus cleaning also strips CONTENT repeated
@@ -117,6 +118,29 @@ object Dedup {
       (size(col("a_ss")) + size(col("b_ss")) -
         size(array_intersect(col("a_ss"), col("b_ss")))))
 
+  /** (doc_id, band, bkey) LSH band keys from a `(doc_id, ss)` shingle-set
+    * relation: K=16 minhashes as 16 `min` aggregates in ONE groupBy over
+    * the shingle rows (one shuffle, full map-side partials), then 4
+    * bands × 4 rows unpivoted by `stack` without leaving codegen. Shared
+    * by the self-join path ([[minhashPairs]]) and the batch-vs-index
+    * probe ([[incremental]]). */
+  private def minhashBands(sets: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map(i =>
+      min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
+    val mh = sets
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
+      .withColumn("th", rollHash("sh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)
+        .as(s"bkey$b")
+    }
+    mh.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0, bkey0, 1, bkey1, 2, bkey2, 3, bkey3) AS (band, bkey)")
+  }
+
   /** MinHash + LSH near-dup: K=16 signature, 4 bands × 4 rows, candidates
     * from band buckets, verified at Jaccard ≥ 0.5.
     *
@@ -150,23 +174,7 @@ object Dedup {
         .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
         .select(col("doc_id"), col("ss"))
         .localCheckpoint(false)
-      // (doc_id, m0..m15): minhash i = min over shingles of perm_i(rollhash)
-      val minCols = (0 until 16).map(i =>
-        min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
-      val mh = sets
-        .select(col("doc_id"), explode(col("ss")).as("sh"))
-        .withColumn("th", rollHash("sh"))
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-      // band key: 4 consecutive minhashes joined as a string; stack
-      // unpivots the 4 band columns without leaving codegen
-      val bandCols = (0 until 4).map { b =>
-        concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)
-          .as(s"bkey$b")
-      }
-      val bands = mh.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id",
-          "stack(4, 0, bkey0, 1, bkey1, 2, bkey2, 3, bkey3) AS (band, bkey)")
+      val bands = minhashBands(sets)
       val cands = bands.alias("x").join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -208,6 +216,78 @@ object Dedup {
       WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
           (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
       ORDER BY a, b"""),
+    bench = true)
+
+  /** Incremental ingest dedup — the shape a 100 TB corpus actually runs
+    * DAILY: an incoming batch (docs with `doc_id % 8 = 7` stand in for
+    * today's crawl) is probed against the EXISTING corpus's LSH band
+    * index; only band-bucket collisions are verified, and only batch
+    * docs get drop decisions. The full self-join ([[minhashLsh]]) is the
+    * bootstrap; this is the steady state, where per-ingest cost is
+    * proportional to the batch and its matched buckets — NOT the corpus:
+    * in production the `(bkey, doc_id)` index side is precomputed and
+    * stored bucketed by band key (see `sink_bucketed_roundtrip` for the
+    * layout machinery), so the probe join shuffles the batch only. Here
+    * both sides derive from one scan (the testdata has no stored index),
+    * which keeps the entry oracle-checkable end to end; the plan's join
+    * structure is identical either way.
+    *
+    * Output: one row per batch doc that near-duplicates an index doc
+    * (Jaccard ≥ 0.5 on word-3-gram shingles) — its keeper (min matching
+    * index id) and the strongest similarity that condemned it. */
+  val incremental = QueryDef("dedup_incremental",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val sets = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
+        .select(col("doc_id"), col("ss"))
+        .localCheckpoint(false)
+      val bands = minhashBands(sets)
+      val isBatch = col("doc_id") % 8 === 7
+      val cands = bands.filter(isBatch).alias("x")
+        .join(bands.filter(!isBatch).alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
+        .distinct()
+      cands
+        .join(sets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
+        .withColumn("jaccard", jaccardExpr)
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("b"))
+        .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
+        .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS th
+        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
+      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
+        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
+            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
+        FROM mh GROUP BY doc_id, band),
+      cands AS (SELECT DISTINCT x.doc_id AS b, y.doc_id AS a
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey
+        WHERE x.doc_id % 8 = 7 AND y.doc_id % 8 <> 7),
+      verified AS (SELECT b, a,
+          CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+            (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))
+            AS jaccard
+        FROM cands JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
+      SELECT b AS doc_id, MIN(a) AS kept_as, MAX(jaccard) AS max_jaccard
+      FROM verified WHERE jaccard >= 0.5
+      GROUP BY b ORDER BY doc_id"""),
     bench = true)
 
   /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1.

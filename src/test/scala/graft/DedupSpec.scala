@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * join defines. */
 class DedupSpec extends SparkSpec {
 
+  test("incremental dedup == the cross-boundary subset of the full self-join") {
+    // the batch-vs-index probe must reach exactly the same verified pairs
+    // the bootstrap self-join finds across the batch boundary (same bands,
+    // same verify): aggregate minhashPairs' cross-boundary pairs per batch
+    // doc and compare decisions exactly
+    val d = sf("sf0.001")
+    def isBatch(id: Long) = id % 8 == 7
+    val full = Dedup.minhashPairs(Tables.documents(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full
+      .flatMap { case (a, b, j) =>
+        if (isBatch(a) && !isBatch(b)) Some((a, b, j))       // batch, index
+        else if (isBatch(b) && !isBatch(a)) Some((b, a, j))  // batch, index
+        else None
+      }
+      .groupBy(_._1)
+      .map { case (bdoc, ms) =>
+        (bdoc, ms.map(_._2).min, ms.map(_._3).max) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.incremental.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      s"incremental decisions diverge from the self-join's cross-boundary subset")
+    assert(got.nonEmpty, "fixture should contain cross-boundary near-dups")
+  }
+
   test("banded simhash pairs == quadratic all-pairs definition (sf0.001)") {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
