@@ -104,14 +104,18 @@ object Dedup {
         FROM documents)
       GROUP BY norm ORDER BY keeper"""))
 
-  /** Shingle-set relation used by the Jaccard-based ops: (doc_id, ss) with
-    * ss = distinct word-3-gram shingles. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** (doc_id, ss) distinct word-3-gram shingle sets of an arbitrary
+    * `(doc_id, text, ...)` frame — the shared front of every MinHash
+    * path (self-join, incremental probe, streaming probe). */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 3)
       .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
       .select(col("doc_id"), col("ss"))
+
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(Tables.documents(s, d))
 
   private val jaccardExpr =
     (size(array_intersect(col("a_ss"), col("b_ss"))).cast("double") /
@@ -168,12 +172,7 @@ object Dedup {
       // CacheHygieneSpec pins the no-cache-entry invariant catalog-wide.
       // Lazy (false): materializes with the first action instead of at
       // query-construction time, so plan-only callers (Explain) stay free.
-      val sets = docs
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 3)
-        .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
-        .select(col("doc_id"), col("ss"))
-        .localCheckpoint(false)
+      val sets = shingleSetsOf(docs).localCheckpoint(false)
       val bands = minhashBands(sets)
       val cands = bands.alias("x").join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -238,12 +237,7 @@ object Dedup {
   val incremental = QueryDef("dedup_incremental",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
-      val sets = Tables.documents(s, d)
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 3)
-        .withColumn("ss", array_distinct(expr(shinglesSql("t", 3))))
-        .select(col("doc_id"), col("ss"))
-        .localCheckpoint(false)
+      val sets = shingleSets(s, d).localCheckpoint(false)
       val bands = minhashBands(sets)
       val isBatch = col("doc_id") % 8 === 7
       val cands = bands.filter(isBatch).alias("x")
@@ -289,6 +283,34 @@ object Dedup {
       FROM verified WHERE jaccard >= 0.5
       GROUP BY b ORDER BY doc_id"""),
     bench = true)
+
+  /** [[incremental]]'s probe as a two-frame library function — the form
+    * the STREAMING ingest path calls per microbatch (DocStreams
+    * `dedupAgainstIndexStream`): drop decisions for `batchDocs` probed
+    * against `indexDocs`' LSH band index, unordered (streaming sinks
+    * impose their own order). Each side is shingled/banded with the same
+    * helpers as the catalog entry, so stream-vs-batch parity is exact
+    * (pinned in FileStreamSpec). Per-call cost note: this rebuilds the
+    * index side's bands — right for tests and small holdouts; production
+    * stores the `(bkey, doc_id)` relation and loads it here instead. */
+  def probeAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(batchDocs.sparkSession)
+    val bs = shingleSetsOf(batchDocs).localCheckpoint(false)
+    val is = shingleSetsOf(indexDocs).localCheckpoint(false)
+    val cands = minhashBands(bs).alias("x")
+      .join(minhashBands(is).alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
+      .distinct()
+    cands
+      .join(is.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
+      .join(bs.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
+      .withColumn("jaccard", jaccardExpr)
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
+      .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
+  }
 
   /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1.
     *

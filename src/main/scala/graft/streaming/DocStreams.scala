@@ -71,6 +71,40 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming incremental dedup — the full ingest topology: documents
+    * stream in, and each microbatch is probed against the STATIC corpus
+    * LSH index (parquet at `indexDir`) exactly like a daily batch probe
+    * ([[graft.operators.Dedup.probeAgainstIndex]]); drop decisions go to
+    * `sink` per microbatch.
+    *
+    * `foreachBatch` rather than a direct stream transform because the
+    * probe aggregates (per-doc minhash groupBy + the per-batch-doc
+    * decision agg) — aggregations a file stream can't run in append mode
+    * without watermarks, and batch-probe semantics per microbatch is the
+    * ACTUAL production contract: a doc's decision depends only on its own
+    * content and the index, so the union of microbatch decisions equals
+    * the one-shot batch run (FileStreamSpec pins this). State is zero:
+    * the stream side carries no store, no watermark; cross-batch dedup of
+    * re-delivered files is the checkpoint's exactly-once job.
+    *
+    * Scale: per microbatch one batch-sized shingle/band build + one probe
+    * join into the index bands. Production keeps the index's
+    * `(bkey, doc_id)` relation stored bucketed by band key (the
+    * `sink_bucketed_roundtrip` layout) so the probe shuffles the batch
+    * only; here the index is re-banded per batch to stay hermetic. */
+  def dedupAgainstIndexStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index = batch.sparkSession.read.parquet(indexDir)
+          .select(col("doc_id"), col("text"))
+        sink(graft.operators.Dedup.probeAgainstIndex(
+          batch.select(col("doc_id"), col("text")), index), batchId)
+      }
+      .start()
+
   /** One shard's current Misra–Gries candidate set (refreshed every
     * microbatch the shard receives data in). */
   final case class HHUpdate(shard: Int, candidates: Seq[String])

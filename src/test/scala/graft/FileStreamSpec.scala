@@ -69,6 +69,42 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty, "planted holdout copies should be flagged")
   }
 
+  test("streaming incremental dedup == the batch probe over the same split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ickpt").toString
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    // static index = the existing corpus; stream = the incoming batch,
+    // split into two files so decisions span microbatches
+    val isBatch = col("doc_id") % 8 === 7
+    docs.filter(!isBatch).write.parquet(s"$dir/index")
+    docs.filter(isBatch && col("doc_id") % 16 === 7).write.parquet(s"$dir/in/b0")
+    docs.filter(isBatch && col("doc_id") % 16 =!= 7).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/index").schema
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")         // force ≥ 2 microbatches
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStreams.dedupAgainstIndexStream(
+      stream, s"$dir/index", ckpt,
+      (decisions, _) => got.synchronized {
+        got ++= decisions.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      })
+    q.processAllAvailable()
+    q.stop()
+
+    // the union of microbatch decisions must equal the one-shot batch
+    // probe (the dedup_incremental catalog entry) over the same split
+    val want = graft.operators.Dedup.incremental.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got.toSeq.sorted == want,
+      "streamed decisions diverge from the batch probe")
+    assert(want.nonEmpty, "fixture should contain cross-boundary near-dups")
+  }
+
   test("refreshable holdout: n-grams added between microbatches flag later docs only") {
     import spark.implicits._
     val docsDir = java.nio.file.Files.createTempDirectory("graft_rdocs").toString
