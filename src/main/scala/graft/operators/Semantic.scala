@@ -44,7 +44,60 @@ import graft.{QueryDef, Tables}
   */
 object Semantic {
 
-  def all: Seq[QueryDef] = Seq(semanticDedup, pqTopK, pqTopKTrained, ivfPqTopK)
+  def all: Seq[QueryDef] =
+    Seq(semanticDedup, pqTopK, pqTopKTrained, ivfPqTopK, hardNegatives)
+
+  /** Hard-negative mining — the contrastive-training data op: for every
+    * anchor, the most similar vector with a DIFFERENT label (hardest
+    * negative), restricted to the anchor's hyperplane LSH bucket — the
+    * same documented recall trade the near-dup paths make, and exactly
+    * how web-scale mining runs (all-pairs over 100 TB of embeddings is
+    * not a plan; per-bucket mining is). One equi-join on the bucket key,
+    * one anchor-partitioned window — no cross join, no global sort;
+    * candidate volume is Σ_bucket |b|², bounded by the bucket fan-out the
+    * LSH family controls.
+    *
+    * Output: (vec_id, label, neg_id, neg_label, cosine) — one row per
+    * anchor that has an opposite-label bucket-mate, ties on smaller
+    * neg_id. */
+  val hardNegatives = QueryDef("emb_hard_negatives",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+        .withColumn("bucket", expr(Similarity.bucketExpr))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("neg_id"))
+      e.alias("x").join(e.alias("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id") &&
+            col("x.label") =!= col("y.label"))
+        .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
+          col("y.vec_id").as("neg_id"), col("y.label").as("neg_label"),
+          (expr("dot_f64(x.embedding, y.embedding)") /
+            (col("x.nrm") * col("y.nrm"))).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("neg_id"),
+          col("neg_label"), col("cosine"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
+        ${Similarity.bucketSqlDuck("embedding")} AS bucket
+        FROM embeddings),
+      pairs AS (SELECT x.vec_id AS vec_id, x.label AS label,
+          y.vec_id AS neg_id, y.label AS neg_label,
+          list_sum(list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+            / (x.nrm * y.nrm) AS cosine
+        FROM e x JOIN e y ON x.bucket = y.bucket
+          AND x.vec_id <> y.vec_id AND x.label <> y.label)
+      SELECT vec_id, label, neg_id, neg_label, cosine FROM (
+        SELECT vec_id, label, neg_id, neg_label, cosine, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cosine DESC, neg_id) AS rn
+        FROM pairs) WHERE rn = 1 ORDER BY vec_id"""))
 
   /** PQ geometry shared by [[pqTopK]] and [[pqTopKTrained]]: M subspaces
     * of `PqDim` contiguous dims, K sub-centroids per subspace. Two Lloyd
