@@ -52,10 +52,23 @@ object Semantic {
     * negative), restricted to the anchor's hyperplane LSH bucket — the
     * same documented recall trade the near-dup paths make, and exactly
     * how web-scale mining runs (all-pairs over 100 TB of embeddings is
-    * not a plan; per-bucket mining is). One equi-join on the bucket key,
-    * one anchor-partitioned window — no cross join, no global sort;
-    * candidate volume is Σ_bucket |b|², bounded by the bucket fan-out the
-    * LSH family controls.
+    * not a plan; per-bucket mining is).
+    *
+    * Duplicate-proof by the phash-class construction (`mm_phash_neardup`
+    * precedent): real corpora carry many IDENTICAL embeddings (exact-dup
+    * documents embed identically), and identical vectors all land in one
+    * bucket — a naive member-level self-join is quadratic in the copy
+    * count (measured: 113.8 s at the 64×-replica tier). Instead, members
+    * collapse to distinct `(embedding, label)` CLASSES (rep = min
+    * vec_id); mining joins classes, one window ranks per anchor class,
+    * and decisions fan back to members linearly. Results are EXACTLY the
+    * member-level definition's: all members of a class share cosine to
+    * any candidate, so the member tie-break (cosine DESC, neg_id ASC)
+    * resolves to the best class's min member id — its rep. Same-class
+    * pairs can't be candidates (a class is label-homogeneous and the
+    * filter requires labels to differ), and cross-class identical
+    * embeddings with different labels remain candidates (cosine 1) as
+    * the definition demands.
     *
     * Output: (vec_id, label, neg_id, neg_label, cosine) — one row per
     * anchor that has an opposite-label bucket-mate, ties on smaller
@@ -64,20 +77,27 @@ object Semantic {
     (s, d) => {
       graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val classes = e
+        .groupBy(col("embedding"), col("label"))
+        .agg(min(col("vec_id")).as("rep"))
         .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
         .withColumn("bucket", expr(Similarity.bucketExpr))
-      val w = Window.partitionBy(col("vec_id"))
+      val w = Window.partitionBy(col("a_rep"))
         .orderBy(col("cosine").desc, col("neg_id"))
-      e.alias("x").join(e.alias("y"),
+      val best = classes.alias("x").join(classes.alias("y"),
           col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id") &&
             col("x.label") =!= col("y.label"))
-        .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
-          col("y.vec_id").as("neg_id"), col("y.label").as("neg_label"),
+        .select(col("x.rep").as("a_rep"),
+          col("y.rep").as("neg_id"), col("y.label").as("neg_label"),
           (expr("dot_f64(x.embedding, y.embedding)") /
             (col("x.nrm") * col("y.nrm"))).as("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .drop("rn")
+      e.join(classes.select(col("embedding"), col("label"), col("rep")),
+          Seq("embedding", "label"))
+        .join(best, col("rep") === col("a_rep"))
         .select(col("vec_id"), col("label"), col("neg_id"),
           col("neg_label"), col("cosine"))
         .orderBy(col("vec_id"))

@@ -71,7 +71,13 @@ object ScaleSmoke {
         // had no tier rows (the loader became schema-adaptive this round)
         "dedup_semantic", "emb_pq_topk", "text_bm25",
         "ev_sessionize", "ev_top_minute", "ev_sliding_window",
-        "ev_json_props")
+        "ev_json_props",
+        // round-8 entries: the IVFADC composite, the batch-vs-index
+        // incremental probe, and bucket-restricted hard-negative mining
+        // (the last shares the near-dup family's replica-corpus caveat:
+        // per-bucket pair volume is quadratic in the copy count by
+        // construction of the scaled corpus)
+        "emb_ivfpq_topk", "dedup_incremental", "emb_hard_negatives")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
