@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 
 /** Connected components over the near-duplicate candidate graph — the step
   * that turns pairwise dedup verdicts into keep/drop groups (a near-dup
@@ -25,7 +25,7 @@ import graft.QueryDef
   */
 object Components {
 
-  def all: Seq[QueryDef] = Seq(dedupComponents)
+  def all: Seq[QueryDef] = Seq(dedupComponents, splitLeakageSafe)
 
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — the adversarial-
@@ -173,5 +173,70 @@ object Components {
       JOIN (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
         USING (component)
       ORDER BY node"""),
+    bench = false)
+
+  /** Leakage-safe train/test split — the eval-integrity op every
+    * training-data pipeline needs and per-doc hash splits silently get
+    * wrong: if near-duplicates straddle the split, the test set leaks
+    * into training. The unit of assignment is therefore the NEAR-DUP
+    * COMPONENT (docs outside any component are their own singleton
+    * group): group key = component minimum, split = a deterministic
+    * integer hash of the group key (≈10% test), so every member of a
+    * dup class lands on the same side by construction — no pair can
+    * straddle (asserted in ScalaTest on the actual pair set).
+    *
+    * Scale: the pair graph + star components are the proven
+    * [[dedupComponents]] machinery; the split itself is one hash over
+    * the group key and a left join back to the corpus — linear, layout-
+    * free, reproducible on any cluster (no rand()). */
+  val splitLeakageSafe = QueryDef("split_leakage_safe",
+    (s, d) => {
+      val pairs = Dedup.minhashLsh.fn(s, d).select(col("a"), col("b"))
+      val comp = connectedComponentsStar(pairs)
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          when((col("group_key") * lit(1000003L) + lit(17L))
+            % lit(1000000007L) % 10 === 0, "test").otherwise("train"))
+        .select(col("doc_id"), col("group_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
+        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007) AS th
+        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
+      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
+        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
+            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
+        FROM mh GROUP BY doc_id, band),
+      cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      pairs AS (SELECT a, b FROM cands
+        JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+        WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5),
+      sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b, a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+        FROM reach GROUP BY u)
+      SELECT d.doc_id,
+        COALESCE(c.component, d.doc_id) AS group_key,
+        CASE WHEN ((COALESCE(c.component, d.doc_id) * 1000003 + 17)
+          % 1000000007) % 10 = 0 THEN 'test' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      ORDER BY d.doc_id"""),
+    // contains the star-loop driver fixpoint like dedup_components
     bench = false)
 }

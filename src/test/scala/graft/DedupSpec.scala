@@ -34,6 +34,22 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain cross-boundary near-dups")
   }
 
+  test("leakage-safe split: no near-dup pair straddles train/test") {
+    val d = sf("sf0.001")
+    val split = graft.operators.Components.splitLeakageSafe.fn(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.minhashLsh.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) straddles the split: ${split(a)} vs ${split(b)}")
+    }
+    // and the split is a real split, not a constant
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "test"), s"splits: $counts")
+  }
+
   test("banded simhash pairs == quadratic all-pairs definition (sf0.001)") {
     val banded = SparkEntry.queries("dedup_simhash")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
