@@ -20,7 +20,45 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, jsonProps, topMinute, sliding, rangeJoin,
-      resample, resampleFat)
+      resample, resampleFat, anomaly)
+
+  /** Hourly-volume anomaly detection with an ALL-INTEGER 3σ decision —
+    * the monitoring query every event pipeline runs, made bit-portable
+    * by never computing a float: |x − μ| > 3σ over per-type hourly
+    * counts is equivalent to (n·x − Σx)² > 9·(n·Σx² − (Σx)²), which is
+    * exact BIGINT arithmetic end to end — no mean, no sqrt, no epsilon,
+    * no engine drift (the same integer-decision discipline as
+    * `text_quality_model` and `text_bm25`).
+    *
+    * Scale: one partial-agg pass to hourly counts (calendar-bounded ×
+    * type rows), one tiny per-type stats agg joined back (unhinted —
+    * AQE broadcasts it while small, the round-6 vocabulary-relation
+    * convention); no windows, no self-join. */
+  val anomaly = QueryDef("ev_anomaly",
+    (s, d) => {
+      val hourlyCnt = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourlyCnt.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      hourlyCnt.join(stats, "event_type")
+        .filter((col("n") * col("cnt") - col("s1")) *
+          (col("n") * col("cnt") - col("s1")) >
+          lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("hour"), col("cnt"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH hourly AS (SELECT event_type,
+        date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (SELECT event_type, COUNT(*) AS n,
+        SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM hourly GROUP BY 1)
+      SELECT h.event_type, h.hour, h.cnt
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE (s.n*h.cnt - s.s1)*(s.n*h.cnt - s.s1)
+        > 9*(s.n*s.s2 - s.s1*s.s1)
+      ORDER BY h.event_type, h.hour"""))
 
   /** Minute-grid resampling with last-observation-carried-forward — the
     * time-series gap-filling step between raw event streams and anything
