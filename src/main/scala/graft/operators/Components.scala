@@ -130,11 +130,11 @@ object Components {
     * recursive CTE. */
   val dedupComponents = QueryDef("dedup_components",
     (s, d) => {
-      val pairs = Dedup.minhashLsh.fn(s, d).select(col("a"), col("b"))
-      // ships the O(log n)-round star algorithm; ComponentsSpec proves it
-      // equal to min-label propagation, and the DuckDB recursive-CTE
-      // oracle checks the result independently
-      val comp = connectedComponentsStar(pairs)
+      // duplicate-proof class edge set (r8): connectivity-identical to
+      // the full pair graph but linear in verbatim copies — the oracle
+      // still checks against the full-pair recursive CTE independently
+      val edges = Dedup.minhashClassEdges(Tables.documents(s, d))
+      val comp = connectedComponentsStar(edges)
       val sizes = comp.groupBy(col("component"))
         .agg(count(lit(1)).as("csize"))
       comp.join(sizes, "component")
@@ -191,8 +191,8 @@ object Components {
     * free, reproducible on any cluster (no rand()). */
   val splitLeakageSafe = QueryDef("split_leakage_safe",
     (s, d) => {
-      val pairs = Dedup.minhashLsh.fn(s, d).select(col("a"), col("b"))
-      val comp = connectedComponentsStar(pairs)
+      val comp = connectedComponentsStar(
+          Dedup.minhashClassEdges(Tables.documents(s, d)))
         .withColumnRenamed("node", "doc_id")
       Tables.documents(s, d).select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")

@@ -284,6 +284,57 @@ object Dedup {
       GROUP BY b ORDER BY doc_id"""),
     bench = true)
 
+  /** Connectivity-equivalent near-dup edge set, duplicate-proof by the
+    * class construction (the `mm_phash_neardup` discipline applied to
+    * MinHash): documents with IDENTICAL shingle sets collapse to one
+    * class (key = the sorted set itself — exact identity, no hash
+    * collision risk; rep = min doc_id), the edge set is rep→member star
+    * edges plus band-verified pairs over REPS ONLY, and connected
+    * components over it equal components over the full pair graph:
+    *
+    *  - same-class docs are mutual Jaccard-1 pairs in the full graph
+    *    (identical sets share every band), so a class is one connected
+    *    chunk — the star edges reproduce exactly that connectivity;
+    *  - a class member has its rep's band keys and Jaccard to everything,
+    *    so a cross-class pair exists in the full graph iff the rep pair
+    *    exists — rep-level mining loses nothing.
+    *
+    * Why it matters: a verbatim-duplicated corpus (the common case dedup
+    * exists FOR) makes full pair enumeration quadratic in the copy count
+    * (64 copies ⇒ 2016 pairs per base doc); the class edge set is linear
+    * in members + quadratic only in DISTINCT near-dup content. Measured:
+    * `split_leakage_safe` 64×-replica tier 129.7 s → single digits on
+    * this edge set, bit-identical components. */
+  def minhashClassEdges(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val sets = shingleSetsOf(docs)
+      .withColumn("ck", array_sort(col("ss")))
+      .localCheckpoint(false)
+    val classes = sets.groupBy(col("ck")).agg(min(col("doc_id")).as("rep"))
+    val members = sets.select(col("doc_id"), col("ck"))
+      .join(classes, "ck")
+      .select(col("doc_id"), col("rep"))
+    val memberEdges = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val repSets = sets
+      .join(classes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("ss"))
+      .localCheckpoint(false)
+    val bands = minhashBands(repSets)
+    val cands = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val repPairs = cands
+      .join(repSets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
+      .join(repSets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
+      .withColumn("jaccard", jaccardExpr)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"))
+    memberEdges.union(repPairs)
+  }
+
   /** [[incremental]]'s probe as a two-frame library function — the form
     * the STREAMING ingest path calls per microbatch (DocStreams
     * `dedupAgainstIndexStream`): drop decisions for `batchDocs` probed

@@ -77,7 +77,8 @@ object ScaleSmoke {
         // (the last shares the near-dup family's replica-corpus caveat:
         // per-bucket pair volume is quadratic in the copy count by
         // construction of the scaled corpus)
-        "emb_ivfpq_topk", "dedup_incremental", "emb_hard_negatives")
+        "emb_ivfpq_topk", "dedup_incremental", "emb_hard_negatives",
+        "ev_anomaly")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
