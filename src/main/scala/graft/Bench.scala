@@ -181,8 +181,14 @@ object Bench {
       }
     // two timed passes, report per-query min: steady-state latency robust
     // to a stray GC pause / codegen-cache eviction landing on one query.
-    // On a heavily contended machine one pass can take minutes — skip the
-    // second pass then, so total bench wall-clock stays bounded.
+    // The skip threshold exists only for a PATHOLOGICALLY contended box
+    // (one pass taking many minutes), so total bench wall-clock stays
+    // bounded. It must sit well above the full catalog's normal
+    // first-pass time: round 8's driver gate run came in at 165.7 s
+    // first-pass (codec/JIT warm-up outliers like mm_video_frames 15.7 s
+    // vs 3.1 s steady-state) and the old 150 s threshold skipped the
+    // second pass, so the tracked record carried single-pass noise the
+    // min-of-two discipline exists to absorb.
     // drop cached frames queries registered (each invocation caches fresh
     // entries the session would otherwise accumulate across passes)
     spark.catalog.clearCache()
@@ -190,7 +196,7 @@ object Bench {
     val p1 = timedPass()
     spark.catalog.clearCache()
     val (cal2, p2opt) =
-      if (p1.map(_._2).sum <= 150.0) {
+      if (p1.map(_._2).sum <= 480.0) {
         val c = calibrate()
         (Some(c), Some(timedPass()))
       } else (None, None)
@@ -233,9 +239,21 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
     try {
-      val rec = java.nio.file.Paths.get("bench_records")
+      // anchor the durable record at the REPO ROOT, not the cwd: walk up
+      // from the launch directory to the nearest build.sbt (sbt runs from
+      // the root, but a bare `java -cp` launch from elsewhere previously
+      // dropped a stray bench_records/ and silently left the tracked
+      // record stale). The absolute path is logged either way so a
+      // misplaced record is visible, never silent.
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val root = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      val rec = root.resolve("bench_records")
       java.nio.file.Files.createDirectories(rec)
-      java.nio.file.Files.writeString(rec.resolve("BENCH_LATEST.json"), json + "\n")
+      val dest = rec.resolve("BENCH_LATEST.json")
+      java.nio.file.Files.writeString(dest, json + "\n")
+      System.err.println(s"[bench] durable record: ${dest.toAbsolutePath}")
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write bench_records copy: $t")
     }

@@ -31,8 +31,12 @@ object Tables {
     * both, so we branch on the *loaded* dtype rather than assuming one:
     *
     *  - INT64 annotated TIMESTAMP(NANOS): Spark's vectorized reader rejects
-    *    it outright, so we always set `nanosAsLong` before the scan — under
-    *    that conf the column surfaces as LongType and we floor-convert to a
+    *    it at schema-inference time, so the plain load is PROBED first and
+    *    only a footer that actually fails flips the legacy `nanosAsLong`
+    *    conf (a session-global setting — gating it behind the failed probe
+    *    keeps a loader from mutating shared session state on the common µs
+    *    path; TablesSpec pins that the conf stays untouched there). Under
+    *    the conf the column surfaces as LongType and we floor-convert to a
     *    microsecond TimestampType (lossless here; generator values are
     *    µs-aligned, and DuckDB compares at µs too).
     *  - real TIMESTAMP(MICROS) with isAdjustedToUTC=false: surfaces as
@@ -49,8 +53,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw =
+      try load(s, d, "events")
+      catch {
+        // TIMESTAMP(NANOS) footer — Spark rejects it during eager schema
+        // inference ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))");
+        // only that failure earns the session-global conf flip.
+        case e: Exception if Option(e.getMessage).exists(m =>
+            m.toLowerCase.contains("parquet")) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

