@@ -32,8 +32,107 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
-      embeddingNearDupLsh, paragraph, editVerify, prefixJaccard,
-      incremental)
+      embeddingNearDupLsh, paragraph, substringDedup, editVerify,
+      prefixJaccard, incremental)
+
+  /** Exact substring dedup — the suffix-array-class curation operator
+    * ([[paragraph]]'s doc comment concedes its disjoint 8-word blocks
+    * miss boundary-straddling spans; this closes that gap): flag every
+    * token span of length ≥ W that appears verbatim ANYWHERE else in the
+    * corpus (another document, or earlier in the same one), keeping only
+    * the global first occurrence. A span of length ≥ W appears verbatim
+    * elsewhere iff every one of its length-W subwindows does, so the
+    * OVERLAPPING W-token windows are the complete detector: window
+    * instances key by rolling hash, the global first occurrence
+    * (min doc_id, then min position within it) is the keeper, and every
+    * other instance marks its W tokens for removal. Per document the
+    * flagged windows merge into disjoint spans by the sorted-starts
+    * closed form Σ min(W, next_start − start) (no per-token explode —
+    * a verbatim-copy doc costs O(windows), not O(windows × W)).
+    *
+    * Scale shape: one corpus scan → overlapping-window fan-out (≈1 row
+    * per token) → ONE shuffle keyed by the window hash → first-occurrence
+    * agg → join back on the same key → per-doc merge. Linear end to end;
+    * no self-join, no candidate pairs (the `text_ngram_novelty` machinery
+    * extended to removal). The per-window hash here re-folds W words
+    * (O(L·W) character work per doc); the production upgrade at fixed
+    * plan shape is an O(L) character-level rolling-hash expression —
+    * plan structure, shuffle keys, and output are identical.
+    *
+    * Output per document: token count, duplicated-window count, merged
+    * removed-token count, and the removed fraction — the cleaner's
+    * report. W = 50 (the standard "drop ≥50-token verbatim spans"
+    * curation setting); docs shorter than W have no windows and report
+    * zero removed. */
+  /** [[substringDedup]]'s core over an arbitrary `(doc_id, text, ...)`
+    * frame with a configurable span width — the library entry point (and
+    * what DedupSpec drives with authored fixtures). */
+  def substringDedupOf(docsIn: DataFrame, W: Int): DataFrame = {
+      graft.functions.HashExpressions.register(docsIn.sparkSession)
+      val docs = docsIn
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"))
+        .localCheckpoint(false) // shared by the window fan-out + final join
+      val w = docs
+        .select(col("doc_id"), posexplode(expr(shinglesSql("t", W))))
+        .withColumnRenamed("pos", "pos0")
+        .withColumn("gh", rollHash("col"))
+        .select(col("doc_id"), col("pos0").as("pos"), col("gh"))
+      val firsts = w.groupBy(col("gh")).agg(min(col("doc_id")).as("fd"))
+      val firstPos = w.join(firsts, "gh")
+        .where(col("doc_id") === col("fd"))
+        .groupBy(col("gh")).agg(min(col("pos")).as("fp"))
+      val flagged = w.join(firsts, "gh").join(firstPos, "gh")
+        .where(!(col("doc_id") === col("fd") && col("pos") === col("fp")))
+        .select(col("doc_id"), col("pos"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val perDoc = flagged
+        .withColumn("nxt", lead(col("pos"), 1).over(wl))
+        .withColumn("cover",
+          least(lit(W.toLong), coalesce(col("nxt") - col("pos"), lit(W.toLong))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ndw"), sum(col("cover")).as("nrt"))
+      docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("ndw"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("nrt"), lit(0L)).as("n_removed_tokens"),
+          (coalesce(col("nrt"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("removed_frac"))
+        .orderBy(col("doc_id"))
+  }
+
+  val substringDedup = QueryDef("dedup_substring",
+    (s, d) => substringDedupOf(Tables.documents(s, d), 50),
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(t[i:i+49], ' '), ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS gh
+        FROM docs, UNNEST(range(1, len(t) - 48)) AS r(i)
+        WHERE len(t) >= 50),
+      firsts AS (SELECT gh, MIN(doc_id) AS fd FROM w GROUP BY gh),
+      fpos AS (SELECT w.gh, MIN(pos) AS fp FROM w JOIN firsts USING (gh)
+        WHERE doc_id = fd GROUP BY w.gh),
+      flagged AS (SELECT doc_id, pos
+        FROM w JOIN firsts USING (gh) JOIN fpos USING (gh)
+        WHERE NOT (doc_id = fd AND pos = fp)),
+      cov AS (SELECT doc_id, COUNT(*) AS ndw,
+          SUM(LEAST(50, COALESCE(nxt - pos, 50))) AS nrt
+        FROM (SELECT doc_id, pos,
+            LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM flagged)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(c.ndw, 0) AS BIGINT) AS n_dup_windows,
+        CAST(COALESCE(c.nrt, 0) AS BIGINT) AS n_removed_tokens,
+        CAST(COALESCE(c.nrt, 0) AS DOUBLE) / len(d.t) AS removed_frac
+      FROM docs d LEFT JOIN cov c USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   /** Sub-document dedup: whole-document near-dup passes keep one copy of a
     * page, but production corpus cleaning also strips CONTENT repeated

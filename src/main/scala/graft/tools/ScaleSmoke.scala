@@ -78,7 +78,12 @@ object ScaleSmoke {
         // per-bucket pair volume is quadratic in the copy count by
         // construction of the scaled corpus)
         "emb_ivfpq_topk", "dedup_incremental", "emb_hard_negatives",
-        "ev_anomaly")
+        "ev_anomaly",
+        // round-9 additions: exact substring dedup (overlapping-window
+        // rolling hash — linear: ~1 shuffled row per corpus token at any
+        // duplication rate; replica copies only grow the flagged set
+        // linearly since windows key by content hash, not pairs)
+        "dedup_substring")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -66,4 +66,41 @@ class DedupSpec extends SparkSpec {
     assert(banded.length == quadratic.length, "banding emitted duplicates")
     assert(banded.nonEmpty)
   }
+
+  test("substring dedup catches boundary-straddling spans; merge math exact") {
+    import spark.implicits._
+    val W = 10
+    // unique token vocabularies so only the authored spans collide:
+    // doc 0 holds the original; doc 1 embeds 12 of doc 0's tokens (a
+    // 12-token verbatim span = three overlapping 10-windows) at offset 5 —
+    // deliberately NOT aligned to dedup_paragraph's disjoint 8-blocks;
+    // doc 2 repeats its own 10-token span twice (within-doc dup);
+    // doc 3 is shorter than W and must report zeros.
+    val a = (0 until 30).map(i => s"a$i")
+    val span = a.slice(4, 16) // 12 tokens of doc 0
+    val b = (0 until 5).map(i => s"b$i") ++ span ++ (5 until 12).map(i => s"b$i")
+    val c0 = (0 until 10).map(i => s"c$i")
+    val c = c0 ++ Seq("cx", "cy") ++ c0
+    val docs = Seq(
+      (0L, a.mkString(" ")), (1L, b.mkString(" ")),
+      (2L, c.mkString(" ")), (3L, "tiny doc under width"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupOf(docs, W)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: every window is the global first occurrence → nothing removed
+    assert(got(0) == ((0L, 30L, 0L, 0L)))
+    // doc 1: exactly the three windows inside the copied 12-token span are
+    // flagged (positions 5,6,7) and they merge to 12 removed tokens —
+    // min(W, next-start gap) twice + W for the last = 1+1+10
+    assert(got(1) == ((1L, 24L, 3L, 12L)))
+    // doc 2: the second copy of the 10-token span is one flagged window
+    // (its windows straddling cx/cy are unique) → 10 removed
+    assert(got(2) == ((2L, 22L, 1L, 10L)))
+    // doc 3: shorter than W — zero windows, zero removed, still reported
+    // (doc 1's span is exactly the case dedup_paragraph's disjoint
+    // 8-blocks cannot catch: the copy sits at a different offset, so no
+    // block of doc 1 equals any block of doc 0)
+    assert(got(3) == ((3L, 4L, 0L, 0L)))
+  }
 }
