@@ -443,7 +443,20 @@ object Dedup {
     * (pinned in FileStreamSpec). Per-call cost note: this rebuilds the
     * index side's bands — right for tests and small holdouts; production
     * stores the `(bkey, doc_id)` relation and loads it here instead. */
-  def probeAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
+  def probeAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame =
+    crossPairs(batchDocs, indexDocs)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
+      .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
+
+  /** Verified MinHash near-dup pairs ACROSS two corpora — `(a, b,
+    * jaccard)` with `a` from `indexDocs`, `b` from `batchDocs`, Jaccard
+    * ≥ 0.5 on word-3-gram shingles, candidates only from band-bucket
+    * collisions. The pair-level core [[probeAgainstIndex]] aggregates
+    * into drop decisions, and the edge feed the incremental component
+    * maintenance path ([[Components.incrementalLabels]]) unions with
+    * the batch's internal pairs. */
+  def crossPairs(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(batchDocs.sparkSession)
     val bs = shingleSetsOf(batchDocs).localCheckpoint(false)
     val is = shingleSetsOf(indexDocs).localCheckpoint(false)
@@ -457,9 +470,7 @@ object Dedup {
       .join(bs.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
       .withColumn("jaccard", jaccardExpr)
       .filter(col("jaccard") >= 0.5)
-      .groupBy(col("b"))
-      .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
-      .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** 32-bit SimHash signatures + near-dup pairs at Hamming distance ≤ 1.

@@ -103,4 +103,32 @@ class DedupSpec extends SparkSpec {
     // block of doc 1 equals any block of doc 0)
     assert(got(3) == ((3L, 4L, 0L, 0L)))
   }
+
+  test("incremental component labels == from-scratch star on the union") {
+    import graft.operators.Components
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val isBatch = col("doc_id") % 8 === 7
+    // the incremental path: stored labels over the old corpus, then the
+    // batch's new edges folded in with only touched components recomputed
+    val stored = Components.connectedComponentsStar(
+      Dedup.minhashClassEdges(docs.filter(!isBatch)))
+    val newEdges = Dedup.minhashPairs(docs.filter(isBatch))
+      .select(col("a"), col("b"))
+      .unionAll(Dedup.crossPairs(docs.filter(isBatch), docs.filter(!isBatch))
+        .select(col("a"), col("b")))
+    val incr = Components.incrementalLabels(stored, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the from-scratch definition on the union graph
+    val scratch = Components.connectedComponentsStar(
+      Dedup.minhashClassEdges(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == scratch,
+      s"incremental labels diverge: only-incr=${(incr -- scratch).take(5)} " +
+      s"only-scratch=${(scratch -- incr).take(5)}")
+    assert(incr.nonEmpty, "fixture should contain near-dup components")
+    // and the batch really changed something (otherwise the test is void)
+    val storedSet = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr != storedSet, "fixture batch should touch some component")
+  }
 }

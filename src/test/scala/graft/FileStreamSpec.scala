@@ -105,6 +105,50 @@ class FileStreamSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture should contain cross-boundary near-dups")
   }
 
+  test("streaming component maintenance: label store == from-scratch after all batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmpck").toString
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val isBatch = col("doc_id") % 8 === 7
+    // seed corpus + its labels (the stored state a deployment maintains)
+    docs.filter(!isBatch).select(col("doc_id"), col("text"))
+      .write.parquet(s"$dir/corpus")
+    graft.operators.Components.connectedComponentsStar(
+        graft.operators.Dedup.minhashClassEdges(docs.filter(!isBatch)))
+      .write.parquet(s"$dir/labels")
+    // the ingest stream, split so edges span microbatches (b0's docs must
+    // be visible as corpus when b1 probes — the append path under test)
+    docs.filter(isBatch && col("doc_id") % 16 === 7)
+      .write.parquet(s"$dir/in/b0")
+    docs.filter(isBatch && col("doc_id") % 16 =!= 7)
+      .write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+
+    var batches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStreams.maintainComponentsStream(
+      stream, s"$dir/corpus", s"$dir/labels", ckpt,
+      (_, _) => batches += 1)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$dir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Components.connectedComponentsStar(
+        graft.operators.Dedup.minhashClassEdges(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"label store diverges from the from-scratch star run: " +
+      s"only-stream=${(got -- want).take(5)} only-batch=${(want -- got).take(5)}")
+    assert(batches >= 2, s"expected >= 2 microbatches, saw $batches")
+    // and the corpus store absorbed the whole ingest
+    assert(spark.read.parquet(s"$dir/corpus").count() == docs.count())
+  }
+
   test("refreshable holdout: n-grams added between microbatches flag later docs only") {
     import spark.implicits._
     val docsDir = java.nio.file.Files.createTempDirectory("graft_rdocs").toString
