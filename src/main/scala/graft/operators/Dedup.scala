@@ -32,8 +32,8 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
-      embeddingNearDupLsh, paragraph, substringDedup, editVerify,
-      prefixJaccard, incremental)
+      embeddingNearDupLsh, paragraph, substringDedup, substringApply,
+      editVerify, prefixJaccard, incremental)
 
   /** Exact substring dedup — the suffix-array-class curation operator
     * ([[paragraph]]'s doc comment concedes its disjoint 8-word blocks
@@ -64,10 +64,12 @@ object Dedup {
     * report. W = 50 (the standard "drop ≥50-token verbatim spans"
     * curation setting); docs shorter than W have no windows and report
     * zero removed. */
-  /** [[substringDedup]]'s core over an arbitrary `(doc_id, text, ...)`
-    * frame with a configurable span width — the library entry point (and
-    * what DedupSpec drives with authored fixtures). */
-  def substringDedupOf(docsIn: DataFrame, W: Int): DataFrame = {
+  /** Tokenized corpus + duplicated-window starts — the shared front of
+    * the substring-dedup pair: returns (docs = `(doc_id, t)`,
+    * flagged = `(doc_id, pos)` window starts whose W-gram occurs earlier
+    * corpus-wide). */
+  private def substringFlags(docsIn: DataFrame, W: Int)
+      : (DataFrame, DataFrame) = {
       graft.functions.HashExpressions.register(docsIn.sparkSession)
       val docs = docsIn
         .withColumn("t", tokens(col("text")))
@@ -85,6 +87,14 @@ object Dedup {
       val flagged = w.join(firsts, "gh").join(firstPos, "gh")
         .where(!(col("doc_id") === col("fd") && col("pos") === col("fp")))
         .select(col("doc_id"), col("pos"))
+      (docs, flagged)
+  }
+
+  /** [[substringDedup]]'s core over an arbitrary `(doc_id, text, ...)`
+    * frame with a configurable span width — the library entry point (and
+    * what DedupSpec drives with authored fixtures). */
+  def substringDedupOf(docsIn: DataFrame, W: Int): DataFrame = {
+      val (docs, flagged) = substringFlags(docsIn, W)
       val wl = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
       val perDoc = flagged
@@ -132,6 +142,90 @@ object Dedup {
         CAST(COALESCE(c.nrt, 0) AS BIGINT) AS n_removed_tokens,
         CAST(COALESCE(c.nrt, 0) AS DOUBLE) / len(d.t) AS removed_frac
       FROM docs d LEFT JOIN cov c USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** [[substringApply]]'s core: the CLEANED corpus — every token covered
+    * by a duplicated ≥W-token span dropped, survivors re-joined in
+    * order. The coverage test is a single per-doc running max: flag
+    * events (a duplicated window starting at `pos` covers up to
+    * `pos + W`) merge-sort with the token stream by position (flags
+    * first on ties), and a token at `p` survives iff the running max of
+    * flag limits is absent or ≤ `p`. One window per doc partition over
+    * ~2 rows per token — linear, no per-token×W explode, no join
+    * against span lists. */
+  def substringApplyOf(docsIn: DataFrame, W: Int): DataFrame = {
+      val (docs, flagged) = substringFlags(docsIn, W)
+      val toks = docs
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      val ev = flagged.select(col("doc_id"), col("pos").as("p"),
+          lit(0).as("kind"), lit(null).cast("string").as("tok"),
+          (col("pos") + lit(W)).as("lim"))
+        .unionByName(toks.select(col("doc_id"), col("p"),
+          lit(1).as("kind"), col("tok"), lit(null).cast("int").as("lim")))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"), col("kind"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val kept = ev
+        .withColumn("carry", max(col("lim")).over(wc))
+        .filter(col("kind") === 1 &&
+          (col("carry").isNull || col("carry") <= col("p")))
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nk"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)"),
+            " ").as("ct"))
+      docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("nk"), lit(0L)).as("n_kept"),
+          coalesce(col("ct"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+  }
+
+  /** The apply stage of [[substringDedup]] — not the report but the
+    * CLEANED CORPUS itself (doc_id, token counts, rebuilt text with
+    * every duplicated ≥W-token span stripped), the artifact the next
+    * pipeline stage actually consumes. A verbatim-copy document comes
+    * out empty; the first occurrence keeps its text verbatim. Same
+    * linear shape as the report plus one ordered per-doc re-join. */
+  val substringApply = QueryDef("dedup_substring_apply",
+    (s, d) => substringApplyOf(Tables.documents(s, d), 50),
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(t[i:i+49], ' '), ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS gh
+        FROM docs, UNNEST(range(1, len(t) - 48)) AS r(i)
+        WHERE len(t) >= 50),
+      firsts AS (SELECT gh, MIN(doc_id) AS fd FROM w GROUP BY gh),
+      fpos AS (SELECT w.gh, MIN(pos) AS fp FROM w JOIN firsts USING (gh)
+        WHERE doc_id = fd GROUP BY w.gh),
+      flagged AS (SELECT doc_id, pos
+        FROM w JOIN firsts USING (gh) JOIN fpos USING (gh)
+        WHERE NOT (doc_id = fd AND pos = fp)),
+      toks AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+        FROM docs, UNNEST(range(1, len(t) + 1)) AS r(i)),
+      ev AS (SELECT doc_id, pos AS p, 0 AS kind,
+          CAST(NULL AS VARCHAR) AS tok, pos + 50 AS lim FROM flagged
+        UNION ALL
+        SELECT doc_id, p, 1, tok, NULL FROM toks),
+      kept AS (SELECT doc_id, p, tok FROM (
+          SELECT doc_id, p, kind, tok,
+            MAX(lim) OVER (PARTITION BY doc_id ORDER BY p, kind
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+          FROM ev)
+        WHERE kind = 1 AND (carry IS NULL OR carry <= p)),
+      agg AS (SELECT doc_id, COUNT(*) AS nk,
+          array_to_string(list(tok ORDER BY p), ' ') AS ct
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_kept,
+        COALESCE(a.ct, '') AS clean_text
+      FROM docs d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""))
 
   /** Sub-document dedup: whole-document near-dup passes keep one copy of a

@@ -513,8 +513,13 @@ object Semantic {
     * double-exact and order-pinned (sorted (m, p) fold), so Spark and
     * DuckDB agree bit-for-bit. Distances are squared L2 throughout
     * (ascending), ties on id. */
-  val ivfPqTopK = QueryDef("emb_ivfpq_topk",
-    (s, d) => {
+  /** [[ivfPqTopK]]'s search, parameterized by probe width and shortlist
+    * size — the two knobs a deployment tunes (the catalog entry pins
+    * nprobe = [[IvfPqNProbe]], shortlist = 50; `graft.tools.AnnSweep`
+    * sweeps the grid and BASELINE.md records the recall/latency
+    * trade-off table). Same single declarative plan at every setting. */
+  def ivfPqSearch(s: SparkSession, d: String,
+      nprobe: Int, shortlistN: Int): DataFrame = {
       graft.functions.VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -556,7 +561,7 @@ object Semantic {
       val probes = q.crossJoin(broadcast(coarse))
         .withColumn("qd2",
           col("qq") - lit(2.0) * expr("dot_f64(q_emb, g_emb)") + col("gg"))
-        .orderBy(col("qd2"), col("g_id")).limit(IvfPqNProbe)
+        .orderBy(col("qd2"), col("g_id")).limit(nprobe)
         .select(col("g_id").as("ag"),
           expr("zip_with(q_emb, g_emb, (x, y) -> x - y)").as("qres"))
       val qsubCols = (0 until PqM).map(m =>
@@ -575,14 +580,17 @@ object Semantic {
         .agg(sort_array(collect_list(struct(col("m"), col("p")))).as("ps"))
         .select(col("vec_id"),
           expr("aggregate(ps, 0d, (a, x) -> a + x.p)").as("adc_d2"))
-        .orderBy(col("adc_d2"), col("vec_id")).limit(50)
+        .orderBy(col("adc_d2"), col("vec_id")).limit(shortlistN)
       e.join(broadcast(shortlist), "vec_id")
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           (col("xx") - lit(2.0) * expr("dot_f64(emb, q_emb)") + col("qq"))
             .as("d2"))
         .orderBy(col("d2"), col("vec_id")).limit(10)
-    },
+  }
+
+  val ivfPqTopK = QueryDef("emb_ivfpq_topk",
+    (s, d) => ivfPqSearch(s, d, IvfPqNProbe, 50),
     Some(s"""WITH e2 AS (SELECT vec_id,
         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
         list_sum(list_transform(embedding,

@@ -102,6 +102,24 @@ class DedupSpec extends SparkSpec {
     // 8-blocks cannot catch: the copy sits at a different offset, so no
     // block of doc 1 equals any block of doc 0)
     assert(got(3) == ((3L, 4L, 0L, 0L)))
+
+    // the APPLY stage must agree with the report's closed-form merge:
+    // tokens kept == n_tokens − n_removed, doc by doc (the token-level
+    // running-max removal and the Σ min(W, gap) arithmetic are two
+    // independent spellings of the same span algebra) — and the cleaned
+    // text itself drops exactly the authored spans
+    val applied = Dedup.substringApplyOf(docs, W).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    applied.zip(got).foreach { case ((id, nt, nk, _), (_, _, _, removed)) =>
+      assert(nk == nt - removed,
+        s"doc $id: apply kept $nk but report implies ${nt - removed}")
+    }
+    assert(applied(1)._4 ==
+      ((0 until 5).map(i => s"b$i") ++ (5 until 12).map(i => s"b$i"))
+        .mkString(" "),
+      "doc 1's cleaned text must be exactly its own tokens, span stripped")
+    assert(applied(0)._4 == a.mkString(" "),
+      "the first occurrence keeps its text verbatim")
   }
 
   test("incremental component labels == from-scratch star on the union") {
