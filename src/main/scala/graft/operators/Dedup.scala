@@ -33,7 +33,7 @@ object Dedup {
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
       embeddingNearDupLsh, paragraph, substringDedup, substringApply,
-      editVerify, prefixJaccard, incremental)
+      substringIncremental, editVerify, prefixJaccard, incremental)
 
   /** Exact substring dedup — the suffix-array-class curation operator
     * ([[paragraph]]'s doc comment concedes its disjoint 8-word blocks
@@ -93,8 +93,17 @@ object Dedup {
   /** [[substringDedup]]'s core over an arbitrary `(doc_id, text, ...)`
     * frame with a configurable span width — the library entry point (and
     * what DedupSpec drives with authored fixtures). */
-  def substringDedupOf(docsIn: DataFrame, W: Int): DataFrame = {
-      val (docs, flagged) = substringFlags(docsIn, W)
+  def substringDedupOf(docsIn: DataFrame, W: Int): DataFrame =
+    spanReport(substringFlags(docsIn, W), W)
+
+  /** Per-document span report from a tokenized corpus + flagged window
+    * starts: merged removed-token counts via the sorted-starts closed
+    * form Σ min(W, gap). Shared by the self-contained report
+    * ([[substringDedupOf]]) and the batch-vs-index probe
+    * ([[substringProbe]]). */
+  private def spanReport(docsFlags: (DataFrame, DataFrame), W: Int)
+      : DataFrame = {
+      val (docs, flagged) = docsFlags
       val wl = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
       val perDoc = flagged
@@ -142,6 +151,76 @@ object Dedup {
         CAST(COALESCE(c.nrt, 0) AS BIGINT) AS n_removed_tokens,
         CAST(COALESCE(c.nrt, 0) AS DOUBLE) / len(d.t) AS removed_frac
       FROM docs d LEFT JOIN cov c USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** Batch-vs-index substring probe — [[substringDedup]]'s daily steady
+    * state (the [[incremental]] story at span granularity): the incoming
+    * batch's overlapping W-token windows are checked against the EXISTING
+    * corpus's stored window-hash index (one distinct-BIGINT relation,
+    * 8 B/row in production, bucketed by hash so the probe shuffles the
+    * batch only); a batch window whose gram exists anywhere in the index
+    * is flagged, flags merge into spans by the same closed form, and
+    * only batch docs get reports. Per-ingest cost ∝ batch tokens +
+    * matched hashes — never the corpus. Here the index derives from one
+    * scan to stay oracle-checkable, like the band index of
+    * `dedup_incremental`. */
+  def substringProbe(batchDocs: DataFrame, indexDocs: DataFrame, W: Int)
+      : DataFrame = {
+      graft.functions.HashExpressions.register(batchDocs.sparkSession)
+      val b = batchDocs
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"))
+        .localCheckpoint(false)
+      val bw = b
+        .select(col("doc_id"), posexplode(expr(shinglesSql("t", W))))
+        .withColumnRenamed("pos", "pos0")
+        .withColumn("gh", rollHash("col"))
+        .select(col("doc_id"), col("pos0").as("pos"), col("gh"))
+      val idx = indexDocs
+        .withColumn("t", tokens(col("text")))
+        .select(posexplode(expr(shinglesSql("t", W))))
+        .withColumn("gh", rollHash("col"))
+        .select(col("gh")).distinct()
+      val flagged = bw.join(idx, Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      spanReport((b, flagged), W)
+  }
+
+  /** Catalog entry for [[substringProbe]]: the `doc_id % 8 = 7` batch
+    * probed against the rest of the corpus, `W = 50` — the report the
+    * ingest pipeline reads before running the apply stage on the day's
+    * crawl. */
+  val substringIncremental = QueryDef("dedup_substring_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 8 === 7
+      substringProbe(docs.filter(isBatch), docs.filter(!isBatch), 50)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(t[i:i+49], ' '), ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS gh
+        FROM docs, UNNEST(range(1, len(t) - 48)) AS r(i)
+        WHERE len(t) >= 50),
+      idx AS (SELECT DISTINCT gh FROM w WHERE doc_id % 8 <> 7),
+      flagged AS (SELECT doc_id, pos FROM w
+        WHERE doc_id % 8 = 7 AND gh IN (SELECT gh FROM idx)),
+      cov AS (SELECT doc_id, COUNT(*) AS ndw,
+          SUM(LEAST(50, COALESCE(nxt - pos, 50))) AS nrt
+        FROM (SELECT doc_id, pos,
+            LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM flagged)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(c.ndw, 0) AS BIGINT) AS n_dup_windows,
+        CAST(COALESCE(c.nrt, 0) AS BIGINT) AS n_removed_tokens,
+        CAST(COALESCE(c.nrt, 0) AS DOUBLE) / len(d.t) AS removed_frac
+      FROM docs d LEFT JOIN cov c USING (doc_id)
+      WHERE d.doc_id % 8 = 7
       ORDER BY d.doc_id"""))
 
   /** [[substringApply]]'s core: the CLEANED corpus — every token covered

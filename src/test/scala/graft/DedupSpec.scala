@@ -120,6 +120,16 @@ class DedupSpec extends SparkSpec {
       "doc 1's cleaned text must be exactly its own tokens, span stripped")
     assert(applied(0)._4 == a.mkString(" "),
       "the first occurrence keeps its text verbatim")
+
+    // the batch-vs-index probe: doc 1 as the incoming batch against
+    // doc 0 as the stored corpus must report exactly the copied span
+    // (12 tokens via 3 flagged windows) — and unlike the global report,
+    // the probe flags by PRESENCE in the index, not id order (an index
+    // hit condemns the batch window even if the batch doc's id is lower)
+    val probed = Dedup.substringProbe(
+        docs.filter(col("doc_id") === 1), docs.filter(col("doc_id") === 0), W)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(probed.toSeq == Seq((1L, 24L, 3L, 12L)))
   }
 
   test("incremental component labels == from-scratch star on the union") {
