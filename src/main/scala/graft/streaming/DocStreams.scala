@@ -105,6 +105,28 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming incremental substring dedup — the span-granularity twin
+    * of [[dedupAgainstIndexStream]]: each microbatch's overlapping
+    * 50-token windows probe the STATIC corpus's window-hash index
+    * ([[graft.operators.Dedup.substringProbe]]) and the per-doc span
+    * report goes to `sink`. A doc's report depends only on its own
+    * windows and the index, so the union of microbatch reports equals
+    * the one-shot batch probe (FileStreamSpec pins this); the stream
+    * carries no state store. Production loads the stored distinct-hash
+    * relation instead of re-deriving the index per batch. */
+  def substringAgainstIndexStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index = batch.sparkSession.read.parquet(indexDir)
+          .select(col("doc_id"), col("text"))
+        sink(graft.operators.Dedup.substringProbe(
+          batch.select(col("doc_id"), col("text")), index, 50), batchId)
+      }
+      .start()
+
   /** Streaming incremental component maintenance — the stateful ingest
     * topology [[dedupAgainstIndexStream]] stops short of: each microbatch
     * not only probes the corpus but FOLDS its near-dup edges into the

@@ -105,6 +105,42 @@ class FileStreamSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture should contain cross-boundary near-dups")
   }
 
+  test("streaming substring probe == the batch probe over the same split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_subck").toString
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val isBatch = col("doc_id") % 8 === 7
+    docs.filter(!isBatch).write.parquet(s"$dir/index")
+    docs.filter(isBatch && col("doc_id") % 16 === 7).write.parquet(s"$dir/in/b0")
+    docs.filter(isBatch && col("doc_id") % 16 =!= 7).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/index").schema
+
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStreams.substringAgainstIndexStream(
+      stream, s"$dir/index", ckpt,
+      (report, _) => got.synchronized {
+        got ++= report.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      })
+    q.processAllAvailable()
+    q.stop()
+
+    val want = graft.operators.Dedup.substringIncremental.fn(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got.toSeq.sorted == want,
+      "streamed span reports diverge from the batch probe")
+    assert(want.exists(_._3 > 0),
+      "fixture should contain at least one flagged batch span")
+  }
+
   test("streaming component maintenance: label store == from-scratch after all batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cmpck").toString
