@@ -23,7 +23,64 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
-  def all: Seq[QueryDef] = Seq(decontaminate, keepFilter)
+  def all: Seq[QueryDef] = Seq(decontaminate, decontaminateSpans, keepFilter)
+
+  /** Span-level decontamination — the surgical upgrade over
+    * [[decontaminate]]'s doc-level flag: instead of dropping every
+    * document that shares an 8-gram with the holdout, strip ONLY the
+    * overlapping spans and keep the rest of the text (standard practice
+    * when contaminated documents carry mostly-clean content). Built
+    * from the substring-dedup machinery at W = 8: every overlapping
+    * 8-token window of a corpus doc whose rolling hash appears in the
+    * holdout's window-hash set marks its 8 tokens for removal
+    * ([[Dedup.probeFlags]]), and the merge-sort/running-max apply
+    * ([[Dedup.spanApply]]) rebuilds the cleaned text. A doc sharing no
+    * 8-gram keeps its text verbatim; n_kept < n_tokens exactly on
+    * [[decontaminate]]'s flagged docs (pinned in PipelineOpsSpec).
+    *
+    * Scale shape: one corpus-sized shuffle keyed by window hash + the
+    * broadcastable holdout hash set + one per-doc window — linear, the
+    * same budget as the doc-level flag plus the rebuild. */
+  val decontaminateSpans = QueryDef("text_decontaminate_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.spanApply(Dedup.probeFlags(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 8), 8)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(t[i:i+7], ' '), ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS gh
+        FROM docs, UNNEST(range(1, len(t) - 6)) AS r(i)
+        WHERE len(t) >= 8),
+      idx AS (SELECT DISTINCT gh FROM w WHERE doc_id < 50),
+      flagged AS (SELECT doc_id, pos FROM w
+        WHERE doc_id >= 50 AND gh IN (SELECT gh FROM idx)),
+      corpus AS (SELECT doc_id, t FROM docs WHERE doc_id >= 50),
+      toks AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+        FROM corpus, UNNEST(range(1, len(t) + 1)) AS r(i)),
+      ev AS (SELECT doc_id, pos AS p, 0 AS kind,
+          CAST(NULL AS VARCHAR) AS tok, pos + 8 AS lim FROM flagged
+        UNION ALL
+        SELECT doc_id, p, 1, tok, NULL FROM toks),
+      kept AS (SELECT doc_id, p, tok FROM (
+          SELECT doc_id, p, kind, tok,
+            MAX(lim) OVER (PARTITION BY doc_id ORDER BY p, kind
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+          FROM ev)
+        WHERE kind = 1 AND (carry IS NULL OR carry <= p)),
+      agg AS (SELECT doc_id, COUNT(*) AS nk,
+          array_to_string(list(tok ORDER BY p), ' ') AS ct
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_kept,
+        COALESCE(a.ct, '') AS clean_text
+      FROM corpus d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   /** (doc_id, h): distinct 8-gram rolling hashes per document. Shared by
     * the batch decontamination query and the streaming twin

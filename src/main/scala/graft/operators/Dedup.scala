@@ -165,7 +165,15 @@ object Dedup {
     * scan to stay oracle-checkable, like the band index of
     * `dedup_incremental`. */
   def substringProbe(batchDocs: DataFrame, indexDocs: DataFrame, W: Int)
-      : DataFrame = {
+      : DataFrame =
+    spanReport(probeFlags(batchDocs, indexDocs, W), W)
+
+  /** Tokenized batch + its window starts flagged by PRESENCE in the
+    * index corpus's window-hash set — the probe-side front shared by the
+    * span report ([[substringProbe]]) and span-level decontamination
+    * (strip-the-span apply over a holdout index). */
+  private[operators] def probeFlags(batchDocs: DataFrame,
+      indexDocs: DataFrame, W: Int): (DataFrame, DataFrame) = {
       graft.functions.HashExpressions.register(batchDocs.sparkSession)
       val b = batchDocs
         .withColumn("t", tokens(col("text")))
@@ -183,7 +191,7 @@ object Dedup {
         .select(col("gh")).distinct()
       val flagged = bw.join(idx, Seq("gh"), "left_semi")
         .select(col("doc_id"), col("pos"))
-      spanReport((b, flagged), W)
+      (b, flagged)
   }
 
   /** Catalog entry for [[substringProbe]]: the `doc_id % 8 = 7` batch
@@ -232,8 +240,17 @@ object Dedup {
     * flag limits is absent or ≤ `p`. One window per doc partition over
     * ~2 rows per token — linear, no per-token×W explode, no join
     * against span lists. */
-  def substringApplyOf(docsIn: DataFrame, W: Int): DataFrame = {
-      val (docs, flagged) = substringFlags(docsIn, W)
+  def substringApplyOf(docsIn: DataFrame, W: Int): DataFrame =
+    spanApply(substringFlags(docsIn, W), W)
+
+  /** Cleaned-text assembly from a tokenized corpus + flagged window
+    * starts — the merge-sort/running-max removal shared by the
+    * whole-corpus apply ([[substringApplyOf]]) and the span-level
+    * decontamination probe ([[graft.operators.Curation]]'s
+    * `text_decontaminate_spans`). */
+  private[operators] def spanApply(docsFlags: (DataFrame, DataFrame), W: Int)
+      : DataFrame = {
+      val (docs, flagged) = docsFlags
       val toks = docs
         .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
       val ev = flagged.select(col("doc_id"), col("pos").as("p"),

@@ -85,7 +85,7 @@ object ScaleSmoke {
         // linearly since windows key by content hash, not pairs) and its
         // apply stage (same front + a ~2-rows-per-token merge window)
         "dedup_substring", "dedup_substring_apply",
-        "dedup_substring_incremental")
+        "dedup_substring_incremental", "text_decontaminate_spans")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

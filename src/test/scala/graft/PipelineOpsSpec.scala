@@ -107,4 +107,22 @@ class PipelineOpsSpec extends SparkSpec {
     // earliest click for user 1 is the ts(1)/id=2 event, not the first-listed
     assert(batch.contains((1L, "click", ts(1), 2L)))
   }
+
+  test("span decontamination strips exactly the doc-level flag set") {
+    // text_decontaminate_spans loses tokens on precisely the docs
+    // text_decontaminate flags (same 8-gram-overlap criterion, different
+    // remedy), and never touches a clean doc's text
+    val d = sf("sf0.001")
+    val spans = SparkEntry.queries("text_decontaminate_spans")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cut = spans.filter { case (_, nt, nk) => nk < nt }.map(_._1).toSet
+    val flagged = SparkEntry.queries("text_decontaminate")(spark, d)
+      .collect().filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(cut == flagged,
+      s"span removals diverge from the doc-level flags: " +
+      s"only-spans=${(cut -- flagged).take(5)} only-flag=${(flagged -- cut).take(5)}")
+    assert(flagged.nonEmpty, "fixture should contain contaminated docs")
+    val untouched = spans.filter { case (_, nt, nk) => nk == nt }
+    assert(untouched.nonEmpty, "fixture should contain clean docs too")
+  }
 }
