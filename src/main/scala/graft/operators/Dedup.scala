@@ -75,11 +75,18 @@ object Dedup {
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("t"))
         .localCheckpoint(false) // shared by the window fan-out + final join
+      // materialize the hashed window instances ONCE: three consumers
+      // (first-doc agg, first-pos agg, the flag join) would otherwise
+      // each re-run the W-word gram assembly + hash — the dominant cost
+      // (O(L·W) character work per pass; the A/B is in BASELINE.md).
+      // The materialized relation is compact: (doc_id, pos, gh) ≈ 20 B
+      // per corpus token, RDD-owned like every other localCheckpoint.
       val w = docs
         .select(col("doc_id"), posexplode(expr(shinglesSql("t", W))))
         .withColumnRenamed("pos", "pos0")
         .withColumn("gh", rollHash("col"))
         .select(col("doc_id"), col("pos0").as("pos"), col("gh"))
+        .localCheckpoint(false)
       val firsts = w.groupBy(col("gh")).agg(min(col("doc_id")).as("fd"))
       val firstPos = w.join(firsts, "gh")
         .where(col("doc_id") === col("fd"))
