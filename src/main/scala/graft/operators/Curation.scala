@@ -23,7 +23,86 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
-  def all: Seq[QueryDef] = Seq(decontaminate, decontaminateSpans, keepFilter)
+  def all: Seq[QueryDef] =
+    Seq(decontaminate, decontaminateSpans, keepFilter, dsirSelect)
+
+  /** DSIR-style data selection (importance resampling over hashed n-gram
+    * features — the published recipe: Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate a bag-of-
+    * hashed-unigrams distribution for the TARGET corpus (the doc_id < 50
+    * holdout prefix, standing in for the high-quality domain sample) and
+    * for the RAW pool (everything else), score every raw document by its
+    * importance log-ratio  Σ_tokens [ln p_target(bucket) − ln p_raw
+    * (bucket)]  with add-1 smoothing over B = 256 hash buckets, and keep
+    * the top-100 most-target-like documents.
+    *
+    * Scale shape: two corpus scans' worth of per-row hash work folded
+    * into ONE pass (the bucket histograms and per-doc bucket counts hash-
+    * aggregate from the same exploded token relation), a ≤B-row log-ratio
+    * table AQE broadcasts on runtime stats (no hint — the round-6
+    * vocabulary-relation rule), and a global top-k (TakeOrderedAndProject
+    * — per-partition heads, never a full sort). No self-joins; linear in
+    * corpus tokens at any scale.
+    *
+    * Float discipline: p_t and p_raw are single IEEE divisions of exact
+    * integers, ln is the bit-parity `math_ln`, the per-(doc, bucket) term
+    * is one multiply, and per-doc terms fold in bucket order
+    * (`sort_array` + `aggregate`) — the `text_entropy` convention, so the
+    * score hash-matches DuckDB exactly. */
+  val dsirSelect = QueryDef("curate_dsir",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val B = 256
+      val isTgt = col("doc_id") < 50
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("b", rollHash("w") % B)
+      val tot = tok.agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("nt"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("ns"))
+      val tgt = tok.filter(isTgt).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val db = tok.filter(!isTgt)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val lr = db.groupBy(col("b")).agg(sum(col("c")).as("cs"))
+        .join(tgt, Seq("b"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("b"), (
+          expr(s"math_ln(CAST(coalesce(ct, 0L) + 1L AS DOUBLE) / CAST(nt + $B AS DOUBLE))") -
+            expr(s"math_ln(CAST(cs + 1L AS DOUBLE) / CAST(ns + $B AS DOUBLE))")).as("lr"))
+      db.join(lr, "b")
+        .withColumn("term", col("c").cast("double") * col("lr"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sort_array(collect_list(struct(col("b"), col("term")))).as("ts"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(ts, 0d, (a, x) -> a + x.term)").as("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hb AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) % 256 AS b
+        FROM tok),
+      tot AS (SELECT
+          CAST(SUM(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        FROM hb),
+      tgt AS (SELECT b, COUNT(*) AS ct FROM hb WHERE doc_id < 50 GROUP BY b),
+      db AS (SELECT doc_id, b, COUNT(*) AS c
+        FROM hb WHERE doc_id >= 50 GROUP BY doc_id, b),
+      lr AS (SELECT s.b,
+          ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(o.nt + 256 AS DOUBLE)) -
+            ln(CAST(s.cs + 1 AS DOUBLE) / CAST(o.ns + 256 AS DOUBLE)) AS lr
+        FROM (SELECT b, CAST(SUM(c) AS BIGINT) AS cs FROM db GROUP BY b) s
+        LEFT JOIN tgt t USING (b) CROSS JOIN tot o),
+      dw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          list_sum(list(CAST(c AS DOUBLE) * lr ORDER BY b)) AS logw
+        FROM db JOIN lr USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, logw FROM dw
+      ORDER BY logw DESC, doc_id LIMIT 100"""))
 
   /** Span-level decontamination — the surgical upgrade over
     * [[decontaminate]]'s doc-level flag: instead of dropping every

@@ -125,4 +125,37 @@ class PipelineOpsSpec extends SparkSpec {
     val untouched = spans.filter { case (_, nt, nk) => nk == nt }
     assert(untouched.nonEmpty, "fixture should contain clean docs too")
   }
+
+  test("curate_dsir matches a serial importance-resampling oracle") {
+    // independent plain-Scala re-derivation: hashed-unigram bucket
+    // histograms, add-1 smoothed log-ratio, per-doc fold in bucket order
+    // (same op sequence as the distributed fold, so scores are
+    // bit-identical, not merely close)
+    val d = sf("sf0.001")
+    val B = 256
+    def bucket(w: String): Int = {
+      var h = 0L
+      w.getBytes.foreach { b => h = (h * 31 + (b & 0xffL)) % 1000000007L }
+      (h % B).toInt
+    }
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(bucket))
+    val tgtC = new Array[Long](B); val rawC = new Array[Long](B)
+    docs.foreach { case (id, bs) =>
+      bs.foreach(b => if (id < 50) tgtC(b) += 1 else rawC(b) += 1) }
+    val nt = tgtC.sum; val ns = rawC.sum
+    def lr(b: Int): Double =
+      math.log((tgtC(b) + 1).toDouble / (nt + B)) -
+        math.log((rawC(b) + 1).toDouble / (ns + B))
+    val want = docs.filter(_._1 >= 50).map { case (id, bs) =>
+      val cs = new Array[Long](B); bs.foreach(b => cs(b) += 1)
+      var acc = 0.0
+      (0 until B).foreach(b => if (cs(b) > 0) acc += cs(b).toDouble * lr(b))
+      (id, acc)
+    }.sortBy { case (id, w) => (-w, id) }.take(100).map(_._1).toSeq
+    val got = graft.operators.Curation.dsirSelect.fn(spark, d)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
 }
