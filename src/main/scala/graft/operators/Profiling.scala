@@ -17,7 +17,84 @@ import graft.{QueryDef, Tables}
   */
 object Profiling {
 
-  def all: Seq[QueryDef] = Seq(profileColumns, shuffleEpoch, dqChecks)
+  def all: Seq[QueryDef] =
+    Seq(profileColumns, shuffleEpoch, dqChecks, profileDrift)
+
+  /** Snapshot drift report (PSI — population stability index, the
+    * standard ingestion-monitoring statistic): compare the distribution
+    * of two corpus snapshots (even doc_ids standing in for yesterday's
+    * ingest, odd for today's) over two document features — token-length
+    * bucket and language — and emit one add-1-smoothed PSI term per
+    * (feature, value). The monitor alerts when Σ psi_term per feature
+    * crosses its threshold; terms are emitted unaggregated so the report
+    * also names WHICH values drifted (the actionable part).
+    *
+    * Plan shape: one scan, a two-branch union of (feature, value) rows,
+    * one hash aggregation, and a feature-level totals join AQE broadcasts
+    * (≤ #features rows) — linear at any corpus size. Float discipline:
+    * p_old/p_new are single divisions of exact integers; the term is one
+    * subtract, one divide, one `math_ln`, one multiply — deterministic,
+    * hash-exact vs the oracle. */
+  /** The drift report over any docs frame carrying (text, lang, is_old)
+    * — factored out so the zero-drift property (identical snapshots ⇒
+    * every psi_term exactly 0.0) is testable on a constructed corpus. */
+  private[graft] def driftOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      graft.functions.HashExpressions.register(docsIn.sparkSession)
+      import graft.functions.TextFunctions.tokens
+      val docs = docsIn
+        .withColumn("n", size(tokens(col("text"))).cast("long"))
+        .withColumn("len_b", expr("CAST(least(n DIV 32, 19) AS STRING)"))
+      val feats = docs
+        .select(col("is_old"), lit("len_bucket").as("feature"),
+          col("len_b").as("fval"))
+        .unionAll(docs.select(col("is_old"), lit("lang").as("feature"),
+          col("lang").as("fval")))
+      val counts = feats.groupBy(col("feature"), col("fval"))
+        .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+          sum(when(col("is_old"), 0L).otherwise(1L)).as("c_new"))
+      val totals = counts.groupBy(col("feature"))
+        .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+          count(lit(1)).as("k"))
+      counts.join(totals, "feature")
+        .withColumn("p_old",
+          expr("CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE)"))
+        .withColumn("p_new",
+          expr("CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)"))
+        .withColumn("psi_term",
+          (col("p_old") - col("p_new")) * expr("math_ln(p_old / p_new)"))
+        .select(col("feature"), col("fval"), col("c_old"), col("c_new"),
+          col("p_old"), col("p_new"), col("psi_term"))
+        .orderBy(col("feature"), col("fval"))
+  }
+
+  val profileDrift = QueryDef("profile_drift",
+    (s, d) => driftOf(Tables.documents(s, d)
+      .withColumn("is_old", col("doc_id") % 2 === 0)),
+    Some("""WITH docs AS (SELECT doc_id, doc_id % 2 = 0 AS is_old,
+          CAST(LEAST(len(string_split(text, ' ')) // 32, 19) AS VARCHAR)
+            AS len_b,
+          lang FROM documents),
+      feats AS (
+        SELECT is_old, 'len_bucket' AS feature, len_b AS fval FROM docs
+        UNION ALL SELECT is_old, 'lang', lang FROM docs),
+      counts AS (SELECT feature, fval,
+          CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+          CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS c_new
+        FROM feats GROUP BY feature, fval),
+      totals AS (SELECT feature, CAST(SUM(c_old) AS BIGINT) AS n_old,
+          CAST(SUM(c_new) AS BIGINT) AS n_new, COUNT(*) AS k
+        FROM counts GROUP BY feature)
+      SELECT feature, fval, c_old, c_new,
+        CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE) AS p_old,
+        CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE) AS p_new,
+        (CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE) -
+          CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)) *
+          ln((CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE)) /
+            (CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)))
+          AS psi_term
+      FROM counts JOIN totals USING (feature)
+      ORDER BY feature, fval"""))
 
   /** Data-quality constraint suite (the Deequ/dbt-test shape): the
     * acceptance checks an ingestion pipeline runs on every batch before

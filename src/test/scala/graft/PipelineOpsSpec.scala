@@ -158,4 +158,26 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == want)
   }
+
+  test("profile_drift: identical snapshots give exactly-zero PSI terms") {
+    // the same (text, lang) rows in both snapshots ⇒ c_old == c_new for
+    // every (feature, value) ⇒ p_old == p_new exactly (identical integer
+    // divisions) ⇒ psi_term == -0.0/0.0 bit-for-bit, not merely small
+    val rows = Seq(("a b c", "en"), ("d e", "de"), ("f g h i", "en"))
+    val docs = rows.zipWithIndex.flatMap { case ((t, l), i) =>
+      Seq((i.toLong * 2, t, l, true), (i.toLong * 2 + 1, t, l, false)) }
+      .toDF("doc_id", "text", "lang", "is_old")
+    val out = graft.operators.Profiling.driftOf(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(4) == r.getDouble(5), r.toString)   // p_old == p_new
+      assert(r.getDouble(6) == 0.0, r.toString)              // psi_term
+    }
+    // and a shifted snapshot must register positive total drift
+    val skewed = docs.withColumn("lang",
+      when(!col("is_old"), lit("fr")).otherwise(col("lang")))
+    val psi = graft.operators.Profiling.driftOf(skewed)
+      .filter(col("feature") === "lang").collect().map(_.getDouble(6)).sum
+    assert(psi > 0.0)
+  }
 }
