@@ -108,6 +108,34 @@ class OperatorsSpec extends SparkSpec {
       f"int8 quantization should be near-exact, got recall@3 $recall%.2f")
   }
 
+  test("emb_knn_graph: symmetric candidate edges, exact cosines, useful recall") {
+    val g = Similarity.knnGraph.fn(spark, d).collect()
+    assert(g.nonEmpty)
+    // ranks contiguous per source from 1; no self-edges
+    g.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+      rows.foreach(r => assert(r.getLong(2) != src))
+    }
+    // every graph cosine equals the exact brute-force cosine for that pair
+    val ids = g.map(_.getLong(0)).distinct.toSeq
+    val bf = Similarity.bruteForce(
+        Tables.embeddings(spark, d), ids, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    g.foreach { r =>
+      assert(bf((r.getLong(0), r.getLong(2))) == r.getDouble(3), r.toString)
+    }
+    // neighbor-list recall vs exact top-3 over the nodes the graph covers
+    // (Hamming-<=1 probed buckets; collision-only measured 0.25)
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), ids, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallG = (bf3 & hit).size.toDouble / bf3.size
+    info(f"knn-graph recall@3 = $recallG%.2f over ${ids.size} nodes")
+    assert(recallG >= 0.5, f"knn-graph recall@3 $recallG%.2f below 0.5")
+  }
+
   test("trained IVF: Lloyd moves centroids, scores stay exact, recall measured") {
     // centroids genuinely move off their seed vectors
     val seeds = Tables.embeddings(spark, d)
