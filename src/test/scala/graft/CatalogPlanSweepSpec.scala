@@ -40,7 +40,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "text_heavy_hitters",                      // candidate pass collects
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
     "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip") // file writes
+    "source_orc_roundtrip",
+    "dedup_incremental_stored") // file writes
 
   private val quadraticYardsticks = Set(
     "dedup_ngram_jaccard", "dedup_embedding_cosine")

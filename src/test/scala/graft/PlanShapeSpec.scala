@@ -419,4 +419,24 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1500)}")
     }
   }
+
+  test("dedup_incremental_stored: stored band index is read bucketed and never reshuffles") {
+    // first run writes the bucketed index tables; re-plan with broadcast
+    // off (the 100 TB shape) and check the probe join's distribution is
+    // satisfied by the STORED bucketing: the only hashpartitioning
+    // exchange on (band, bkey) belongs to the day's batch side
+    q("dedup_incremental_stored").count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = q("dedup_incremental_stored")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("graft_minhash_bands") && p.contains("Bucketed: true"),
+        p.take(3000))
+      val bandExchanges =
+        "Exchange hashpartitioning\\(band".r.findAllMatchIn(p).size
+      assert(bandExchanges == 1,
+        s"stored band index reshuffled ($bandExchanges band exchanges):\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
