@@ -40,40 +40,46 @@ import graft.functions.TextFunctions._
   */
 object Retrieval {
 
-  def all: Seq[QueryDef] = Seq(bm25)
+  def all: Seq[QueryDef] = Seq(bm25, hybridRrf)
 
   /** The fixed disjunctive query: three mid-frequency corpus terms. */
   private val QueryTerms = Seq("query", "join", "scan")
 
+  /** The BM25 scoring pipeline up to (doc_id, n_match, score_micro) —
+    * shared by [[bm25]] (top-20 ranking) and [[hybridRrf]] (sparse leg). */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val stats = docs
+      .agg(count(lit(1)).as("nd"), sum(size(col("t"))).as("ntot"))
+    val qtf = docs
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("w"))
+      .filter(col("w").isInCollection(QueryTerms))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"), max(col("dl")).as("dl"))
+    val df = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts_micro", expr(
+        "CAST(floor(math_ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5) / " +
+          "(CAST(df AS DOUBLE) + 0.5)) * " +
+          "((CAST(c AS DOUBLE) * 2.2) / (CAST(c AS DOUBLE) + 1.2 * " +
+          "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
+          "(CAST(ntot AS DOUBLE) / CAST(nd AS DOUBLE)))))) " +
+          "* 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("ts_micro")).as("score_micro"))
+  }
+
   val bm25 = QueryDef("text_bm25",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-      val stats = docs
-        .agg(count(lit(1)).as("nd"), sum(size(col("t"))).as("ntot"))
-      val qtf = docs
-        .select(col("doc_id"), size(col("t")).as("dl"),
-          explode(col("t")).as("w"))
-        .filter(col("w").isInCollection(QueryTerms))
-        .groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("c"), max(col("dl")).as("dl"))
-      val df = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      qtf.join(broadcast(df), "w")
-        .crossJoin(broadcast(stats))
-        .withColumn("ts_micro", expr(
-          "CAST(floor(math_ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5) / " +
-            "(CAST(df AS DOUBLE) + 0.5)) * " +
-            "((CAST(c AS DOUBLE) * 2.2) / (CAST(c AS DOUBLE) + 1.2 * " +
-            "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
-            "(CAST(ntot AS DOUBLE) / CAST(nd AS DOUBLE)))))) " +
-            "* 1000000.0 + 0.5) AS BIGINT)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_match"),
-          sum(col("ts_micro")).as("score_micro"))
+    (s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(20)
-    },
+        .limit(20),
     Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
         FROM documents),
       stats AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS ntot FROM docs),
@@ -94,4 +100,116 @@ object Retrieval {
         CAST(SUM(ts_micro) AS BIGINT) AS score_micro
       FROM terms GROUP BY doc_id
       ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009) —
+    * the combiner every modern RAG stack runs between its sparse (BM25)
+    * and dense (embedding ANN) legs: fetch top-Nc candidates from each
+    * ranker independently, then fuse by
+    *
+    *   rrf(d) = Σ_lists 1 / (K + rank_list(d)),   K = 60
+    *
+    * so a document ranked well by EITHER leg surfaces even when the
+    * other leg misses it entirely. Sparse leg = [[bm25Scored]] over the
+    * fixed 3-term query; dense leg = exact cosine against vec_id 0's
+    * embedding (doc_id and vec_id are the same 1:1 id space in the test
+    * tables — the production shape is the ANN shortlist feeding the same
+    * fusion).
+    *
+    * Scale stance: each leg is one corpus scan ending in a
+    * TakeOrderedAndProject top-50 (per-partition heads, never a full
+    * sort); ranks are then assigned by a window over the LIMIT-50-bounded
+    * candidate relation (serial by construction — ≤ 2·Nc rows at ANY
+    * corpus size, allowlisted in CatalogPlanSweepSpec), and the fusion
+    * join is ≤ Nc vs ≤ Nc rows. At 100 TB both legs are index probes
+    * (inverted-index posting lists / IVF-PQ shortlists) and the fusion
+    * cost is unchanged.
+    *
+    * Float discipline: each RRF term is ONE IEEE division of exact
+    * integers (1.0 / (60 + rank)) and the two-term sum is a fixed
+    * expression tree (sparse term + dense term) — bit-identical across
+    * engines; rank ties inside each leg are broken by doc id, so the
+    * ranks themselves are integers both engines agree on. */
+  val hybridRrf = QueryDef("retrieval_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val Nc = 50
+      // sparse leg: BM25 top-50 → ranks (window input bounded by LIMIT)
+      val sparse = bm25Scored(s, d)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(Nc)
+        .withColumn("r_sparse", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_sparse"))
+      // dense leg: exact cosine vs vec 0, top-50 → ranks
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine",
+          expr("dot_f64(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(Nc)
+        .withColumn("r_dense", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_dense"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("r_sparse").cast("int").as("r_sparse"),
+          col("r_dense").cast("int").as("r_dense"),
+          (expr("CASE WHEN r_sparse IS NULL THEN 0.0d " +
+              "ELSE 1.0d / (60.0d + CAST(r_sparse AS DOUBLE)) END") +
+            expr("CASE WHEN r_dense IS NULL THEN 0.0d " +
+              "ELSE 1.0d / (60.0d + CAST(r_dense AS DOUBLE)) END"))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS ntot FROM docs),
+      qtf AS (SELECT doc_id, w, COUNT(*) AS c, MAX(dl) AS dl FROM (
+          SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM docs)
+        WHERE w IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, w),
+      df AS (SELECT w, COUNT(*) AS df FROM qtf GROUP BY w),
+      terms AS (SELECT doc_id,
+          CAST(floor(ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5) /
+            (CAST(df AS DOUBLE) + 0.5)) *
+            ((CAST(c AS DOUBLE) * 2.2) / (CAST(c AS DOUBLE) + 1.2 *
+            (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+            (CAST(ntot AS DOUBLE) / CAST(nd AS DOUBLE))))))
+            * 1000000.0 + 0.5) AS BIGINT) AS ts_micro
+        FROM qtf JOIN df USING (w) CROSS JOIN stats),
+      bm AS (SELECT doc_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro
+        FROM terms GROUP BY doc_id),
+      bm50 AS (SELECT doc_id, score_micro FROM bm
+        ORDER BY score_micro DESC, doc_id LIMIT 50),
+      sparse AS (SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score_micro DESC, doc_id) AS r_sparse FROM bm50),
+      e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+      scored AS (SELECT e.vec_id,
+          list_sum(list_transform(range(1, len(q.q_emb)+1),
+            i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+            / (q.q_nrm * e.nrm) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+      cos50 AS (SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT 50),
+      dense AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+          ORDER BY cosine DESC, vec_id) AS r_dense FROM cos50)
+      SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+        CAST(s.r_sparse AS INT) AS r_sparse,
+        CAST(de.r_dense AS INT) AS r_dense,
+        (CASE WHEN s.r_sparse IS NULL THEN 0.0
+          ELSE 1.0 / (60.0 + CAST(s.r_sparse AS DOUBLE)) END) +
+        (CASE WHEN de.r_dense IS NULL THEN 0.0
+          ELSE 1.0 / (60.0 + CAST(de.r_dense AS DOUBLE)) END) AS rrf
+      FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 20"""))
 }

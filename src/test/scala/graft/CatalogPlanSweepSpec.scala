@@ -60,7 +60,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // the e2e pipeline ends in the same packCounts level-2 offsets
     // (≤ P-row bucket relation)
     "pipeline_curation_e2e",
-    "q42_moving_range", "sql_text_surface")
+    "q42_moving_range", "sql_text_surface",
+    // rank windows run over the LIMIT-50 candidate relations (each leg is
+    // a TakeOrderedAndProject top-Nc first; ≤ 2·Nc rows at any scale)
+    "retrieval_hybrid_rrf")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
@@ -94,6 +97,13 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // query-term document frequencies: ≤ |q| rows by the literal IN
     // filter on the fixed 3-term query — bounded at any corpus size
     "text_bm25" -> Seq("agg[w]<-[documents]"),
+    // RRF sparse leg inherits text_bm25's ≤|q|-row df broadcast; the
+    // dense leg broadcasts the 1-row query vector (`vec_id = 0` key
+    // filter over embeddings); the fused join sides both carry explicit
+    // LIMIT-50s
+    "retrieval_hybrid_rrf" -> Seq("agg[w]<-[documents]",
+      "agg[-]<-[documents]", "agg[doc_id]<-[documents]",
+      "agg[-]<-[embeddings]"),
     // 20-query probe set (`vec_id < 20`), and for IVF the K-cell
     // centroid sample plus 20×nprobe probe assignments
     "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),

@@ -180,4 +180,40 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("feature") === "lang").collect().map(_.getDouble(6)).sum
     assert(psi > 0.0)
   }
+
+  test("retrieval_hybrid_rrf: exact two-term fusion; dense leg matches a serial cosine ranking") {
+    val d = sf("sf0.001")
+    val out = graft.operators.Retrieval.hybridRrf.fn(spark, d).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    def optInt(r: org.apache.spark.sql.Row, c: String): Option[Int] = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    }
+    out.foreach { r =>
+      val rs = optInt(r, "r_sparse"); val rd = optInt(r, "r_dense")
+      assert(rs.nonEmpty || rd.nonEmpty)
+      val want = rs.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(r.fieldIndex("rrf")) == want, r.toString)
+    }
+    // serial recompute of the dense leg's top-50 ranking
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qv = embs.find(_._1 == 0L).get._2
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val qn = math.sqrt(dot(qv, qv))
+    val denseRank = embs.filter(_._1 != 0L).toSeq
+      .map { case (id, v) => (id, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    out.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(optInt(r, "r_dense") == denseRank.get(id), s"doc $id")
+    }
+    // fused order is rrf-descending with doc_id tie-break
+    val pairs = out.map(r =>
+      (r.getDouble(r.fieldIndex("rrf")), r.getLong(r.fieldIndex("doc_id"))))
+    assert(pairs.sameElements(pairs.sortBy { case (s, id) => (-s, id) }))
+  }
 }
