@@ -17,7 +17,7 @@ import graft.functions.TextFunctions._
   */
 object Chunking {
 
-  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob, reassemble)
+  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob, reassemble, cdcChunk)
 
   /** Chunk size / stride (tokens). Stride < size → 10-token overlap, the
     * usual RAG setting. */
@@ -155,4 +155,144 @@ object Chunking {
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN re = t THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless
       FROM re"""))
+
+  /** Gram width for the CDC boundary hash and the cut divisor: a cut
+    * falls after token p when the rolling hash of tokens p−3..p is
+    * ≡ 0 (mod 16) — expected chunk length 16 tokens, minimum 1. */
+  val CdcW = 4
+  val CdcDiv = 16
+
+  /** Content-defined chunking (the FastCDC/Rabin recipe storage and
+    * web-crawl dedup systems use, re-expressed over token streams): cut
+    * chunk boundaries where a rolling hash of the last [[CdcW]] tokens
+    * hits 0 mod [[CdcDiv]], so boundaries depend only on LOCAL content.
+    * Unlike [[chunk]]'s fixed 50/40 windows, an insertion near a doc's
+    * head shifts every fixed window but leaves all CDC boundaries after
+    * the edit point intact — the property that makes chunk-hash dedup
+    * robust to shifted/edited near-duplicates where block-aligned
+    * schemes ([[Dedup.paragraph]]) lose alignment.
+    *
+    * Each chunk then keys by a content hash (position-ordered fold of
+    * per-token hashes) and the global first occurrence (min doc_id, then
+    * min start within it — the `dedup_substring` keeper rule) marks
+    * every other instance as a duplicate chunk. Output is the per-doc
+    * cleaner's report: chunk count, duplicate-chunk count, and
+    * duplicate-token count.
+    *
+    * Scale shape: one corpus scan → W-gram boundary hashes (≈1 row per
+    * token, same fan-out as `dedup_substring`) → per-doc running-sum
+    * window assigns chunk ids (partitioned by doc_id — parallelism =
+    * docs, the accepted per-doc window class) → one (doc, chunk) hash
+    * agg → one first-occurrence agg keyed by the chunk hash. Linear end
+    * to end; no self-join, no candidate pairs. */
+  val cdcChunk = QueryDef("text_cdc_chunk",
+    (s, d) => cdcChunkOf(Tables.documents(s, d)),
+    Some(cdcOracleSql))
+
+  /** [[cdcChunk]]'s core over an arbitrary `(doc_id, text, ...)` frame —
+    * the library entry point (and what the ChunkingSpec fixtures drive). */
+  def cdcChunkOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      graft.functions.HashExpressions.register(docsIn.sparkSession)
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsIn
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"))
+        .localCheckpoint(false) // shared: grams, tokens, final report join
+      // boundary detector: rolling hash of each W-token gram; a gram
+      // starting at pos cuts AFTER token pos+W-1
+      val cuts = docs
+        .select(col("doc_id"), posexplode(expr(shinglesSql("t", CdcW))))
+        .withColumnRenamed("pos", "pos0")
+        .withColumn("gh", rollHash("col"))
+        .filter(col("gh") % CdcDiv === 0)
+        .select(col("doc_id"), (col("pos0") + (CdcW - 1)).as("cutpos"),
+          lit(1L).as("cut"))
+      val tok = docs
+        .select(col("doc_id"), posexplode(col("t")))
+        .withColumnRenamed("pos", "pos0")
+        .withColumn("th", rollHash("col"))
+        .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("th"))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = tok
+        .join(cuts, tok("doc_id") === cuts("doc_id") &&
+          tok("pos") === cuts("cutpos"), "left_outer")
+        .select(tok("doc_id"), col("pos"), col("th"),
+          coalesce(col("cut"), lit(0L)).as("cut"))
+        .withColumn("chunk_id", coalesce(sum(col("cut")).over(wl), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(min(col("pos")).as("start"), count(lit(1)).as("ct"),
+          sort_array(collect_list(struct(col("pos"), col("th")))).as("arr"))
+        .withColumn("ch", expr(
+          "aggregate(arr, CAST(0 AS BIGINT), " +
+            "(h, x) -> (h * 1000003L + x.th) % 1000000007L)"))
+        .select(col("doc_id"), col("start"), col("ct"), col("ch"))
+        .localCheckpoint(false) // three consumers: firsts, fpos, dup join
+      val firsts = chunks.groupBy(col("ch")).agg(min(col("doc_id")).as("fd"))
+      val fpos = chunks.join(firsts, "ch")
+        .where(col("doc_id") === col("fd"))
+        .groupBy(col("ch")).agg(min(col("start")).as("fs"))
+      val dup = chunks.join(firsts, "ch").join(fpos, "ch")
+        .where(!(col("doc_id") === col("fd") && col("start") === col("fs")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_chunks"), sum(col("ct")).as("n_dup_tokens"))
+      val perDoc = chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+      docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .join(dup, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+        .orderBy(col("doc_id"))
+  }
+
+  // def, not val: referenced by cdcChunk above its definition point
+  private def cdcOracleSql = """WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[i], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS th
+        FROM docs, UNNEST(range(1, len(t) + 1)) AS r(i)),
+      g AS (SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(t[i:i+3], ' '), ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS gh
+        FROM docs, UNNEST(range(1, len(t) - 2)) AS r(i)
+        WHERE len(t) >= 4),
+      cuts AS (SELECT doc_id, pos + 3 AS cutpos FROM g WHERE gh % 16 = 0),
+      tok2 AS (SELECT k.doc_id, k.pos, k.th,
+          CASE WHEN c.cutpos IS NULL THEN 0 ELSE 1 END AS cut
+        FROM tok k LEFT JOIN cuts c
+          ON k.doc_id = c.doc_id AND k.pos = c.cutpos),
+      tok3 AS (SELECT doc_id, pos, th,
+          COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM tok2),
+      chunks AS (SELECT doc_id, chunk_id, MIN(pos) AS start,
+          COUNT(*) AS ct,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list(th ORDER BY pos)),
+            (h, x) -> (h * 1000003 + x) % 1000000007) AS ch
+        FROM tok3 GROUP BY doc_id, chunk_id),
+      firsts AS (SELECT ch, MIN(doc_id) AS fd FROM chunks GROUP BY ch),
+      fpos AS (SELECT c.ch, MIN(start) AS fs
+        FROM chunks c JOIN firsts USING (ch) WHERE doc_id = fd GROUP BY c.ch),
+      dup AS (SELECT c.doc_id, COUNT(*) AS n_dup_chunks,
+          CAST(SUM(ct) AS BIGINT) AS n_dup_tokens
+        FROM chunks c JOIN firsts USING (ch) JOIN fpos USING (ch)
+        WHERE NOT (c.doc_id = fd AND c.start = fs)
+        GROUP BY c.doc_id),
+      agg AS (SELECT doc_id, COUNT(*) AS n_chunks
+        FROM chunks GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+        CAST(COALESCE(u.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        CAST(COALESCE(u.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+      FROM docs d LEFT JOIN agg a USING (doc_id) LEFT JOIN dup u USING (doc_id)
+      ORDER BY d.doc_id"""
 }

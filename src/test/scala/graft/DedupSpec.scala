@@ -159,4 +159,65 @@ class DedupSpec extends SparkSpec {
     val storedSet = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(incr != storedSet, "fixture batch should touch some component")
   }
+
+  /** Serial model of text_cdc_chunk: same rolling hashes, cut rule,
+    * chunk content hash, and first-occurrence keeper. */
+  private def serialCdc(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val M = 1000000007L
+    def rh(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % M)
+    // (doc, chunkStart, chunkTokenCount, chunkHash) for every chunk
+    val chunks = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val cutAfter = (0 to t.length - 4).filter { p =>
+        rh(t.slice(p, p + 4).mkString(" ")) % 16 == 0
+      }.map(_ + 3).toSet
+      val bounds = t.indices.foldLeft(Vector(Vector.empty[Int])) { (acc, p) =>
+        val acc2 = acc.init :+ (acc.last :+ p)
+        if (cutAfter(p)) acc2 :+ Vector.empty[Int] else acc2
+      }.filter(_.nonEmpty)
+      bounds.map { ps =>
+        val ch = ps.foldLeft(0L)((h, p) => (h * 1000003L + rh(t(p))) % M)
+        (id, ps.head.toLong, ps.length.toLong, ch)
+      }
+    }
+    val first = chunks.groupBy(_._4).map { case (ch, cs) =>
+      ch -> cs.minBy(c => (c._1, c._2))
+    }
+    docs.map { case (id, text) =>
+      val mine = chunks.filter(_._1 == id)
+      val dups = mine.filter(c => first(c._4) != c)
+      id -> (text.split(" ", -1).length.toLong, mine.size.toLong,
+        dups.size.toLong, dups.map(_._3).sum)
+    }.toMap
+  }
+
+  test("text_cdc_chunk matches the serial CDC model; boundaries survive a prefix edit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    val base = Seq.fill(120)(words(rnd.nextInt(words.size)))
+    val shifted = Seq("inserted", "tokens") ++ base   // prefix edit
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, shifted.mkString(" ")),
+      (2L, "tiny doc"))
+    val got = graft.operators.Chunking.cdcChunkOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = serialCdc(docs)
+    assert(got == want, s"got $got\nwant $want")
+    // the CDC property: after the 2-token prefix insertion, every chunk
+    // of doc 1 past the first re-synchronized boundary is content-equal
+    // to a doc-0 chunk → most of doc 1's tokens sit in duplicate chunks.
+    // A fixed-size chunker re-aligns nothing (every window shifts by 2).
+    val (n1, _, dupChunks1, dupTok1) = got(1L)
+    assert(dupChunks1 > 0, "prefix-shifted doc must re-sync to dup chunks")
+    assert(dupTok1.toDouble / n1 > 0.5,
+      s"expected majority of shifted doc in dup chunks, got $dupTok1/$n1")
+    // sanity: doc 0 is all first occurrences, tiny doc is one clean chunk
+    assert(got(0L)._3 == 0 && got(2L) == ((2L, 1L, 0L, 0L)))
+  }
 }
