@@ -108,6 +108,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // centroid sample plus 20×nprobe probe assignments
     "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
+    "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
     "sim_ann_lsh" -> Seq("agg[-]<-[embeddings]"),
     "sim_ann_ivf" -> Seq("agg[-]<-[embeddings]"),
     // calendar-bounded minute-bucket grid (distinct minutes of the span)

@@ -108,6 +108,36 @@ class OperatorsSpec extends SparkSpec {
       f"int8 quantization should be near-exact, got recall@3 $recall%.2f")
   }
 
+  test("matryoshka top-k: exact re-rank scores, contiguous ranks, useful recall") {
+    val mk = Similarity.matryoshkaTopK.fn(spark, d).collect()
+    assert(mk.nonEmpty)
+    // every emitted score is the EXACT full-vector cosine (re-rank stage)
+    val bf = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 5L).toSeq, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    mk.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(bf(key) == r.getDouble(3))
+    }
+    mk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    // recall@10: prefix-32 of 64 UNTRAINED dims is an unbiased sample —
+    // the 100-wide shortlist still has to recover most of the exact
+    // top-10 (measured 0.86 here; prefix-16/short-50 measured 0.44)
+    val bf10 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 5L).toSeq, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = mk.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf10 & hit).size.toDouble / bf10.size
+    info(f"matryoshka recall@10 = $recall%.2f")
+    assert(recall >= 0.7,
+      f"matryoshka shortlist recall@10 $recall%.2f below 0.7")
+  }
+
   test("emb_knn_graph: symmetric candidate edges, exact cosines, useful recall") {
     val g = Similarity.knnGraph.fn(spark, d).collect()
     assert(g.nonEmpty)
