@@ -20,7 +20,7 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, jsonProps, topMinute, sliding, rangeJoin,
-      resample, resampleFat, anomaly)
+      resample, resampleFat, anomaly, interpolate)
 
   /** Hourly-volume anomaly detection with an ALL-INTEGER 3σ decision —
     * the monitoring query every event pipeline runs, made bit-portable
@@ -207,6 +207,103 @@ object Events {
       FROM g ASOF LEFT JOIN ev e
         ON g.event_type = e.event_type AND g.t >= e.ts
       ORDER BY g.event_type, g.t"""))
+
+  /** Minute-grid resampling by LINEAR INTERPOLATION — [[resample]]'s
+    * smooth twin (the other standard gap-fill: sensors/metrics that vary
+    * continuously interpolate; state-like series carry forward). Each
+    * grid instant finds its nearest observation on each side within the
+    * series and emits
+    *
+    *   v = pv + (nv − pv) · (t − pt) / (nt − pt)
+    *
+    * a grid point before the first or after the last observation stays
+    * NULL (no extrapolation), and a grid instant that coincides with an
+    * observation emits that observation exactly (the t = pt branch, so
+    * no 0/0).
+    *
+    * Determinism: the same NULL-drop + per-(type, ts) MAX pre-dedup and
+    * (t, is_grid) tie-breaks as [[resample]] (an observation AT a grid
+    * instant is visible to it from BOTH directions: `is_grid` ascending
+    * for the backward window, descending for the forward one). Time
+    * deltas are exact BIGINT microseconds (`unix_micros`/`epoch_us`);
+    * the interpolation is ONE IEEE division and a fixed multiply-add
+    * tree — bit-identical across engines.
+    *
+    * Scale stance: two windows per series over the same partitioning
+    * (one shuffle, two intra-partition sorts). Series cardinality here
+    * is 5; the few-fat-series decomposition of [[resampleFat]] applies
+    * verbatim (bucket the carry in BOTH directions) if ever needed. */
+  val interpolate = QueryDef("ev_interpolate_linear",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("ts")).agg(max(col("value")).as("v"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr(
+          "sequence(timestamp'2024-01-15 00:00:00', " +
+            "timestamp'2024-01-15 23:59:00', interval 1 minute)")).as("t"))
+      val series = ev
+        .select(col("event_type"), col("ts").as("t"), col("v"),
+          lit(0).as("is_grid"), col("ts").as("ot"))
+        .unionByName(grid.select(col("event_type"), col("t"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid"),
+          lit(null).cast("timestamp").as("ot")))
+      val wPrev = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type"))
+        .orderBy(col("t").asc, col("is_grid").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      series
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(col("ot"), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(col("ot"), ignoreNulls = true).over(wNext))
+        .filter(col("is_grid") === 1)
+        .select(col("event_type"), col("t").as("minute_ts"), expr(
+          """CASE WHEN pt IS NOT NULL AND t = pt THEN pv
+            WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+              pv + (nv - pv) *
+                (CAST(unix_micros(t) - unix_micros(pt) AS DOUBLE) /
+                 CAST(unix_micros(nt) - unix_micros(pt) AS DOUBLE))
+            ELSE NULL END""").as("value_interp"))
+        .orderBy(col("event_type"), col("minute_ts"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_type, ts, MAX(value) AS v FROM events
+        WHERE value IS NOT NULL GROUP BY 1, 2),
+      g AS (
+        SELECT event_type, unnest(generate_series(
+          TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:00',
+          INTERVAL 1 MINUTE)) AS t
+        FROM (SELECT DISTINCT event_type FROM events)),
+      series AS (
+        SELECT event_type, ts AS t, v, 0 AS is_grid, ts AS ot FROM ev
+        UNION ALL
+        SELECT event_type, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+          CAST(NULL AS TIMESTAMP) AS ot FROM g),
+      w AS (SELECT event_type, t, is_grid,
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          LAST_VALUE(ot IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t ASC, is_grid DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          FIRST_VALUE(ot IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t ASC, is_grid DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM series)
+      SELECT event_type, t AS minute_ts,
+        CASE WHEN pt IS NOT NULL AND t = pt THEN pv
+          WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+            pv + (nv - pv) *
+              (CAST(epoch_us(t) - epoch_us(pt) AS DOUBLE) /
+               CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+          ELSE NULL END AS value_interp
+      FROM w WHERE is_grid = 1 ORDER BY event_type, minute_ts"""))
 
   /** Interval (range) join: count events of every other type inside the
     * [-2 min, +3 min) neighborhood of each busy click minute (≥2 clicks).

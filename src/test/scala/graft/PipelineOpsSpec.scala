@@ -181,6 +181,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("ev_interpolate_linear matches a serial interpolation model bit-exactly") {
+    val d = sf("sf0.001")
+    val got = graft.operators.Events.interpolate.fn(spark, d)
+      .select(col("event_type"), expr("unix_micros(minute_ts)").as("tu"),
+        col("value_interp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    // serial model with the identical double expression tree
+    val obs = Tables.events(spark, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(max(col("value")).as("v"))
+      .select(col("event_type"), expr("unix_micros(ts)").as("tu"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    val types = Tables.events(spark, d).select(col("event_type")).distinct()
+      .collect().map(_.getString(0))
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .toEpochMilli * 1000L
+    var checked = 0
+    types.foreach { ty =>
+      val series = obs.getOrElse(ty, Seq.empty)
+      (0 until 1440).foreach { m =>
+        val t = t0 + m * 60000000L
+        val pv = series.filter(_._1 <= t).lastOption
+        val nv = series.find(_._1 >= t)
+        val want: Option[Double] = (pv, nv) match {
+          case (Some((pt, p)), _) if pt == t => Some(p)
+          case (Some((pt, p)), Some((nt, n))) =>
+            Some(p + (n - p) * ((t - pt).toDouble / (nt - pt).toDouble))
+          case _ => None
+        }
+        assert(got((ty, t)) == want, s"$ty minute $m")
+        checked += 1
+      }
+    }
+    assert(checked == types.length * 1440 && got.size == checked)
+  }
+
   test("retrieval_hybrid_rrf: exact two-term fusion; dense leg matches a serial cosine ranking") {
     val d = sf("sf0.001")
     val out = graft.operators.Retrieval.hybridRrf.fn(spark, d).collect()
