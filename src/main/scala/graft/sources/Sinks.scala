@@ -27,7 +27,51 @@ object Sinks {
 
   def all: Seq[QueryDef] =
     Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip,
-      orcRoundtrip, zorderLayout)
+      orcRoundtrip, zorderLayout, schemaEvolution)
+
+  /** Schema-evolution ingest — the lake reality the fixed-schema
+    * roundtrips skip: a long-lived dataset's early files lack columns
+    * later files carry (producers add fields over time), and the reader
+    * must surface one union schema with NULLs where a file predates a
+    * column. Two snapshots of `orders` are written with drifted schemas
+    * (snapshot "a": key/custkey/totalprice; snapshot "b": + the
+    * `o_orderpriority` column added later), then read back in ONE
+    * `mergeSchema` parquet scan; the proof aggregate counts rows, exact
+    * decimal revenue, and non-null occurrences of the late column per
+    * snapshot — snapshot "a" MUST report zero of the latter, and totals
+    * must match the oracle's recomputation from the original table.
+    *
+    * Scale note: `mergeSchema` footer-merges at planning time (cost ∝
+    * files, not rows) and the scan itself stays one vectorized pass; at
+    * 100 TB the same read works against years of drifting producers
+    * without a rewrite — the alternative (rewriting old files on every
+    * schema change) is exactly what a lake cannot afford. */
+  val schemaEvolution = QueryDef("source_schema_evolution",
+    (s, d) => {
+      val path = sinkPath(d, "orders_evolving")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit("a").as("snap"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/snap=a_files")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), lit("b").as("snap"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/snap=b_files")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/snap=a_files", s"$path/snap=b_files")
+        .groupBy(col("snap"))
+        .agg(count(lit(1)).as("n"),
+          Num.sumd(Num.dec(col("o_totalprice"))).as("sum_price"),
+          count(col("o_orderpriority")).as("n_priority"))
+        .orderBy(col("snap"))
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CASE WHEN o_orderkey % 2 = 1 AND o_orderpriority IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_priority
+      FROM orders GROUP BY 1 ORDER BY snap"""))
 
   /** Deterministic sink location per source dir (same dir → same path, so
     * repeated invocations overwrite instead of accumulating). */

@@ -40,7 +40,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "text_heavy_hitters",                      // candidate pass collects
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
     "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip",
+    "source_orc_roundtrip", "source_schema_evolution",
     "dedup_incremental_stored") // file writes
 
   private val quadraticYardsticks = Set(

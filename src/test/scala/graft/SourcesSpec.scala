@@ -159,6 +159,21 @@ class SourcesSpec extends SparkSpec {
       "same logical rows must read bit-identically from both encodings")
   }
 
+  test("schema-evolution ingest: union schema, NULLs for pre-drift files") {
+    val d = sf("sf0.001")
+    val out = graft.sources.Sinks.schemaEvolution.fn(spark, d).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0); val b = out(1)
+    // snapshot "a" predates the column: every row reads NULL there
+    assert(a.getLong(a.fieldIndex("n_priority")) == 0L)
+    // snapshot "b" carries it on every row
+    assert(b.getLong(b.fieldIndex("n_priority")) ==
+      b.getLong(b.fieldIndex("n")))
+    // and the merged totals equal the source table exactly
+    val n = Tables.orders(spark, d).count()
+    assert(a.getLong(a.fieldIndex("n")) + b.getLong(b.fieldIndex("n")) == n)
+  }
+
   // NB: syn.graph SSSP parity lives in ShortestPathSpec against the
   // hermetic src/test/resources fixture — one copy, one test.
 }
