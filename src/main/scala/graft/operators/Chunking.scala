@@ -206,8 +206,8 @@ object Chunking {
         .withColumnRenamed("pos", "pos0")
         .withColumn("gh", rollHash("col"))
         .filter(col("gh") % CdcDiv === 0)
-        .select(col("doc_id"), (col("pos0") + (CdcW - 1)).as("cutpos"),
-          lit(1L).as("cut"))
+        .select(col("doc_id").as("cdoc"),
+          (col("pos0") + (CdcW - 1)).as("cutpos"), lit(1L).as("cut"))
       val tok = docs
         .select(col("doc_id"), posexplode(col("t")))
         .withColumnRenamed("pos", "pos0")
@@ -216,9 +216,9 @@ object Chunking {
       val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val chunks = tok
-        .join(cuts, tok("doc_id") === cuts("doc_id") &&
-          tok("pos") === cuts("cutpos"), "left_outer")
-        .select(tok("doc_id"), col("pos"), col("th"),
+        .join(cuts, col("doc_id") === col("cdoc") &&
+          col("pos") === col("cutpos"), "left_outer")
+        .select(col("doc_id"), col("pos"), col("th"),
           coalesce(col("cut"), lit(0L)).as("cut"))
         .withColumn("chunk_id", coalesce(sum(col("cut")).over(wl), lit(0L)))
         .groupBy(col("doc_id"), col("chunk_id"))

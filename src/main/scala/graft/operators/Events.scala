@@ -251,14 +251,20 @@ object Events {
       val wPrev = Window.partitionBy(col("event_type"))
         .orderBy(col("t"), col("is_grid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // forward neighbor as a RUNNING last() over the DESCENDING order —
+      // a [currentRow, unboundedFollowing) frame with first(ignoreNulls)
+      // is re-evaluated from scratch per row by WindowExec (O(rows²) per
+      // partition: measured 91 s vs 1.5 s at the 8× tier); the growing
+      // frame is incremental. Tie order (t desc, is_grid asc) keeps an
+      // observation AT a grid instant visible to it.
       val wNext = Window.partitionBy(col("event_type"))
-        .orderBy(col("t").asc, col("is_grid").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("t").desc, col("is_grid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       series
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
         .withColumn("pt", last(col("ot"), ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-        .withColumn("nt", first(col("ot"), ignoreNulls = true).over(wNext))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", last(col("ot"), ignoreNulls = true).over(wNext))
         .filter(col("is_grid") === 1)
         .select(col("event_type"), col("t").as("minute_ts"), expr(
           """CASE WHEN pt IS NOT NULL AND t = pt THEN pv
@@ -289,12 +295,12 @@ object Events {
           LAST_VALUE(ot IGNORE NULLS) OVER (PARTITION BY event_type
             ORDER BY t, is_grid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-          FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type
-            ORDER BY t ASC, is_grid DESC
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-          FIRST_VALUE(ot IGNORE NULLS) OVER (PARTITION BY event_type
-            ORDER BY t ASC, is_grid DESC
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t DESC, is_grid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+          LAST_VALUE(ot IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY t DESC, is_grid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
         FROM series)
       SELECT event_type, t AS minute_ts,
         CASE WHEN pt IS NOT NULL AND t = pt THEN pv

@@ -85,7 +85,19 @@ object ScaleSmoke {
         // linearly since windows key by content hash, not pairs) and its
         // apply stage (same front + a ~2-rows-per-token merge window)
         "dedup_substring", "dedup_substring_apply",
-        "dedup_substring_incremental", "text_decontaminate_spans")
+        "dedup_substring_incremental", "text_decontaminate_spans",
+        // round-9 additions (second wave): DSIR selection, PSI drift,
+        // kNN graph (class-collapsed bucket self-join), stored-index
+        // probe, RRF fusion, CDC chunking, matryoshka re-rank, linear
+        // interpolation (running-window rewrite), schema-merge ingest.
+        // components_incremental and pipeline_mix_manifest stay out of
+        // the default sweep like dedup_edit_verify: their cost is
+        // dominated by the hermetic in-entry bootstrap (stored labels /
+        // split recomputed from scratch) that production amortizes
+        "curate_dsir", "profile_drift", "emb_knn_graph",
+        "dedup_incremental_stored", "retrieval_hybrid_rrf",
+        "text_cdc_chunk", "sim_topk_matryoshka", "ev_interpolate_linear",
+        "source_schema_evolution")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
