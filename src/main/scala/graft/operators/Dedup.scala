@@ -33,8 +33,8 @@ object Dedup {
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
       embeddingNearDupLsh, paragraph, substringDedup, substringApply,
-      substringIncremental, editVerify, prefixJaccard, incremental,
-      incrementalStored)
+      substringIncremental, editVerify, prefixJaccard, containment,
+      incremental, incrementalStored)
 
   /** Exact substring dedup — the suffix-array-class curation operator
     * ([[paragraph]]'s doc comment concedes its disjoint 8-word blocks
@@ -876,6 +876,84 @@ object Dedup {
     // bounded Jaccard yardstick. The ALGORITHM is correct and verified;
     // this CORPUS breaks its cost model, not its answer.
     bench = false)
+
+  /** EXACT containment join (the asymmetric cousin of
+    * [[prefixJaccard]]): flag every document ≥ τ-CONTAINED in another —
+    * C(A→B) = |A∩B| / |A| over distinct token sets. This is the
+    * quote/aggregator/boilerplate-wrapper case MinHash misses
+    * structurally: a 100-token doc embedded verbatim in a 10,000-token
+    * page has Jaccard ≈ 0.01 (no band ever fires) but containment 1.0.
+    *
+    * Candidate generation is the DIRECTIONAL prefix filter: under the
+    * rarest-first total token order, if C(A→B) ≥ τ then B must share
+    * one of A's first ⌊(1−τ)·|A|⌋+1 tokens (pigeonhole — missing ALL of
+    * them leaves |A\B| > (1−τ)·|A|, i.e. containment < τ). Only the
+    * contained side prunes to a prefix; the container side joins with
+    * its FULL token set (it has no small-prefix obligation — the
+    * asymmetry is inherent to containment). Exact-verify on candidates,
+    * then per-doc aggregation: container count, smallest container id,
+    * best containment.
+    *
+    * Oracle = all-pairs containment in DuckDB: the prefix filter is
+    * exact (superset of all qualifying pairs), so filtered-verified ==
+    * all-pairs — the same proof obligation the LSH entries discharge by
+    * their verify stage. bench=false for [[prefixJaccard]]'s reason:
+    * the uniform synthetic vocabulary defeats the rare-token cost model
+    * (answer correct, fan-out un-Zipfian). */
+  val containment = QueryDef("dedup_containment",
+    (s, d) => containmentOf(Tables.documents(s, d), 0.8),
+    Some("""WITH ts AS (SELECT doc_id,
+          list_distinct(string_split(text, ' ')) AS ts FROM documents),
+      pairs AS (SELECT xa.doc_id AS a, xb.doc_id AS b,
+          CAST(len(list_intersect(xa.ts, xb.ts)) AS DOUBLE) / len(xa.ts)
+            AS containment
+        FROM ts xa JOIN ts xb ON xa.doc_id <> xb.doc_id
+        WHERE CAST(len(list_intersect(xa.ts, xb.ts)) AS DOUBLE) / len(xa.ts)
+          >= 0.8)
+      SELECT a AS doc_id, COUNT(*) AS n_containers,
+        CAST(MIN(b) AS BIGINT) AS min_container,
+        MAX(containment) AS containment
+      FROM pairs GROUP BY a ORDER BY doc_id"""),
+    bench = false)
+
+  /** [[containment]]'s core over an arbitrary `(doc_id, text, ...)`
+    * frame — the library entry point DedupSpec drives with authored
+    * fixtures. */
+  def containmentOf(docsIn: DataFrame, tau: Double): DataFrame = {
+    val ts = docsIn
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+    val tok = ts.select(col("doc_id"), size(col("ts")).as("sz"),
+      explode(col("ts")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt"), col("w"))
+    // contained-side prefix: the ⌊(1−τ)·sz⌋+1 rarest tokens
+    val pref = tok.join(freq, "w")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("sz") - ceil(lit(tau) * col("sz").cast("double")) + 1)
+      .select(col("doc_id"), col("w"))
+    // container side joins its FULL token relation (directional filter)
+    val cand = pref.alias("x")
+      .join(tok.select(col("doc_id"), col("w")).alias("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+      .withColumn("containment",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")).cast("double"))
+      .where(col("containment") >= tau)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_containers"),
+        min(col("b")).as("min_container"),
+        max(col("containment")).as("containment"))
+      .select(col("a").as("doc_id"), col("n_containers"),
+        col("min_container"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Edit-distance verification of the simhash candidate pairs — the
     * precision stage a fuzzy-dedup pipeline runs after signature

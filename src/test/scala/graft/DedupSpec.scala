@@ -160,6 +160,43 @@ class DedupSpec extends SparkSpec {
     assert(incr != storedSet, "fixture batch should touch some component")
   }
 
+  test("containment join: directional, catches the small-doc-in-big-page case, matches all-pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val big = Seq.fill(300)(vocab(rnd.nextInt(vocab.size)))
+    val quote = big.slice(40, 60).distinct          // fully inside doc 0
+    val partial = (quote.take(17) ++ Seq("zzz", "yyy", "xxx")).distinct
+    val docs = Seq(
+      (0L, big.mkString(" ")),
+      (1L, quote.mkString(" ")),                    // containment 1.0 in 0
+      (2L, partial.mkString(" ")),                  // 17/20 = 0.85 ≥ τ
+      (3L, Seq.fill(40)("qqq").mkString(" ")))      // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentOf(docs, 0.8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // serial all-pairs oracle
+    val sets = Seq(0L -> big, 1L -> quote, 2L -> partial,
+      3L -> Seq.fill(40)("qqq")).map { case (id, t) => id -> t.toSet }
+    val want = sets.flatMap { case (a, ta) =>
+      val qs = sets.filter { case (b, tb) =>
+        b != a && (ta & tb).size.toDouble / ta.size >= 0.8 }
+      if (qs.isEmpty) None
+      else Some(a -> ((qs.size.toLong, qs.map(_._1).min,
+        qs.map { case (_, tb) => (ta & tb).size.toDouble / ta.size }.max)))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the headline case really is asymmetric: doc 1 flagged, doc 0 not
+    assert(got.contains(1L) && got(1L)._3 == 1.0 && !got.contains(0L))
+    assert(got.contains(2L) && got(2L)._2 == 0L)
+    assert(!got.contains(3L))
+    // and Jaccard would have missed it (the structural claim)
+    val j = (sets(0)._2 & sets(1)._2).size.toDouble /
+      (sets(0)._2 | sets(1)._2).size
+    assert(j < 0.2, s"fixture jaccard $j should be tiny")
+  }
+
   /** Serial model of text_cdc_chunk: same rolling hashes, cut rule,
     * chunk content hash, and first-occurrence keeper. */
   private def serialCdc(docs: Seq[(Long, String)])
