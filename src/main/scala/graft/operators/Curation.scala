@@ -24,7 +24,82 @@ import graft.functions.TextFunctions._
 object Curation {
 
   def all: Seq[QueryDef] =
-    Seq(decontaminate, decontaminateSpans, keepFilter, dsirSelect)
+    Seq(decontaminate, decontaminateSpans, keepFilter, dsirSelect,
+      clusterBalanced)
+
+  /** Cluster-balanced diversity sampling — the coverage-preserving
+    * subsample curation pipelines draw when a corpus over-represents
+    * dense regions (the SemDeDup/SSL-prototypes observation: random
+    * sampling reproduces the density skew; per-cluster quotas flatten
+    * it). Every embedding is assigned to its nearest of the k = 8 seed
+    * centroids (the `emb_kmeans_assign` kernel verbatim: broadcast
+    * centroids, codegen `dot_f64` expansion of squared L2, centroid-id
+    * tie-break), then each cluster contributes at most Q = 16 members
+    * in deterministic pseudo-random order — priority =
+    * (vec_id · 2654435761) mod 1e9+7, the multiplicative-hash
+    * convention of `shuffle_epoch`, so the sample is reproducible on
+    * any layout and NOT correlated with ingest order.
+    *
+    * Scale stance: the only shuffle is the per-cluster rank, which
+    * Spark 4 plans as a WindowGroupLimit (per-partition top-Q heaps
+    * before the exchange); production k is thousands-to-millions of
+    * clusters, so parallelism scales with k while per-cluster state
+    * stays Q rows. All arithmetic is exact BIGINT. */
+  val clusterBalanced = QueryDef("curate_cluster_balanced",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val Q = 16
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("dot_f64(embedding, embedding)").as("xx"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("xx").as("cc"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("d2",
+          col("xx") - lit(2.0) * expr("dot_f64(embedding, cvec)") + col("cc"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .withColumn("pri", (col("vec_id") * lit(2654435761L)) % 1000000007L)
+      val sizes = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_cluster"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("pri"), col("vec_id"))
+      assigned
+        .withColumn("pick_rank", row_number().over(wPick))
+        .filter(col("pick_rank") <= Q)
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("pick_rank").cast("int").as("pick_rank"),
+          col("vec_id"), col("n_cluster"))
+        .orderBy(col("cluster"), col("pick_rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        list_sum(list_transform(range(1, len(embedding)+1),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+          AS xx
+        FROM embeddings),
+      seeds AS (SELECT vec_id AS cid, embedding AS cvec, xx AS cc
+        FROM e WHERE vec_id < 8),
+      dist AS (SELECT x.vec_id, s.cid,
+          x.xx - 2 * list_sum(list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(s.cvec[i] AS DOUBLE)))
+            + s.cc AS d2
+        FROM e x CROSS JOIN seeds s),
+      assigned AS (SELECT vec_id, cid AS cluster,
+          (vec_id * 2654435761) % 1000000007 AS pri
+        FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2, cid) AS rn FROM dist)
+        WHERE rn = 1),
+      sizes AS (SELECT cluster, COUNT(*) AS n_cluster
+        FROM assigned GROUP BY cluster)
+      SELECT cluster, CAST(pick_rank AS INT) AS pick_rank, vec_id, n_cluster
+      FROM (SELECT vec_id, cluster, pri, ROW_NUMBER() OVER (
+          PARTITION BY cluster ORDER BY pri, vec_id) AS pick_rank
+        FROM assigned) JOIN sizes USING (cluster)
+      WHERE pick_rank <= 16 ORDER BY cluster, pick_rank"""))
 
   /** DSIR-style data selection (importance resampling over hashed n-gram
     * features — the published recipe: Xie et al. 2023, "Data Selection

@@ -109,6 +109,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
+    // k-row seed-centroid broadcast (`vec_id < 8` key filter)
+    "curate_cluster_balanced" -> Seq("agg[-]<-[embeddings]"),
     "sim_ann_lsh" -> Seq("agg[-]<-[embeddings]"),
     "sim_ann_ivf" -> Seq("agg[-]<-[embeddings]"),
     // calendar-bounded minute-bucket grid (distinct minutes of the span)

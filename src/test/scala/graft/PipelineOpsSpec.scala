@@ -181,6 +181,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("curate_cluster_balanced: quota respected, clusters agree with emb_kmeans_assign, deterministic order") {
+    val d = sf("sf0.001")
+    val picks = graft.operators.Curation.clusterBalanced.fn(spark, d).collect()
+    assert(picks.nonEmpty)
+    val assign = Clustering.kmeansAssign.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pick sits in its kmeans cluster; quota ≤ 16 per cluster;
+    // every nonempty cluster is represented (coverage)
+    picks.foreach { r =>
+      assert(assign(r.getLong(2)) == r.getLong(0))
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 16)
+    }
+    val perCluster = picks.groupBy(_.getLong(0))
+    perCluster.foreach { case (_, rows) =>
+      assert(rows.length <= 16)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    assert(perCluster.keySet == assign.values.toSet)
+    // n_cluster matches the true assignment sizes, and full clusters
+    // really were subsampled (the balancing claim is non-trivial)
+    val sizes = assign.groupBy(_._2).map { case (c, m) => c -> m.size }
+    picks.foreach(r => assert(sizes(r.getLong(0)) == r.getLong(3)))
+    assert(sizes.values.exists(_ > 16), "fixture must have a dense cluster")
+    // priority order is the multiplicative hash, not vec_id order
+    val c0 = picks.filter(_.getLong(0) == picks.head.getLong(0))
+      .sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    val expected = assign.filter(_._2 == picks.head.getLong(0)).keys.toSeq
+      .sortBy(v => ((v * 2654435761L) % 1000000007L, v)).take(c0.length)
+    assert(c0 == expected)
+  }
+
   test("ev_interpolate_linear matches a serial interpolation model bit-exactly") {
     val d = sf("sf0.001")
     val got = graft.operators.Events.interpolate.fn(spark, d)
