@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.core.Iterative
+
+/** k-core decomposition by iterative peeling — the dense-subgraph
+  * extraction every graph-mining pipeline runs (spam/bot rings, community
+  * nuclei, robust-connectivity filtering): repeatedly delete nodes of
+  * degree < k until every survivor has ≥ k surviving neighbors. The
+  * third iterative-superstep graph operator beside `sssp_synthetic` and
+  * `graph_pagerank`, exercising the remaining fixpoint shape — MONOTONE
+  * DELETION (the frontier shrinks instead of propagating).
+  *
+  * Graph: the bipartite order–part incidence graph of `lineitem`
+  * (order nodes = 2·l_orderkey, part nodes = 2·l_partkey + 1 — disjoint
+  * id spaces), distinct edges, symmetric. Orders carry 1–7 lines and
+  * parts ~L/P, so k = 4 produces a real cascade (an order dropping
+  * frees its parts, whose degree loss can drop further orders).
+  *
+  * Fixpoint discipline: each superstep is one degree aggregation + two
+  * semi-joins (edges whose BOTH endpoints survive), with
+  * [[Iterative.cutLineage]] per round (unbounded round count — the
+  * stats-compounding hazard its doc describes) and the surviving-edge
+  * count as the convergence action. Peeling is confluent (the k-core is
+  * unique), so batching all sub-k deletions per round is safe.
+  *
+  * The DuckDB oracle unrolls [[OracleRounds]] peel rounds into chained
+  * CTEs — an upper bound on the rounds any test corpus needs (the spec
+  * asserts the loop converges well inside it; extra unrolled rounds are
+  * no-ops at fixpoint, so entry == oracle exactly).
+  *
+  * Scale stance: per round the work is ∝ surviving edges (shrinking
+  * monotonically), shuffles keyed by node id; round count is the
+  * cascade depth, observed single-digit on all tiers. At 100 TB this is
+  * the standard distributed k-core recipe (Montresor et al.'s message-
+  * passing peeling collapses to the same degree-filter rounds under
+  * BSP).
+  */
+object KCore {
+
+  val K = 4
+
+  /** Upper bound on peel rounds unrolled in the oracle; the driver loop
+    * itself runs to TRUE fixpoint and KCoreSpec asserts convergence
+    * within this bound (measured: 2 rounds at sf0.001, sf0.01, AND
+    * sf0.1 — the order–part graph's parts are high-degree, so the
+    * cascade is shallow; KCoreSpec's random-graph fixture exercises a
+    * real multi-round cascade). */
+  val OracleRounds = 10
+
+  def all: Seq[QueryDef] = Seq(kcore)
+
+  /** Peel `edges` (symmetric `(u, v)`) to the k-core; returns surviving
+    * `(node, deg)`. Also reports the round count through `roundsOut`
+    * for the convergence assertion in KCoreSpec. */
+  def kcoreOf(edgesIn: DataFrame, k: Int,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
+    var alive = Iterative.cutLineage(edgesIn)
+    var nEdges = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val deg = alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("u"))
+      val next = Iterative.cutLineage(
+        alive.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val nNext = next.count()
+      converged = nNext == nEdges
+      alive = next
+      nEdges = nNext
+      rounds += 1
+    }
+    roundsOut.foreach(_.set(rounds))
+    alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .orderBy(col("node"))
+  }
+
+  /** The bipartite order–part edge relation, symmetric, distinct. */
+  def orderPartEdges(lineitem: DataFrame): DataFrame = {
+    val p = lineitem
+      .select((col("l_orderkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  val kcore = QueryDef("graph_kcore",
+    (s, d) => kcoreOf(orderPartEdges(Tables.lineitem(s, d)), K),
+    Some {
+      // every e_i is referenced three times by round i+1 — without
+      // MATERIALIZED, DuckDB inlines the CTE per reference and the plan
+      // (and its parquet scans) grows 3^rounds ("Too many open files")
+      val rounds = (1 to OracleRounds).map { i =>
+        s"""d$i AS (SELECT u, COUNT(*) AS deg FROM e${i - 1} GROUP BY u),
+        k$i AS MATERIALIZED (SELECT u FROM d$i WHERE deg >= $K),
+        e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+          JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)"""
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT l_orderkey * 2 AS u,
+          l_partkey * 2 + 1 AS v FROM lineitem),
+        e0 AS MATERIALIZED (SELECT u, v FROM p
+          UNION ALL SELECT v AS u, u AS v FROM p),
+        $rounds
+        SELECT u AS node, COUNT(*) AS deg FROM e$OracleRounds
+        GROUP BY u ORDER BY node"""
+    },
+    // driver-loop fixpoint like sssp/dedup_components
+    bench = false)
+}
