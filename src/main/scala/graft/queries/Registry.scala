@@ -19,7 +19,7 @@ object Registry {
       graft.operators.Spectral.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.Triangles.all ++
-      graft.operators.KCore.all ++
+      graft.operators.KCore.all ++ graft.operators.Hierarchy.all ++
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++

@@ -56,4 +56,25 @@ class KCoreSpec extends SparkSpec {
       assert(out.filter(col("deg") < KCore.K).isEmpty)
     }
   }
+
+  test("tree closure: pointer-jumping depths match a serial parent-chain walk") {
+    val d = sf("sf0.001")
+    val got = graft.operators.Hierarchy.treeClosure.fn(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.customer(spark, d).count()
+    assert(got.size == n)
+    def parent(k: Long): Long =
+      if (k == 0) 0L else ((k * 2654435761L) % 1000000007L) % k
+    def serialDepth(k: Long): Long = {
+      var x = k; var depth = 0L
+      while (x != 0) { x = parent(x); depth += 1 }
+      depth
+    }
+    got.foreach { case (node, depth) =>
+      assert(depth == serialDepth(node), s"node $node")
+    }
+    // the random-attachment tree is genuinely deep-ish (log-depth claim)
+    val maxDepth = got.values.max
+    assert(maxDepth >= 4 && maxDepth <= 64, s"depth $maxDepth")
+  }
 }
