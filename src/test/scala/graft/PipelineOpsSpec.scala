@@ -181,6 +181,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("ev_pit_features: strictly-before semantics — same-instant observations never leak") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1705276800000L + s * 1000) // 2024-01-15 UTC
+    val ev = Seq(
+      // user 1: click at 10, view at 20, purchase at 20 (same instant!),
+      // click at 20 (same instant!), purchase at 30
+      (100L, t(10), 1L, "click", Some(1.0)),
+      (101L, t(20), 1L, "view", Some(2.0)),
+      (102L, t(20), 1L, "purchase", Some(9.0)),
+      (103L, t(20), 1L, "click", Some(3.0)),
+      (104L, t(30), 1L, "purchase", Some(9.0)),
+      // user 2: purchase with NO prior features
+      (200L, t(5), 2L, "purchase", Some(9.0)),
+      // user 3's features must not bleed into user 1
+      (300L, t(1), 3L, "click", Some(7.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.AsOfJoin.pitFeaturesOf(ev).collect()
+      .map(r => r.getLong(0) -> (
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // purchase 102 at t=20: click@10 visible; view@20 and click@20 are
+    // SAME-INSTANT → excluded (the leakage case)
+    assert(got(102L) == ((Some(1.0), None)))
+    // purchase 104 at t=30: now both t=20 observations are in the past
+    assert(got(104L) == ((Some(3.0), Some(2.0))))
+    // no history → NULLs; no cross-user bleed
+    assert(got(200L) == ((None, None)))
+    assert(got.size == 3)
+  }
+
   test("curate_cluster_balanced: quota respected, clusters agree with emb_kmeans_assign, deterministic order") {
     val d = sf("sf0.001")
     val picks = graft.operators.Curation.clusterBalanced.fn(spark, d).collect()
