@@ -20,7 +20,82 @@ import graft.Num
   */
 object Cdc {
 
-  def all: Seq[QueryDef] = Seq(merge, mvIncremental)
+  def all: Seq[QueryDef] = Seq(merge, mvIncremental, snapshotDiff)
+
+  /** Snapshot diff — the lakehouse "what changed between versions"
+    * audit (Delta/Iceberg table diff): full-outer join two snapshots on
+    * the primary key and classify every key as added / removed /
+    * changed / unchanged, where "changed" compares a content hash of
+    * the tracked columns (one BIGINT per row crosses the shuffle, not
+    * the payload). Snapshots derive deterministically from `orders`
+    * (old = keys ≢ 9 mod 10, new = keys ≢ 0 mod 10 with prices bumped
+    * for keys ≡ 0 mod 7 — inserts, deletes, AND updates all present).
+    * Output: one count + exact-decimal price-delta row per status.
+    *
+    * Scale shape: two scans, one full-outer equi-join on the key (both
+    * sides shuffle once; bucketed snapshots make it shuffle-free like
+    * `cdc_merge`), one tiny aggregation. The content hash is
+    * `roll_hash` of the canonical column rendering — the engine-wide
+    * mod-1e9+7 convention, identical in DuckDB. */
+  val snapshotDiff = QueryDef("cdc_snapshot_diff",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val o = Tables.orders(s, d)
+      val oldSnap = o.filter(col("o_orderkey") % 10 =!= 9)
+        .select(col("o_orderkey").as("k"),
+          Num.dec(col("o_totalprice")).as("price"),
+          col("o_orderpriority").as("prio"))
+      val newSnap = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0,
+            Num.dec(col("o_totalprice")) + Num.dec(lit(10.0)))
+            .otherwise(Num.dec(col("o_totalprice"))).as("price"),
+          col("o_orderpriority").as("prio"))
+      def h(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
+        expr("roll_hash(concat(CAST(price AS STRING), '|', prio))"))
+      h(oldSnap).select(col("k"), col("h").as("oh"), col("price").as("op"))
+        .join(h(newSnap).select(col("k"), col("h").as("nh"),
+          col("price").as("np")), Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("oh").isNull, lit("added"))
+            .when(col("nh").isNull, lit("removed"))
+            .when(col("oh") === col("nh"), lit("unchanged"))
+            .otherwise(lit("changed")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("np"), lit(0).cast("decimal(12,2)")) -
+            coalesce(col("op"), lit(0).cast("decimal(12,2)")))
+            .cast("double").as("price_delta"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+          o_orderpriority AS prio FROM orders),
+      olds AS (SELECT k, price, prio,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(CAST(price AS VARCHAR) || '|' || prio,
+              ''), c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS h
+        FROM o WHERE k % 10 <> 9),
+      news AS (SELECT k, price, prio,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(CAST(price AS VARCHAR) || '|' || prio,
+              ''), c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS h
+        FROM (SELECT k,
+            CASE WHEN k % 7 = 0
+              THEN price + CAST(10.0 AS DECIMAL(12,2)) ELSE price END AS price,
+            prio FROM o WHERE k % 10 <> 0)),
+      j AS (SELECT COALESCE(a.k, b.k) AS k, a.h AS oh, b.h AS nh,
+          a.price AS op, b.price AS np
+        FROM olds a FULL OUTER JOIN news b ON a.k = b.k)
+      SELECT CASE WHEN oh IS NULL THEN 'added'
+          WHEN nh IS NULL THEN 'removed'
+          WHEN oh = nh THEN 'unchanged' ELSE 'changed' END AS status,
+        COUNT(*) AS n,
+        CAST(SUM(COALESCE(np, CAST(0 AS DECIMAL(12,2))) -
+          COALESCE(op, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS price_delta
+      FROM j GROUP BY 1 ORDER BY status"""))
 
   /** Deterministic CDC batch derived from the key space (no external
     * change feed in the test corpus): delete customers with

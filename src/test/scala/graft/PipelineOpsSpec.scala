@@ -181,6 +181,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("cdc_snapshot_diff: all four statuses, counts partition the key union") {
+    val d = sf("sf0.001")
+    val out = graft.operators.Cdc.snapshotDiff.fn(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+    val n = Tables.orders(spark, d).count()
+    val nOld = Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 10 =!= 9).count()
+    val nNew = Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 10 =!= 0).count()
+    assert(out.values.map(_._1).sum == n) // keys ≡ 0 or 9 appear once each
+    assert(out("added")._1 == n - nOld && out("removed")._1 == n - nNew)
+    // every changed row is a +10.00 price bump; unchanged deltas are 0
+    assert(out("changed")._2 == out("changed")._1 * 10.0)
+    assert(out("unchanged")._2 == 0.0)
+  }
+
   test("ev_pit_features: strictly-before semantics — same-instant observations never leak") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(1705276800000L + s * 1000) // 2024-01-15 UTC
