@@ -124,4 +124,50 @@ object EventStreams {
     * demonstrates the shared transformation). */
   def runBatchAsStream(spark: SparkSession, sfDir: String): DataFrame =
     windowedCounts(graft.Tables.events(spark, sfDir))
+
+  case class EvId(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Option[Double])
+  case class PitState(lastClick: Option[Double], lastView: Option[Double])
+  case class PitRow(event_id: Long, user_id: Long, label_ts: Timestamp,
+      last_click: Option[Double], last_view: Option[Double])
+
+  /** Streaming twin of `AsOfJoin.pitFeatures` — point-in-time label
+    * enrichment as stateful stream processing: per-user feature state
+    * (two Options) is carried in GroupState, and every arriving
+    * purchase is emitted with the state AS OF strictly before its
+    * timestamp. Within a microbatch, rows process in event-time order
+    * with purchases before same-instant observations and same-(ts, type)
+    * observations collapsed by MAX — exactly the batch twin's ordering
+    * and dedup conventions, so for in-order arrival the union of
+    * microbatch outputs equals the one-shot batch (StreamingSpec proves
+    * it across a batch split). State is O(features) per user — bounded;
+    * a production deployment adds an idle-user TTL via timeouts. */
+  def pitEnrich(events: Dataset[EvId]): Dataset[PitRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, evs: Iterator[EvId],
+        state: GroupState[PitState]): Iterator[PitRow] = {
+      var st = state.getOption.getOrElse(PitState(None, None))
+      val out = scala.collection.mutable.ListBuffer.empty[PitRow]
+      evs.toSeq.groupBy(_.ts.getTime).toSeq.sortBy(_._1).foreach {
+        case (_, rows) =>
+          rows.filter(_.event_type == "purchase").sortBy(_.event_id)
+            .foreach(e => out += PitRow(e.event_id, user, e.ts,
+              st.lastClick, st.lastView))
+          val cs = rows.filter(e =>
+            e.event_type == "click" && e.value.isDefined).map(_.value.get)
+          if (cs.nonEmpty) st = st.copy(lastClick = Some(cs.max))
+          val vs = rows.filter(e =>
+            e.event_type == "view" && e.value.isDefined).map(_.value.get)
+          if (vs.nonEmpty) st = st.copy(lastView = Some(vs.max))
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }
