@@ -13,7 +13,74 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
-      hashSample, corrStats, winsorized, histogram, mad)
+      hashSample, corrStats, winsorized, histogram, mad, ksTest)
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-shift
+    * test that complements `profile_drift`'s binned PSI with a
+    * bin-free answer: D = max over values of |F_A(v) − F_B(v)| between
+    * the even- and odd-orderkey halves of lineitem quantities (a null
+    * split — D should be near 0; a real monitor compares yesterday's
+    * ingest to today's). Also emits argmax_v, the value where the CDFs
+    * diverge most (the actionable part, like drift's per-value terms).
+    *
+    * Plan: one hash agg to per-(value) group counts — the only pass
+    * over data — then cumulative sums over the DISTINCT-value relation
+    * (≤ 50 rows here; discrete/decimal measures generally — an
+    * unpartitioned window that is serial BY CONSTRUCTION on the
+    * distinct-value relation, allowlisted) and a 1-row max. Float
+    * discipline: F_A, F_B are single divisions of exact longs; D terms
+    * are one subtraction + abs each — fixed trees, bit-equal cross
+    * engine; argmax tie-breaks by smallest value via min_by/arg_min on
+    * the (d, v) pair. */
+  val ksTest = QueryDef("stat_ks_test",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_quantity").as("v"),
+          (col("l_orderkey") % 2 === 0).as("is_a"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      counts
+        .withColumn("sa", sum(col("ca")).over(w))
+        .withColumn("sb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(counts.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+        .withColumn("dv", abs(
+          col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double")))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(col("dv")).as("d_stat"),
+          expr("min_by(v, struct(-dv, v))").cast("double").as("argmax_v"))
+    },
+    Some("""WITH counts AS (SELECT l_quantity AS v,
+          CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb FROM counts),
+      cum AS (SELECT v,
+          CAST(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sa,
+          CAST(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sb
+        FROM counts),
+      dv AS (SELECT v,
+          ABS(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dv
+        FROM cum CROSS JOIN tot)
+      SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+        MAX(dv) AS d_stat,
+        (SELECT CAST(v AS DOUBLE) FROM dv ORDER BY dv DESC, v LIMIT 1)
+          AS argmax_v
+      FROM dv"""))
 
   /** Median absolute deviation — the robust dispersion statistic
     * (`mad = median(|v − median(v)|)`) plus an outlier count at the

@@ -65,7 +65,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q42_moving_range", "sql_text_surface",
     // rank windows run over the LIMIT-50 candidate relations (each leg is
     // a TakeOrderedAndProject top-Nc first; ≤ 2·Nc rows at any scale)
-    "retrieval_hybrid_rrf")
+    "retrieval_hybrid_rrf",
+    // cumulative-CDF window runs over the DISTINCT-value relation
+    // (≤ 50 discrete quantities at any corpus size)
+    "stat_ks_test")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,

@@ -181,6 +181,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("stat_ks_test matches a serial two-sample KS computation bit-exactly") {
+    val d = sf("sf0.001")
+    val r = graft.queries.Statistics.ksTest.fn(spark, d).collect()(0)
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_quantity"), col("l_orderkey"))
+      .collect().map(x => (x.getDouble(0), x.getLong(1) % 2 == 0))
+    val a = rows.filter(_._2).map(_._1)
+    val b = rows.filter(!_._2).map(_._1)
+    val vs = rows.map(_._1).distinct.sorted
+    var best = (-1.0, Double.NaN)
+    var (sa, sb) = (0L, 0L)
+    vs.foreach { v =>
+      sa += a.count(_ == v); sb += b.count(_ == v)
+      val dv = math.abs(sa.toDouble / a.length.toDouble -
+        sb.toDouble / b.length.toDouble)
+      if (dv > best._1) best = (dv, v)
+    }
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(r.getDouble(2) == best._1, s"D ${r.getDouble(2)} vs ${best._1}")
+    assert(r.getDouble(3) == best._2)
+    // a null split over the same distribution: D should be small
+    assert(best._1 < 0.2)
+  }
+
   test("cdc_snapshot_diff: all four statuses, counts partition the key union") {
     val d = sf("sf0.001")
     val out = graft.operators.Cdc.snapshotDiff.fn(spark, d).collect()
