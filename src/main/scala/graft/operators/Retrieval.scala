@@ -40,7 +40,121 @@ import graft.functions.TextFunctions._
   */
 object Retrieval {
 
-  def all: Seq[QueryDef] = Seq(bm25, hybridRrf)
+  def all: Seq[QueryDef] = Seq(bm25, hybridRrf, mmrRerank)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification pass a RAG stack runs AFTER retrieval so the
+    * k passages handed to the model aren't k near-copies of the same
+    * content: greedily pick
+    *
+    *   argmax_d  λ·sim(q, d) − (1−λ)·max_{s ∈ S} sim(d, s)
+    *
+    * from the top-20 cosine shortlist until |S| = 5, λ = 0.7 (the first
+    * pick maximizes pure relevance — the penalty term over the empty S
+    * is 0).
+    *
+    * Scale stance: everything after the one corpus scan (the
+    * TakeOrdered top-20 shortlist) runs on bounded relations — ≤ 20
+    * candidates, ≤ 380 pairwise sims, 4 unrolled greedy rounds each a
+    * ≤20-row aggregate + LIMIT-1 argmax; broadcasts are the 1-row query
+    * and the ≤5-row selected set. Greedy MMR is inherently sequential
+    * in k; bounding the shortlist is what makes that a non-issue at any
+    * corpus size.
+    *
+    * Float discipline: shortlist and pairwise cosines are the engine's
+    * bit-exact dot convention; each MMR score is the fixed tree
+    * 0.7·qcos − 0.3·maxSim (true max over doubles — order-free), ties
+    * broken by vec_id. The DuckDB oracle unrolls the same 5 selections
+    * as MATERIALIZED CTEs. */
+  val mmrRerank = QueryDef("retrieval_mmr_rerank",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("qcos",
+          expr("dot_f64(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
+        .orderBy(col("qcos").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("qcos"))
+        .localCheckpoint(false) // ≤20 rows, consumed by every round
+      val pairs = cand
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        .join(broadcast(cand.select(col("vec_id").as("b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (expr("dot_f64(ea, eb)") / (col("na") * col("nb"))).as("sim"))
+      var sel = cand
+        .orderBy(col("qcos").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), lit(1).as("pick_rank"),
+          (lit(0.7) * col("qcos")).as("mmr_score"))
+      for (i <- 2 to 5) {
+        val chosen = sel.select(col("vec_id").as("b"))
+        val scored = cand
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("qcos"))
+          .join(pairs.withColumnRenamed("a", "vec_id"), "vec_id")
+          .join(broadcast(chosen), "b")
+          .groupBy(col("vec_id"), col("qcos"))
+          .agg(max(col("sim")).as("ms"))
+          .withColumn("mmr",
+            lit(0.7) * col("qcos") - lit(0.3) * col("ms"))
+        sel = sel.unionAll(scored
+          .orderBy(col("mmr").desc, col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), lit(i).as("pick_rank"),
+            col("mmr").as("mmr_score")))
+      }
+      sel.join(cand.select(col("vec_id"), col("qcos")), "vec_id")
+        .select(col("pick_rank").cast("int").as("pick_rank"),
+          col("vec_id"), col("mmr_score"), col("qcos"))
+        .orderBy(col("pick_rank"))
+    },
+    Some {
+      val rounds = (2 to 5).map { i =>
+        s"""r$i AS (SELECT c.vec_id, c.qcos, MAX(p.sim) AS ms
+          FROM cand c JOIN pairs p ON p.a = c.vec_id
+          JOIN sel${i - 1} s ON p.b = s.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+          GROUP BY c.vec_id, c.qcos),
+        s$i AS MATERIALIZED (SELECT vec_id, $i AS pick_rank,
+            0.7 * qcos - 0.3 * ms AS mmr_score
+          FROM r$i ORDER BY (0.7 * qcos - 0.3 * ms) DESC, vec_id LIMIT 1),
+        sel$i AS MATERIALIZED (
+          SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding,
+            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e
+          WHERE vec_id = 0),
+        cand AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nrm,
+            list_sum(list_transform(range(1, len(q.q_emb)+1),
+              i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              / (q.q_nrm * e.nrm) AS qcos
+          FROM e CROSS JOIN q WHERE e.vec_id <> 0
+          ORDER BY qcos DESC, vec_id LIMIT 20),
+        pairs AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+            list_sum(list_transform(range(1, len(a.embedding)+1),
+              i -> CAST(a.embedding[i] AS DOUBLE) *
+                CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel1 AS MATERIALIZED (SELECT vec_id, 1 AS pick_rank,
+            0.7 * qcos AS mmr_score
+          FROM cand ORDER BY qcos DESC, vec_id LIMIT 1),
+        $rounds
+        SELECT CAST(s.pick_rank AS INT) AS pick_rank, s.vec_id,
+          s.mmr_score, c.qcos
+        FROM sel5 s JOIN cand c USING (vec_id)
+        ORDER BY pick_rank"""
+    })
 
   /** The fixed disjunctive query: three mid-frequency corpus terms. */
   private val QueryTerms = Seq("query", "join", "scan")

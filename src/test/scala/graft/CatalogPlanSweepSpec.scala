@@ -116,6 +116,11 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
     // k-row seed-centroid broadcast (`vec_id < 8` key filter)
     "curate_cluster_balanced" -> Seq("agg[-]<-[embeddings]"),
+    // every MMR-round broadcast descends from the LIMIT-20 shortlist
+    // (lazily checkpointed → the sweep sees an empty-source LogicalRDD,
+    // hence no in-plan witness), the 1-row query vector, or the ≤5-row
+    // selected set — all bounded by the shortlist LIMIT by construction
+    "retrieval_mmr_rerank" -> Seq("agg[-]<-[]", "agg[-]<-[embeddings]"),
     "sim_ann_lsh" -> Seq("agg[-]<-[embeddings]"),
     "sim_ann_ivf" -> Seq("agg[-]<-[embeddings]"),
     // calendar-bounded minute-bucket grid (distinct minutes of the span)

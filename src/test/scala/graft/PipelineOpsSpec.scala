@@ -181,6 +181,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(psi > 0.0)
   }
 
+  test("retrieval_mmr_rerank matches a serial greedy MMR bit-exactly") {
+    val d = sf("sf0.001")
+    val out = graft.operators.Retrieval.mmrRerank.fn(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 5 && out.map(_._1).toSeq == (1 to 5))
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val qv = embs(0L)
+    val cand = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+    var sel = List((cand.head._1, 0.7 * cand.head._2))
+    (2 to 5).foreach { _ =>
+      val pick = cand.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (id, qc) =>
+          val ms = sel.map(s => cos(embs(id), embs(s._1))).max
+          (id, 0.7 * qc - 0.3 * ms)
+        }
+        .minBy { case (id, m) => (-m, id) }
+      sel = sel :+ pick
+    }
+    out.zip(sel).foreach { case ((_, id, score, qcos), (wantId, wantScore)) =>
+      assert(id == wantId, s"pick order: got $id want $wantId")
+      assert(score == wantScore)
+      assert(qcos == cand.find(_._1 == id).get._2)
+    }
+  }
+
   test("stat_ks_test matches a serial two-sample KS computation bit-exactly") {
     val d = sf("sf0.001")
     val r = graft.queries.Statistics.ksTest.fn(spark, d).collect()(0)
