@@ -98,7 +98,8 @@ object ScaleSmoke {
         "dedup_incremental_stored", "retrieval_hybrid_rrf",
         "text_cdc_chunk", "sim_topk_matryoshka", "ev_interpolate_linear",
         "source_schema_evolution", "curate_cluster_balanced",
-        "ev_pit_features", "cdc_snapshot_diff", "stat_ks_test")
+        "ev_pit_features", "cdc_snapshot_diff", "stat_ks_test",
+        "retrieval_mmr_rerank")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
