@@ -12,7 +12,44 @@ object Relational6 {
   import Num._
 
   def all: Seq[QueryDef] =
-    Seq(minCostSupplier, waitingSuppliers, marketShare, sqlTextSurface)
+    Seq(minCostSupplier, waitingSuppliers, marketShare, sqlTextSurface,
+      percentRank)
+
+  /** percent_rank + cume_dist — the two relative-rank window functions
+    * the catalog's window surface (rank q10, ntile q37, row_number
+    * everywhere) did not yet exercise: each customer's order-count
+    * standing within its market segment as a [0, 1] percentile.
+    * The window orders by (n_orders, c_custkey) — tie-free, so
+    * percent_rank is exactly (rank−1)/(N−1) and cume_dist rank/N, each
+    * ONE IEEE division of exact longs (bit-equal cross-engine; with
+    * ties both engines share SQL-standard semantics anyway, the unique
+    * ordering just removes the need to reason about it). Partitioned
+    * by segment → parallel; map-side partial agg feeds the counts. */
+  val percentRank = QueryDef("q53_percent_rank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n_orders"), col("c_custkey"))
+      Tables.customer(s, d)
+        .join(n, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+        COALESCE(n.n_orders, 0) AS n_orders,
+        percent_rank() OVER (PARTITION BY c_mktsegment
+          ORDER BY COALESCE(n.n_orders, 0), c_custkey) AS pr,
+        cume_dist() OVER (PARTITION BY c_mktsegment
+          ORDER BY COALESCE(n.n_orders, 0), c_custkey) AS cd
+      FROM customer c LEFT JOIN (SELECT o_custkey,
+          CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) n
+        ON c.c_custkey = n.o_custkey
+      ORDER BY c_mktsegment, c_custkey"""))
 
   /** The SQL-text surface proof: this entry is executed as LITERAL SQL
     * via `spark.sql` over `Tables.registerAll` temp views — not the
