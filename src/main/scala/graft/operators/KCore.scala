@@ -50,46 +50,80 @@ object KCore {
     * real multi-round cascade). */
   val OracleRounds = 10
 
+  /** Frontier rows above which the per-round broadcast hints are
+    * dropped in favor of AQE-planned shuffle joins. The `lost` delta is
+    * bounded by (k-1)·frontier rows (every peeled node has degree < k),
+    * so one cap governs both hinted sides. */
+  val BroadcastFrontierMax = 4000000L
+
   def all: Seq[QueryDef] = Seq(kcore)
 
   /** Peel `edges` (symmetric `(u, v)`) to the k-core; returns surviving
     * `(node, deg)`. Also reports the round count through `roundsOut`
     * for the convergence assertion in KCoreSpec.
     *
-    * State inversion for scale: the loop accumulates the PEELED node
-    * set (small — only nodes that fall below k) instead of
-    * re-materializing the surviving EDGE relation each round (a first
-    * cut did that: 51 s at the 8× tier, dominated by checkpointing
-    * ~10 M edge rows per round). The base edges are lazily
-    * local-checkpointed ONCE; each round derives alive = edges
-    * anti-join dead (both endpoints), aggregates degrees, and
-    * materializes only the newly-dead rows. 8× tier after the
-    * inversion: 13.5 s (per-round cost is now the anti-join + degree
-    * scan over the cached base edges, not a checkpoint write). */
+    * Degree-delta maintenance for scale: the loop state is the
+    * surviving `(node, deg)` relation — O(nodes), not O(edges). Each
+    * round peels `deg < k`, then SUBTRACTS from each still-alive
+    * neighbor the count of edges it just lost to the peeled set (one
+    * join of the cached base edges against the small peeled frontier,
+    * aggregated over touched edges only), instead of re-aggregating
+    * degrees over the full edge relation as earlier rounds of this
+    * code did (that kept per-round cost O(E) regardless of churn:
+    * 88 s at the 64× tier). Edge subtraction is exactly-once: a
+    * directed copy `(u, v)` is charged to `u` the round `v` dies, and
+    * a node leaves the deg state the round it dies, so the left join
+    * silently discards deltas aimed at already-dead nodes (including
+    * both-endpoints-die-together rounds). The maintained invariant —
+    * deg(n) = count of alive neighbors of n — makes the fixpoint deg
+    * state itself the answer; no final re-aggregation pass.
+    *
+    * `maxRounds`: fail-loudly bound. The catalog entry passes
+    * [[OracleRounds]] so any corpus whose cascade outruns the unrolled
+    * DuckDB oracle aborts instead of silently diverging from it
+    * (KCoreSpec asserts headroom at sf0.001/sf0.01; this guard covers
+    * every tier the oracle gate actually runs). */
   def kcoreOf(edgesIn: DataFrame, k: Int,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      maxRounds: Option[Int] = None)
       : DataFrame = {
-    val s = edgesIn.sparkSession
-    import s.implicits._
     val edges = edgesIn.localCheckpoint(false) // one materialization, reused
-    var dead = Iterative.cutLineage(Seq.empty[Long].toDF("node"))
+    var deg = Iterative.cutLineage(
+      edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .select(col("u").as("node"), col("deg")))
     var rounds = 0
     var converged = false
-    def alive = edges
-      .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
-      .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
     while (!converged) {
       val newDead = Iterative.cutLineage(
-        alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") < k).select(col("u").as("node")))
-      if (newDead.count() == 0) converged = true
-      else dead = Iterative.cutLineage(dead.unionAll(newDead))
+        deg.filter(col("deg") < k).select("node"))
+      val ndCount = newDead.count()
+      if (ndCount == 0) converged = true
+      else {
+        // cutLineage resets stats, so hint the frontier side explicitly —
+        // but only while it is genuinely small (round 1 can peel a large
+        // fraction of nodes; past the cap, fall back to shuffle joins and
+        // let AQE re-plan at runtime)
+        def hinted(df: DataFrame): DataFrame =
+          if (ndCount <= BroadcastFrontierMax) broadcast(df) else df
+        // edges a still-tracked node loses because its v endpoint died
+        val lost = edges
+          .join(hinted(newDead.select(col("node").as("v"))), Seq("v"))
+          .groupBy(col("u")).agg(count(lit(1)).as("lost"))
+          .select(col("u").as("node"), col("lost"))
+        deg = Iterative.cutLineage(
+          deg.join(hinted(newDead), Seq("node"), "left_anti")
+            .join(hinted(lost), Seq("node"), "left")
+            .select(col("node"),
+              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg")))
+      }
       rounds += 1
+      maxRounds.foreach { m =>
+        require(rounds <= m,
+          s"k-core cascade exceeded $m rounds — unrolled oracle invalid")
+      }
     }
     roundsOut.foreach(_.set(rounds))
-    alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg"))
-      .orderBy(col("node"))
+    deg.orderBy(col("node"))
   }
 
   /** The bipartite order–part edge relation, symmetric, distinct. */
@@ -102,7 +136,8 @@ object KCore {
   }
 
   val kcore = QueryDef("graph_kcore",
-    (s, d) => kcoreOf(orderPartEdges(Tables.lineitem(s, d)), K),
+    (s, d) => kcoreOf(orderPartEdges(Tables.lineitem(s, d)), K,
+      maxRounds = Some(OracleRounds)),
     Some {
       // every e_i is referenced three times by round i+1 — without
       // MATERIALIZED, DuckDB inlines the CTE per reference and the plan
