@@ -36,7 +36,18 @@ object Cdc {
     * sides shuffle once; bucketed snapshots make it shuffle-free like
     * `cdc_merge`), one tiny aggregation. The content hash is
     * `roll_hash` of the canonical column rendering — the engine-wide
-    * mod-1e9+7 convention, identical in DuckDB. */
+    * mod-1e9+7 convention, identical in DuckDB.
+    *
+    * Collision bound: roll_hash is ~30 bits, so hash equality alone
+    * would misclassify a changed row as unchanged with ~1e-9
+    * probability per key — billions of changed keys at 100 TB means
+    * expected silent misses. Since the price columns cross the shuffle
+    * anyway (for the delta sum), the unchanged decision ALSO compares
+    * them exactly; the hash only has to cover the remaining tracked
+    * columns (here `prio`), narrowing silent misses to
+    * same-price-different-prio keys that additionally collide. A
+    * deployment tracking many non-numeric columns should widen the
+    * hash (e.g. xxhash64 per column) rather than carry the payload. */
   val snapshotDiff = QueryDef("cdc_snapshot_diff",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
@@ -59,7 +70,8 @@ object Cdc {
         .withColumn("status",
           when(col("oh").isNull, lit("added"))
             .when(col("nh").isNull, lit("removed"))
-            .when(col("oh") === col("nh"), lit("unchanged"))
+            .when(col("oh") === col("nh") && col("op") === col("np"),
+              lit("unchanged"))
             .otherwise(lit("changed")))
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
@@ -91,7 +103,8 @@ object Cdc {
         FROM olds a FULL OUTER JOIN news b ON a.k = b.k)
       SELECT CASE WHEN oh IS NULL THEN 'added'
           WHEN nh IS NULL THEN 'removed'
-          WHEN oh = nh THEN 'unchanged' ELSE 'changed' END AS status,
+          WHEN oh = nh AND op = np THEN 'unchanged'
+          ELSE 'changed' END AS status,
         COUNT(*) AS n,
         CAST(SUM(COALESCE(np, CAST(0 AS DECIMAL(12,2))) -
           COALESCE(op, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS price_delta

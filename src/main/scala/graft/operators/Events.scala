@@ -19,8 +19,8 @@ object Events {
   import Num._
 
   def all: Seq[QueryDef] =
-    Seq(hourly, sessionize, jsonProps, topMinute, sliding, rangeJoin,
-      resample, resampleFat, anomaly, interpolate)
+    Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
+      rangeJoin, resample, resampleFat, anomaly, interpolate)
 
   /** Hourly-volume anomaly detection with an ALL-INTEGER 3σ decision —
     * the monitoring query every event pipeline runs, made bit-portable
@@ -412,6 +412,47 @@ object Events {
     Some("""WITH marked AS (SELECT user_id, event_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+          THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_sessions,
+        MAX(n_events) AS max_session_events
+      FROM per_session GROUP BY user_id ORDER BY user_id"""))
+
+  /** Native `session_window` twin of [[sessionize]] — the same
+    * per-user gap-session rollup expressed as Spark's built-in session
+    * window AGGREGATION instead of the lag → flag → running-sum window
+    * recipe. One shuffle on the grouping key, per-partition sort, and
+    * the sessions merge inside the aggregation operator
+    * (UpdatingSessions/MergingSessions) — no window functions in the
+    * plan at all, and it is the form Structured Streaming runs natively
+    * with watermark-driven state eviction (the streaming story the lag
+    * recipe cannot have: `lag` needs the whole history, session_window
+    * state is one open session per key).
+    *
+    * Boundary semantics are IDENTICAL to [[sessionize]]: Spark merges
+    * a session whose next event lands exactly at prev + gap (merge on
+    * next.start <= prev.end — SessionWindowSpec pins this with an
+    * exact-1800 s fixture), so only diff > gap splits, the same strict
+    * rule the lag recipe uses. The oracle is therefore the same lag
+    * recipe text — one query, two plan families, hash-equal. */
+  val sessionizeNative = QueryDef("ev_sessionize_native",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id")),
+    Some("""WITH marked AS (SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
           THEN 1 ELSE 0 END AS new_sess
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (SELECT user_id,

@@ -36,6 +36,12 @@ object Hierarchy {
         .withColumn("parent", when(col("node") === 0, 0L)
           .otherwise(((col("node") * 2654435761L) % 1000000007L)
             % col("node")))
+      // the pointer-jumping join on anc === a_node silently drops rows
+      // whose ancestor is absent, so a key space without node 0 (e.g.
+      // 1-based) would lose every resolved row — fail loudly instead
+      val roots = par.filter(col("node") === 0).count()
+      require(roots == 1,
+        s"tree closure expects exactly one root with key 0; found $roots")
       var state = Iterative.cutLineage(
         par.filter(col("node") =!= 0)
           .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))

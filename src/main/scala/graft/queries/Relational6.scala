@@ -13,7 +13,42 @@ object Relational6 {
 
   def all: Seq[QueryDef] =
     Seq(minCostSupplier, waitingSuppliers, marketShare, sqlTextSurface,
-      percentRank)
+      percentRank, rangeIntervalWindow)
+
+  /** RANGE-interval frame — the one window-frame family the catalog's
+    * window surface (rank/ntile/percent_rank, first/last, lag, moving
+    * ROWS frames) did not yet exercise: each order's trailing-7-day
+    * revenue within its customer, `RANGE BETWEEN INTERVAL 7 DAYS
+    * PRECEDING AND CURRENT ROW` over the order DATE. Unlike a ROWS
+    * frame the bound is a VALUE predicate on the order key, so
+    * same-date peers share one frame (and one result — deterministic
+    * under date ties by construction; output order pins o_orderkey).
+    * The sum is exact decimal, cast to double once at the end.
+    *
+    * Scale: one shuffle on o_custkey + per-partition sort by date;
+    * Spark evaluates the interval bound incrementally with two
+    * sliding frame pointers per partition — O(rows), never
+    * re-scanning the frame per row (the [[graft.operators.Events]]
+    * quadratic-trap lesson does not apply to value-bounded frames
+    * with monotone bounds). */
+  val rangeIntervalWindow = QueryDef("q54_range_interval_window",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("trailing_7d_revenue", expr(
+        """CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+           AS DOUBLE)"""))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("trailing_7d_revenue"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS trailing_7d_revenue
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
   /** percent_rank + cume_dist — the two relative-rank window functions
     * the catalog's window surface (rank q10, ntile q37, row_number
