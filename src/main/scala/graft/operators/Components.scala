@@ -26,7 +26,9 @@ import graft.{QueryDef, Tables}
 object Components {
 
   def all: Seq[QueryDef] =
-    Seq(dedupComponents, splitLeakageSafe, componentsIncremental)
+    Seq(dedupComponents, splitLeakageSafe, componentsIncremental,
+      componentsIncrementalStored)
+
 
   /** Incremental connected-component maintenance — the daily-ingest twin
     * of [[connectedComponentsStar]]: stored `(node, component)` labels
@@ -125,6 +127,57 @@ object Components {
         USING (component)
       ORDER BY node"""),
     // driver-loop star fixpoint like dedup_components
+    bench = false)
+
+  /** [[componentsIncremental]] with the stored state actually STORED —
+    * the deployment shape its doc comment promises (the
+    * `dedup_incremental_stored` pattern applied to label maintenance):
+    * the corpus's `(node, component)` label table is WRITTEN as parquet
+    * bucketed on `component` (the touched-membership join key), and the
+    * MinHash band index + shingle sets as the shared
+    * [[Dedup.writeMinhashIndexTables]] layout; the ingest then probes
+    * and maintains from the RE-READ tables. Steady-state per-ingest
+    * cost = batch shingling/banding + one bucketed-index probe + the
+    * star fixpoint over ONLY the touched components' members + a
+    * broadcast anti-join passthrough — proportional to the day's
+    * churn, never the corpus (the bootstrap that dominates
+    * `components_incremental`'s tier numbers is here a one-time table
+    * write, measured separately by TimeQuery phases).
+    *
+    * Correctness: same from-scratch oracle as the derived twin — equal
+    * result hashes prove the store/reload round trip preserves both
+    * the probe and the label maintenance. */
+  val componentsIncrementalStored = QueryDef("components_incremental_stored",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 8 === 7
+      val oldDocs = docs.filter(!isBatch)
+      val newDocs = docs.filter(isBatch)
+      // bootstrap: build + persist the stored state (amortized across
+      // ingests in production; charged to this entry to stay one-shot)
+      val base = Dedup.sinkBase(d)
+      Dedup.writeMinhashIndexTables(oldDocs, base,
+        "graft_comp_bands", "graft_comp_sets")
+      connectedComponentsStar(Dedup.minhashClassEdges(oldDocs))
+        .write.mode("overwrite")
+        .bucketBy(16, "component").sortBy("component")
+        .option("path", s"$base/graft_comp_labels").format("parquet")
+        .saveAsTable("graft_comp_labels")
+      // steady state: everything below reads ONLY the stored tables +
+      // the batch
+      val stored = s.table("graft_comp_labels")
+      val newEdges = Dedup.minhashPairs(newDocs).select(col("a"), col("b"))
+        .unionAll(Dedup.crossPairsStored(newDocs,
+          "graft_comp_bands", "graft_comp_sets").select(col("a"), col("b")))
+      val labels = incrementalLabels(stored, newEdges)
+      val sizes = labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "component")
+        .select(col("node"), col("component"), col("csize"))
+        .orderBy(col("node"))
+    },
+    componentsIncremental.oracle,
+    // driver-loop star fixpoint + table writes like its derived twin
     bench = false)
 
   /** Large-star/small-star connected components (Kiveris et al.,

@@ -33,8 +33,8 @@ object Dedup {
   def all: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingNearDup,
       embeddingNearDupLsh, paragraph, substringDedup, substringApply,
-      substringIncremental, editVerify, prefixJaccard, containment,
-      incremental, incrementalStored)
+      substringIncremental, substringIncrementalStored, editVerify,
+      prefixJaccard, containment, incremental, incrementalStored)
 
   /** Exact substring dedup — the suffix-array-class curation operator
     * ([[paragraph]]'s doc comment concedes its disjoint 8-word blocks
@@ -238,6 +238,59 @@ object Dedup {
       FROM docs d LEFT JOIN cov c USING (doc_id)
       WHERE d.doc_id % 8 = 7
       ORDER BY d.doc_id"""))
+
+  /** [[substringIncremental]] with the window-hash index actually
+    * STORED — the `dedup_incremental_stored` pattern at span
+    * granularity: the corpus's distinct window-hash relation (one
+    * BIGINT per distinct W-gram, 8 B/row in production) is WRITTEN as
+    * a parquet table bucketed on `gh`, and the batch probe semi-joins
+    * the RE-READ table. The stored bucketing reaches the probe join
+    * from the table catalog (PlanShapeSpec asserts the index side of
+    * the semi join carries no shuffle), so the per-ingest cost is the
+    * batch's windows + one bucketed table read — the steady state the
+    * derived entry's doc comment promises. Same oracle as the derived
+    * twin: equal hashes prove the store/reload round trip. */
+  val substringIncrementalStored = QueryDef("dedup_substring_stored",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 8 === 7
+      // bootstrap (amortized across ingests in production)
+      docs.filter(!isBatch)
+        .withColumn("t", tokens(col("text")))
+        .select(posexplode(expr(shinglesSql("t", 50))))
+        .withColumn("gh", rollHash("col"))
+        .select(col("gh")).distinct()
+        .write.mode("overwrite")
+        .bucketBy(16, "gh").sortBy("gh")
+        .option("path", s"${sinkBase(d)}/graft_substr_idx").format("parquet")
+        .saveAsTable("graft_substr_idx")
+      // steady state: probe the re-read index
+      spanReport(probeFlagsStored(docs.filter(isBatch),
+        "graft_substr_idx", 50), 50)
+    },
+    substringIncremental.oracle)
+
+  /** [[probeFlags]] against a STORED window-hash index table: the
+    * batch side is tokenized/windowed here; the index side costs one
+    * bucketed table read. */
+  private[graft] def probeFlagsStored(batchDocs: DataFrame,
+      idxTable: String, W: Int): (DataFrame, DataFrame) = {
+    val s = batchDocs.sparkSession
+    graft.functions.HashExpressions.register(s)
+    val b = batchDocs
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("t"))
+      .localCheckpoint(false)
+    val bw = b
+      .select(col("doc_id"), posexplode(expr(shinglesSql("t", W))))
+      .withColumnRenamed("pos", "pos0")
+      .withColumn("gh", rollHash("col"))
+      .select(col("doc_id"), col("pos0").as("pos"), col("gh"))
+    val flagged = bw.join(s.table(idxTable), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    (b, flagged)
+  }
 
   /** [[substringApply]]'s core: the CLEANED corpus — every token covered
     * by a duplicated ≥W-token span dropped, survivors re-joined in
@@ -597,39 +650,75 @@ object Dedup {
     * oracle-checkable.) */
   val incrementalStored = QueryDef("dedup_incremental_stored",
     (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val base =
-        s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag"
       val isBatch = col("doc_id") % 8 === 7
-      val sets = shingleSets(s, d).localCheckpoint(false)
-      minhashBands(sets.filter(!isBatch))
-        .write.mode("overwrite")
-        .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
-        .option("path", s"$base/minhash_bands").format("parquet")
-        .saveAsTable("graft_minhash_bands")
-      sets.filter(!isBatch)
-        .write.mode("overwrite")
-        .bucketBy(16, "doc_id").sortBy("doc_id")
-        .option("path", s"$base/minhash_sets").format("parquet")
-        .saveAsTable("graft_minhash_sets")
-      val cands = minhashBands(sets.filter(isBatch)).alias("x")
-        .join(s.table("graft_minhash_bands").alias("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-        .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
-        .distinct()
-      cands
-        .join(s.table("graft_minhash_sets")
-          .select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-        .withColumn("jaccard", jaccardExpr)
-        .filter(col("jaccard") >= 0.5)
+      val docs = Tables.documents(s, d)
+      writeMinhashIndexTables(docs.filter(!isBatch), sinkBase(d),
+        "graft_minhash_bands", "graft_minhash_sets")
+      crossPairsStored(docs.filter(isBatch),
+        "graft_minhash_bands", "graft_minhash_sets")
         .groupBy(col("b"))
         .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
         .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
         .orderBy(col("doc_id"))
     },
     incremental.oracle)
+
+  /** Per-sfDir root for stored-index tables (the `sink_bucketed_
+    * roundtrip` layout convention): one directory per corpus so
+    * different scale factors never clobber each other's tables. */
+  private[graft] def sinkBase(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink/" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Write `docs`' MinHash index as two parquet TABLES bucketed on
+    * their probe-join keys — the band index on `(band, bkey)` and the
+    * shingle sets on `doc_id` (16 buckets each). A probe that reads
+    * them back picks up the stored bucketing from the table catalog,
+    * so only the probing batch shuffles — the steady-state per-ingest
+    * cost. Shared by [[incrementalStored]] and the stored
+    * component-maintenance entry
+    * ([[Components.componentsIncrementalStored]]). */
+  def writeMinhashIndexTables(docs: DataFrame, baseDir: String,
+      bandsTable: String, setsTable: String): Unit = {
+    val s = docs.sparkSession
+    graft.functions.HashExpressions.register(s)
+    val sets = shingleSetsOf(docs).localCheckpoint(false)
+    minhashBands(sets)
+      .write.mode("overwrite")
+      .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
+      .option("path", s"$baseDir/$bandsTable").format("parquet")
+      .saveAsTable(bandsTable)
+    sets
+      .write.mode("overwrite")
+      .bucketBy(16, "doc_id").sortBy("doc_id")
+      .option("path", s"$baseDir/$setsTable").format("parquet")
+      .saveAsTable(setsTable)
+  }
+
+  /** [[crossPairs]] against a STORED index written by
+    * [[writeMinhashIndexTables]]: verified `(a, b, jaccard)` pairs of
+    * `batchDocs` (as `b`) vs the stored corpus (as `a`), candidates
+    * only from band-bucket collisions against the re-read band table.
+    * Only the batch side is shingled/banded here — the stored side
+    * costs one bucketed table read. */
+  def crossPairsStored(batchDocs: DataFrame,
+      bandsTable: String, setsTable: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    graft.functions.HashExpressions.register(s)
+    val bs = shingleSetsOf(batchDocs).localCheckpoint(false)
+    val cands = minhashBands(bs).alias("x")
+      .join(s.table(bandsTable).alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
+      .distinct()
+    cands
+      .join(s.table(setsTable)
+        .select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
+      .join(bs.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
+      .withColumn("jaccard", jaccardExpr)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
 
   /** Connectivity-equivalent near-dup edge set, duplicate-proof by the
     * class construction (the `mm_phash_neardup` discipline applied to

@@ -43,7 +43,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
     "source_csv_roundtrip", "source_json_roundtrip",
     "source_orc_roundtrip", "source_schema_evolution",
-    "dedup_incremental_stored") // file writes
+    "dedup_incremental_stored",
+    "components_incremental_stored",
+    "dedup_substring_stored") // file writes
 
   private val quadraticYardsticks = Set(
     "dedup_ngram_jaccard", "dedup_embedding_cosine")

@@ -160,6 +160,17 @@ class DedupSpec extends SparkSpec {
     assert(incr != storedSet, "fixture batch should touch some component")
   }
 
+  test("stored component maintenance == derived twin (store/reload round trip)") {
+    import graft.operators.Components
+    val d = sf("sf0.001")
+    val derived = Components.componentsIncremental.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stored = Components.componentsIncrementalStored.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == derived)
+    assert(stored.nonEmpty)
+  }
+
   test("containment join: directional, catches the small-doc-in-big-page case, matches all-pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -172,6 +172,30 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup_substring_stored: probe picks up the stored index bucketing — index side has no shuffle") {
+    import org.apache.spark.sql.functions.col
+    // run the entry once so the bucketed index table exists on disk
+    q("dedup_substring_stored").collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (the 100 TB shape — a production index
+      // is far past any broadcast threshold)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Tables.documents(spark, sf("sf0.001"))
+        .filter(col("doc_id") % 8 === 7)
+      val flagged = graft.operators.Dedup
+        .probeFlagsStored(batch, "graft_substr_idx", 50)._2
+      val jp = flagged.queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin"), jp.take(2000))
+      // exactly ONE hash exchange: the batch side repartitioning to the
+      // index's bucketing; the stored side reads bucketed, shuffle-free
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(jp).length
+      assert(exchanges == 1,
+        s"expected only the batch side to shuffle, saw $exchanges:\n${jp.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sink_range_layout: sorted layout lets the scan skip non-matching row groups") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
