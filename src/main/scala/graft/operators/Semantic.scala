@@ -45,7 +45,8 @@ import graft.{QueryDef, Tables}
 object Semantic {
 
   def all: Seq[QueryDef] =
-    Seq(semanticDedup, pqTopK, pqTopKTrained, ivfPqTopK, hardNegatives)
+    Seq(semanticDedup, pqTopK, pqTopKTrained, ivfPqTopK, ivfPqStored,
+      hardNegatives)
 
   /** Hard-negative mining — the contrastive-training data op: for every
     * anchor, the most similar vector with a DIFFERENT label (hardest
@@ -520,11 +521,27 @@ object Semantic {
     * trade-off table). Same single declarative plan at every setting. */
   def ivfPqSearch(s: SparkSession, d: String,
       nprobe: Int, shortlistN: Int): DataFrame = {
-      graft.functions.VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
-        .withColumn("xx", expr("dot_f64(emb, emb)"))
+    val e = ivfPqEmb(s, d)
+    val (coarse, book, codes) = ivfPqIndexOf(e)
+    ivfPqProbe(e, coarse, book, codes, nprobe, shortlistN)
+  }
+
+  /** `(vec_id, emb, xx)` — embeddings cast to double once, with the
+    * precomputed self-dot every squared-L2 below reuses. */
+  private def ivfPqEmb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+      .withColumn("xx", expr("dot_f64(emb, emb)"))
+  }
+
+  /** The IVF-PQ INDEX half: coarse centroids `(g_id, g_emb, gg)`,
+    * residual codebook `(bm, cid, cvec, cc)`, and the codes relation
+    * `(vec_id, g_id, m, code)` — the serving state
+    * [[ivfPqStored]] persists and [[ivfPqProbe]] searches. */
+  private def ivfPqIndexOf(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
       val coarse = e.filter(col("vec_id") < IvfPqCoarseK)
         .select(col("vec_id").as("g_id"), col("emb").as("g_emb"),
           col("xx").as("gg"))
@@ -553,6 +570,16 @@ object Semantic {
         .withColumn("rn", row_number().over(wC))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("g_id"), col("m"), col("cid").as("code"))
+      (coarse, book, codes)
+  }
+
+  /** The IVF-PQ SEARCH half over an index given as three relations
+    * (derived in-plan by [[ivfPqSearch]], or re-read from stored
+    * tables by [[ivfPqStored]]). All per-query relations — probes,
+    * ADC table, shortlist — are size-fixed broadcasts; the codes
+    * relation is the only corpus-sized input. */
+  private def ivfPqProbe(e: DataFrame, coarse: DataFrame, book: DataFrame,
+      codes: DataFrame, nprobe: Int, shortlistN: Int): DataFrame = {
       val q = e.filter(col("vec_id") === 0)
         .select(col("emb").as("q_emb"), col("xx").as("qq"))
       // nprobe nearest cells via sort+limit over the CoarseK-row relation
@@ -648,4 +675,55 @@ object Semantic {
           i -> e.emb[i] * q.q_emb[i])) + q.qq AS d2
       FROM shortlist s JOIN e2 e USING (vec_id) CROSS JOIN q
       ORDER BY d2 ASC, vec_id LIMIT 10"""))
+
+  /** [[ivfPqTopK]] with the serving state actually STORED — the
+    * train-once / serve-many shape a 100 TB vector deployment runs
+    * (FAISS writes the index to disk; searches memory-map it): the
+    * coarse centroids, residual codebook, and the per-vector codes
+    * relation are WRITTEN as parquet tables, codes PARTITIONED BY the
+    * coarse cell id `g_id` — so a search that probes `nprobe` cells
+    * can read just those cells' files, the layout-level realization of
+    * "candidates outside the probed cells never reach the ADC scan".
+    * The search half ([[ivfPqProbe]]) then runs unchanged over the
+    * RE-READ tables; same oracle as the derived twin, so equal hashes
+    * prove the store/reload round trip preserves the index. (Training
+    * cost is charged in-entry to stay one-shot and oracle-checkable;
+    * `graft.tools.IvfPqStoredSweep` measures the two phases apart.) */
+  val ivfPqStored = QueryDef("emb_ivfpq_stored",
+    (s, d) => {
+      writeIvfPqIndexTables(s, d)
+      ivfPqSearchStored(s, d, IvfPqNProbe, 50)
+    },
+    ivfPqTopK.oracle)
+
+  /** Persist the IVF-PQ index: centroids + codebook as plain tables
+    * (8 / 512 rows), codes partitioned by cell id. */
+  def writeIvfPqIndexTables(s: SparkSession, d: String): Unit = {
+    val base = Dedup.sinkBase(d)
+    val (coarse, book, codes) = ivfPqIndexOf(ivfPqEmb(s, d))
+    coarse.write.mode("overwrite")
+      .option("path", s"$base/graft_ivfpq_coarse").format("parquet")
+      .saveAsTable("graft_ivfpq_coarse")
+    book.write.mode("overwrite")
+      .option("path", s"$base/graft_ivfpq_book").format("parquet")
+      .saveAsTable("graft_ivfpq_book")
+    codes.write.mode("overwrite")
+      .partitionBy("g_id")
+      .option("path", s"$base/graft_ivfpq_codes").format("parquet")
+      .saveAsTable("graft_ivfpq_codes")
+  }
+
+  /** [[ivfPqSearch]] over the stored index tables: only the query row
+    * is computed from the corpus; centroids, codebook, and codes come
+    * from the re-read tables. */
+  def ivfPqSearchStored(s: SparkSession, d: String,
+      nprobe: Int, shortlistN: Int): DataFrame =
+    ivfPqProbe(ivfPqEmb(s, d),
+      s.table("graft_ivfpq_coarse"),
+      s.table("graft_ivfpq_book"),
+      // partitionBy moved g_id to the end of the stored schema; restore
+      // the probe's expected column order
+      s.table("graft_ivfpq_codes")
+        .select(col("vec_id"), col("g_id"), col("m"), col("code")),
+      nprobe, shortlistN)
 }

@@ -45,7 +45,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "source_orc_roundtrip", "source_schema_evolution",
     "dedup_incremental_stored",
     "components_incremental_stored",
-    "dedup_substring_stored") // file writes
+    "dedup_substring_stored",
+    "emb_ivfpq_stored") // file writes
 
   private val quadraticYardsticks = Set(
     "dedup_ngram_jaccard", "dedup_embedding_cosine")
