@@ -986,9 +986,16 @@ object Dedup {
     * Oracle = all-pairs containment in DuckDB: the prefix filter is
     * exact (superset of all qualifying pairs), so filtered-verified ==
     * all-pairs — the same proof obligation the LSH entries discharge by
-    * their verify stage. bench=false for [[prefixJaccard]]'s reason:
-    * the uniform synthetic vocabulary defeats the rare-token cost model
-    * (answer correct, fan-out un-Zipfian). */
+    * their verify stage. Candidate generation runs CLASS-COLLAPSED
+    * (see [[containmentOf]]): the round-9 version joined prefixes at
+    * document level and the 8× replica tier ran past 14 minutes —
+    * verbatim copies multiplied prefix fan-out quadratically; distinct
+    * token sets don't replicate, so the collapsed join re-enters the
+    * tier sweep. bench=false retained for [[prefixJaccard]]'s residual
+    * reason: even class-level fan-out has no rare tokens to key on in
+    * the 31-token uniform vocabulary (real Zipfian text gives the
+    * prefix its selectivity; here the bound comes from the class count
+    * alone). */
   val containment = QueryDef("dedup_containment",
     (s, d) => containmentOf(Tables.documents(s, d), 0.8),
     Some("""WITH ts AS (SELECT doc_id,
@@ -1007,40 +1014,100 @@ object Dedup {
 
   /** [[containment]]'s core over an arbitrary `(doc_id, text, ...)`
     * frame — the library entry point DedupSpec drives with authored
-    * fixtures. */
+    * fixtures.
+    *
+    * CLASS-COLLAPSED for the fan-out bound (the `minhashClassEdges` /
+    * `emb_knn_graph` / `mm_phash_neardup` discipline applied to the
+    * prefix filter): containment C(A→B) is a function of the token-SET
+    * pair alone, so documents with identical sets collapse to one
+    * class (key = the sorted set, rep = min doc_id) and the directional
+    * prefix join runs over DISTINCT sets only. That is the in-plan
+    * bound the round-9 version lacked: a verbatim-duplicated corpus
+    * (the case dedup exists for — and exactly what the keys-offset
+    * replica tiers construct) multiplies DOCUMENTS per token without
+    * adding CLASSES per token, so candidate volume tracks distinct
+    * content while the member fan-back stays linear. Pigeonhole
+    * exactness is untouched: the filter is still a superset argument
+    * over each class's ⌊(1−τ)·sz⌋+1 rarest tokens (rarity measured in
+    * CLASSES — the join's actual fan-out metric).
+    *
+    * Member fan-back, exact by case analysis: a member of class X with
+    * |X| = c is contained (containment 1.0) in its c−1 verbatim
+    * copies, plus every member of each qualifying class Y (count,
+    * min-id = Y's rep, best containment aggregated per X). The only
+    * per-member term is the min-container id when the member IS X's
+    * rep — covered by X's precomputed second-smallest member id. */
   def containmentOf(docsIn: DataFrame, tau: Double): DataFrame = {
     val ts = docsIn
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
-    val tok = ts.select(col("doc_id"), size(col("ts")).as("sz"),
+      .select(col("doc_id"),
+        array_sort(array_distinct(tokens(col("text")))).as("ts"))
+    // class assignment as ONE window over the set key (no groupBy +
+    // join-back on the array column — the array equi-join dominated a
+    // first cut of this collapse at the replica tiers), materialized
+    // once for the six consumers below (ctok twice, cross twice,
+    // members, min2); lazy localCheckpoint, RDD-owned blocks, no cache
+    // entry (the minhashPairs discipline)
+    val wTs = org.apache.spark.sql.expressions.Window.partitionBy(col("ts"))
+    val classed = ts
+      .withColumn("rep", min(col("doc_id")).over(wTs))
+      .withColumn("cnt", count(lit(1)).over(wTs))
+      .localCheckpoint(false)
+    val members = classed.select(col("doc_id"), col("rep"), col("cnt"))
+    val classes = classed.filter(col("doc_id") === col("rep"))
+      .select(col("ts"), col("rep"), col("cnt"))
+    // second-smallest member per class (null for singletons): the
+    // same-class min-container when the contained member is the rep
+    val min2 = members.filter(col("doc_id") =!= col("rep"))
+      .groupBy(col("rep")).agg(min(col("doc_id")).as("min2"))
+    // directional prefix filter over the CLASS relation
+    val ctok = classes.select(col("rep"), size(col("ts")).as("sz"),
       explode(col("ts")).as("w"))
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cnt"), col("w"))
-    // contained-side prefix: the ⌊(1−τ)·sz⌋+1 rarest tokens
-    val pref = tok.join(freq, "w")
-      .withColumn("rn", row_number().over(w))
+    val freq = ctok.groupBy(col("w")).agg(count(lit(1)).as("fcnt"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("fcnt"), col("w"))
+    val pref = ctok.join(freq, "w")
+      .withColumn("rn", row_number().over(wnd))
       .where(col("rn") <=
         col("sz") - ceil(lit(tau) * col("sz").cast("double")) + 1)
-      .select(col("doc_id"), col("w"))
-    // container side joins its FULL token relation (directional filter)
-    val cand = pref.alias("x")
-      .join(tok.select(col("doc_id"), col("w")).alias("y"),
-        col("x.w") === col("y.w") && col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("rep").as("a_rep"), col("w"))
+    val cand = pref
+      .join(ctok.select(col("rep").as("b_rep"), col("w")), "w")
+      .where(col("a_rep") =!= col("b_rep"))
+      .select(col("a_rep"), col("b_rep"))
       .distinct()
-    cand
-      .join(ts.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
-      .join(ts.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+    // exact verify on class pairs, then per-contained-class rollup of
+    // the cross-class containers
+    val cross = cand
+      .join(classes.select(col("rep").as("a_rep"), col("ts").as("ta")),
+        "a_rep")
+      .join(classes.select(col("rep").as("b_rep"), col("ts").as("tb"),
+        col("cnt").as("b_cnt")), "b_rep")
       .withColumn("containment",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(col("ta")).cast("double"))
       .where(col("containment") >= tau)
-      .groupBy(col("a"))
-      .agg(count(lit(1)).as("n_containers"),
-        min(col("b")).as("min_container"),
-        max(col("containment")).as("containment"))
-      .select(col("a").as("doc_id"), col("n_containers"),
-        col("min_container"), col("containment"))
+      .groupBy(col("a_rep"))
+      .agg(sum(col("b_cnt")).as("n_cross"), min(col("b_rep")).as("min_cross"),
+        max(col("containment")).as("max_cross"))
+      .select(col("a_rep").as("rep"), col("n_cross"), col("min_cross"),
+        col("max_cross"))
+    members
+      .join(cross, Seq("rep"), "left")
+      .join(min2, Seq("rep"), "left")
+      .withColumn("same_min", when(col("cnt") < 2, lit(null).cast("long"))
+        .otherwise(when(col("doc_id") === col("rep"), col("min2"))
+          .otherwise(col("rep"))))
+      .withColumn("n_containers",
+        (col("cnt") - 1) + coalesce(col("n_cross"), lit(0L)))
+      .where(col("n_containers") >= 1)
+      .select(col("doc_id"),
+        col("n_containers"),
+        least(coalesce(col("same_min"), col("min_cross")),
+          coalesce(col("min_cross"), col("same_min"))).as("min_container"),
+        greatest(
+          coalesce(when(col("cnt") >= 2, lit(1.0)), col("max_cross")),
+          coalesce(col("max_cross"),
+            when(col("cnt") >= 2, lit(1.0)))).as("containment"))
       .orderBy(col("doc_id"))
   }
 
