@@ -37,10 +37,14 @@ object Hierarchy {
           .otherwise(((col("node") * 2654435761L) % 1000000007L)
             % col("node")))
       // the pointer-jumping join on anc === a_node silently drops rows
-      // whose ancestor is absent, so a key space without node 0 (e.g.
-      // 1-based) would lose every resolved row — fail loudly instead
-      val roots = par.filter(col("node") === 0).count()
-      require(roots == 1,
+      // whose ancestor is absent, so a NON-EMPTY key space without node
+      // 0 (e.g. 1-based) would lose every resolved row — fail loudly
+      // instead (an empty corpus legitimately has no root and flows
+      // through to an empty result)
+      val Seq(nodes, roots) = par
+        .agg(count(lit(1)), count(when(col("node") === 0, 1)))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      require(nodes == 0L || roots == 1L,
         s"tree closure expects exactly one root with key 0; found $roots")
       var state = Iterative.cutLineage(
         par.filter(col("node") =!= 0)
