@@ -62,21 +62,27 @@ object KCore {
     * `(node, deg)`. Also reports the round count through `roundsOut`
     * for the convergence assertion in KCoreSpec.
     *
-    * Degree-delta maintenance for scale: the loop state is the
-    * surviving `(node, deg)` relation — O(nodes), not O(edges). Each
-    * round peels `deg < k`, then SUBTRACTS from each still-alive
-    * neighbor the count of edges it just lost to the peeled set (one
-    * join of the cached base edges against the small peeled frontier,
-    * aggregated over touched edges only), instead of re-aggregating
-    * degrees over the full edge relation as earlier rounds of this
-    * code did (that kept per-round cost O(E) regardless of churn:
-    * 88 s at the 64× tier). Edge subtraction is exactly-once: a
-    * directed copy `(u, v)` is charged to `u` the round `v` dies, and
-    * a node leaves the deg state the round it dies, so the left join
-    * silently discards deltas aimed at already-dead nodes (including
-    * both-endpoints-die-together rounds). The maintained invariant —
-    * deg(n) = count of alive neighbors of n — makes the fixpoint deg
-    * state itself the answer; no final re-aggregation pass.
+    * Threshold-crossing frontier maintenance for scale: the per-round
+    * MATERIALIZED state is only the cumulative decrement relation
+    * `(node, dec)` (touched nodes only) and the frontier — never the
+    * full O(nodes) degree table (an earlier revision re-checkpointed
+    * surviving `(node, deg)` every round, which made round cost
+    * node-scaled: 61 s at the 64× tier; the O(E)-per-round revision
+    * before that read 88 s). The base degree table is checkpointed
+    * ONCE; each round (a) charges every edge into the dying frontier to
+    * its surviving endpoint (one read-only pass over the cached edges,
+    * frontier side hinted broadcast while small), (b) folds the new
+    * losses into the cumulative decrements, and (c) finds the NEXT
+    * frontier as the nodes that CROSSED the threshold this round —
+    * base_deg − dec < k now, but base_deg − prev_dec ≥ k before. The
+    * crossing test runs only over this round's touched nodes (an inner
+    * join of the small delta against the once-cached base degrees), so
+    * no dead set is carried at all: decrements are monotone, a node
+    * crosses exactly once, and later decrements into dead nodes fail
+    * the `prev ≥ k` half. Survivors are extracted in ONE final pass:
+    * base_deg − total_dec ≥ k (nodes never touched have dec 0 via the
+    * left join). Batched simultaneous peeling is confluent (the k-core
+    * is unique), so round semantics match the unrolled oracle exactly.
     *
     * `maxRounds`: fail-loudly bound. The catalog entry passes
     * [[OracleRounds]] so any corpus whose cascade outruns the unrolled
@@ -88,42 +94,57 @@ object KCore {
       maxRounds: Option[Int] = None)
       : DataFrame = {
     val edges = edgesIn.localCheckpoint(false) // one materialization, reused
-    var deg = Iterative.cutLineage(
-      edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .select(col("u").as("node"), col("deg")))
+    val baseDeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .localCheckpoint(false) // once — never rewritten by the loop
+    var dec = baseDeg.limit(0)
+      .select(col("node"), lit(0L).as("dec")) // cumulative, touched-only
+    var frontier = Iterative.cutLineage(
+      baseDeg.filter(col("deg") < k).select("node"))
+    var fCount = frontier.count()
     var rounds = 0
-    var converged = false
-    while (!converged) {
-      val newDead = Iterative.cutLineage(
-        deg.filter(col("deg") < k).select("node"))
-      val ndCount = newDead.count()
-      if (ndCount == 0) converged = true
-      else {
-        // cutLineage resets stats, so hint the frontier side explicitly —
-        // but only while it is genuinely small (round 1 can peel a large
-        // fraction of nodes; past the cap, fall back to shuffle joins and
-        // let AQE re-plan at runtime)
-        def hinted(df: DataFrame): DataFrame =
-          if (ndCount <= BroadcastFrontierMax) broadcast(df) else df
-        // edges a still-tracked node loses because its v endpoint died
-        val lost = edges
-          .join(hinted(newDead.select(col("node").as("v"))), Seq("v"))
-          .groupBy(col("u")).agg(count(lit(1)).as("lost"))
-          .select(col("u").as("node"), col("lost"))
-        deg = Iterative.cutLineage(
-          deg.join(hinted(newDead), Seq("node"), "left_anti")
-            .join(hinted(lost), Seq("node"), "left")
-            .select(col("node"),
-              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg")))
-      }
+    while (fCount > 0) {
       rounds += 1
       maxRounds.foreach { m =>
         require(rounds <= m,
           s"k-core cascade exceeded $m rounds — unrolled oracle invalid")
       }
+      // cutLineage resets stats, so hint the frontier side explicitly —
+      // but only while it is genuinely small (round 1 can peel a large
+      // fraction of nodes; past the cap, fall back to shuffle joins and
+      // let AQE re-plan at runtime)
+      def hinted(df: DataFrame): DataFrame =
+        if (fCount <= BroadcastFrontierMax) broadcast(df) else df
+      // edges charged to u the round its v endpoint dies — exactly once,
+      // because a node dies exactly once
+      val lost = edges
+        .join(hinted(frontier.select(col("node").as("v"))), Seq("v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .select(col("u").as("node"), col("d"))
+      val decNext = Iterative.cutLineage(
+        dec.unionAll(lost.select(col("node"), col("d").as("dec")))
+          .groupBy(col("node")).agg(sum(col("dec")).as("dec")))
+      // nodes that crossed k this round: only this round's touched nodes
+      // can, so the test joins the small delta against the cached base
+      val crossed = lost
+        .join(dec.select(col("node"), col("dec").as("prev")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("prev"), lit(0L)) + col("d")).as("now"),
+          coalesce(col("prev"), lit(0L)).as("prev"))
+      frontier = Iterative.cutLineage(
+        baseDeg.join(hinted(crossed), Seq("node"))
+          .filter(col("deg") - col("now") < k && col("deg") - col("prev") >= k)
+          .select("node"))
+      dec = decNext
+      fCount = frontier.count()
     }
     roundsOut.foreach(_.set(rounds))
-    deg.orderBy(col("node"))
+    baseDeg.join(dec, Seq("node"), "left")
+      .select(col("node"),
+        (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+      .filter(col("deg") >= k)
+      .orderBy(col("node"))
   }
 
   /** The bipartite order–part edge relation, symmetric, distinct. */
