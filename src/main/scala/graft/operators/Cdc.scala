@@ -20,7 +20,95 @@ import graft.Num
   */
 object Cdc {
 
-  def all: Seq[QueryDef] = Seq(merge, mvIncremental, snapshotDiff)
+  def all: Seq[QueryDef] =
+    Seq(merge, mvIncremental, mvIncrementalRetract, snapshotDiff, scd2)
+
+  /** SCD Type-2 dimension build — the warehouse pattern that turns a
+    * change log into validity intervals: per key, each change opens a
+    * version effective until the next change (`eff_to` = next
+    * `eff_from`, NULL while current), so any fact row can join the
+    * version that was in force at its timestamp (the as-of semantics
+    * `ev_pit_features` consumes on the query side; this is the build
+    * side). Orders stand in for the change log: each order is a
+    * price-change event for its customer; same-day writes collapse
+    * last-write-wins (`max_by` on the unique order key — deterministic
+    * with no window needed for the dedup).
+    *
+    * Scale shape: one hash agg keyed by (key, day) + one window
+    * partitioned by key (row_number + lead share the single sort) —
+    * two key-partitioned shuffles, fully parallel across keys; no
+    * global sort, no self-join. State per key is its version chain,
+    * exactly what the output is. */
+  val scd2 = QueryDef("cdc_scd2",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").as("eff_from"))
+        .agg(expr("max_by(CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)")
+          .as("price"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("eff_from"))
+      daily
+        .withColumn("version", row_number().over(w).cast("bigint"))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .select(col("o_custkey"), col("version"), col("eff_from"),
+          col("eff_to"), col("price").cast("double").as("price"),
+          col("eff_to").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
+    },
+    Some("""WITH daily AS (SELECT o_custkey, o_orderdate AS eff_from,
+          max_by(CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS price
+        FROM orders GROUP BY 1, 2),
+      v AS (SELECT o_custkey, eff_from, price,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY eff_from)
+            AS version,
+          LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from)
+            AS eff_to
+        FROM daily)
+      SELECT o_custkey, version, eff_from, eff_to,
+        CAST(price AS DOUBLE) AS price, (eff_to IS NULL) AS is_current
+      FROM v ORDER BY o_custkey, version"""))
+
+  /** [[mvIncremental]] with RETRACTIONS — the Flink retract-stream /
+    * Materialize-style maintenance shape: the delta carries signed
+    * multiplicities (+1 inserts, −1 deletes), partials combine by
+    * signed addition (counts add weights, exact decimal sums add signed
+    * amounts), and groups whose maintained count reaches zero drop out
+    * of the view. Deletes retract pre-1997 orders with key ≡ 0 mod 13;
+    * inserts are the 1997+ arrivals — both present in every corpus.
+    * The oracle recomputes the rollup from scratch over
+    * (orders − deleted), proving signed partial-combine lossless
+    * INCLUDING group disappearance — the case append-only MV
+    * maintenance ([[mvIncremental]]) cannot express. */
+  val mvIncrementalRetract = QueryDef("mv_incremental_retract",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          Num.dec(col("o_totalprice")).as("p"))
+      val stored = o.filter(col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("rev"))
+      val deletes = o.filter(col("o_orderdate") < lit("1997-01-01") &&
+          col("o_orderkey") % 13 === 0)
+        .select(col("o_custkey"), lit(-1L).as("w"), col("p"))
+      val inserts = o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_custkey"), lit(1L).as("w"), col("p"))
+      val delta = deletes.unionAll(inserts)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("w")).as("n"),
+          sum(when(col("w") === 1L, col("p")).otherwise(-col("p"))).as("rev"))
+      stored.unionAll(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_orderkey % 13 = 0)
+      GROUP BY o_custkey ORDER BY o_custkey"""))
 
   /** Snapshot diff — the lakehouse "what changed between versions"
     * audit (Delta/Iceberg table diff): full-outer join two snapshots on

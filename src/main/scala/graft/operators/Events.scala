@@ -20,7 +20,61 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
-      rangeJoin, resample, resampleFat, anomaly, interpolate)
+      rangeJoin, resample, resampleFat, anomaly, interpolate, ewma)
+
+  /** Exponentially-weighted moving average over per-type minute volumes
+    * — the time-series smoother ops dashboards run beside
+    * [[anomaly]]'s 3σ gate. True EWMA is a serial recurrence
+    * (s_t = αx_t + (1−α)s_{t−1}) that neither parallelizes nor
+    * cross-engine-reproduces in float; this is the standard truncated
+    * form: 16 trailing observations with α = 1/2, i.e. weights
+    * 2^−1 … 2^−16, normalized by the weights actually present (series
+    * heads have fewer lags). The 2^−k tail beyond 16 lags is below
+    * 10^−5 of the signal — the truncation every streaming EWMA with
+    * finite state makes implicitly.
+    *
+    * Bit-portability by construction, no decimal needed: counts are
+    * integers, weights are dyadic rationals ≥ 2^−16, so every product
+    * and partial sum is EXACT in an IEEE double (lsb 2^−16, magnitude
+    * ≪ 2^52) — the "sum of floats is order-dependent" trap has no
+    * room to fire — and the single normalizing division is the only
+    * rounding step. Plan: one hash agg to the minute relation, ONE
+    * window partitioned by type (all 16 lags share its sort), one
+    * division per row. */
+  val ewma = QueryDef("ev_ewma_smooth",
+    (s, d) => {
+      val byMin = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("m"))
+      val weights = (1 to 16).map(k => math.pow(0.5, k))
+      val num = weights.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("cnt"), i).over(w).cast("double") * lit(wt),
+          lit(0.0))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("cnt"), i).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      byMin
+        .withColumn("ewma", num / den)
+        .select(col("event_type"), col("m"), col("cnt"), col("ewma"))
+        .orderBy(col("event_type"), col("m"))
+    },
+    Some {
+      val weights = (1 to 16).map(k => math.pow(0.5, k))
+      val num = weights.zipWithIndex.map { case (wt, i) =>
+        s"COALESCE(CAST(LAG(cnt, $i) OVER w AS DOUBLE) * $wt, 0.0)"
+      }.mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wt, i) =>
+        s"(CASE WHEN LAG(cnt, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT event_type, date_trunc('minute', ts) AS m,
+          COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        SELECT event_type, m, cnt, ($num) / ($den) AS ewma
+        FROM c WINDOW w AS (PARTITION BY event_type ORDER BY m)
+        ORDER BY event_type, m"""
+    })
 
   /** Hourly-volume anomaly detection with an ALL-INTEGER 3σ decision —
     * the monitoring query every event pipeline runs, made bit-portable

@@ -18,7 +18,8 @@ object Registry {
       graft.operators.Semantic.all ++ graft.operators.Retrieval.all ++
       graft.operators.Spectral.all ++
       graft.operators.Events.all ++
-      graft.operators.PageRank.all ++ graft.operators.Triangles.all ++
+      graft.operators.PageRank.all ++ graft.operators.LabelProp.all ++
+      graft.operators.Triangles.all ++ graft.operators.Basket.all ++
       graft.operators.KCore.all ++ graft.operators.Hierarchy.all ++
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++

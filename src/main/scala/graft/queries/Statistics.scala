@@ -13,7 +13,64 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
-      hashSample, corrStats, winsorized, histogram, mad, ksTest)
+      hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2)
+
+  /** Chi-squared independence test over a categorical pair — the third
+    * leg of the drift/shift toolkit beside [[ksTest]] (continuous,
+    * bin-free) and `profile_drift` (per-value PSI): are document
+    * language and source independent? Emits the full contingency table
+    * with one χ² term per cell (the actionable decomposition — which
+    * cell deviates), plus each cell's expected count.
+    *
+    * Plan: ONE scan → one hash agg to the (lang, source) contingency
+    * table (≤ |langs|·|sources| rows — 100 here, feature-cardinality-
+    * bounded generally, never data-scaled), margins derived from the
+    * table itself (two tiny re-aggs), a 1-row total cross-joined in.
+    * Float discipline: the term (o·N − r·c)²/(N·r·c) is computed on
+    * exact DECIMAL(38,0) integer products (BIGINT would overflow at
+    * ~1e12 rows — the `ev_anomaly` lesson applied proactively), then
+    * ONE IEEE division of the two decimal-cast doubles — bit-identical
+    * cross-engine, no order-dependent float summation anywhere. */
+  val chi2 = QueryDef("stat_chi2_independence",
+    (s, d) => {
+      val obs = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rm = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cm = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      obs.join(rm, "lang").join(cm, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          (col("r").cast("decimal(38,0)") * col("c")).cast("double") /
+            col("n").cast("double"))
+        .withColumn("dev",
+          (col("o").cast("decimal(38,0)") * col("n") -
+            col("r").cast("decimal(38,0)") * col("c")).cast("double"))
+        .withColumn("chi2_term",
+          col("dev") * col("dev") /
+            (col("n").cast("decimal(38,0)") * col("r") * col("c"))
+              .cast("double"))
+        .select(col("lang"), col("source"), col("o").as("observed"),
+          col("expected"), col("chi2_term"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH obs AS (SELECT lang, source, COUNT(*) AS o
+          FROM documents GROUP BY 1, 2),
+      rm AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY 1),
+      cm AS (SELECT source, SUM(o) AS c FROM obs GROUP BY 1),
+      tot AS (SELECT SUM(o) AS n FROM obs),
+      cells AS (SELECT obs.lang, obs.source, obs.o,
+          rm.r, cm.c, tot.n,
+          CAST(CAST(obs.o AS DECIMAL(38,0)) * tot.n -
+            CAST(rm.r AS DECIMAL(38,0)) * cm.c AS DOUBLE) AS dev
+        FROM obs JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN tot)
+      SELECT lang, source, o AS observed,
+        CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / CAST(n AS DOUBLE)
+          AS expected,
+        dev * dev /
+          CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE) AS chi2_term
+      FROM cells ORDER BY lang, source"""))
 
   /** Two-sample Kolmogorov–Smirnov statistic — the distribution-shift
     * test that complements `profile_drift`'s binned PSI with a

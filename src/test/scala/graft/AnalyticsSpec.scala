@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Serial-model and invariant specs for the round-10 analytics entries:
+  * SCD2 build, retractable MV maintenance, chi-squared independence,
+  * market-basket lift, synchronous label propagation, truncated EWMA.
+  * Each model re-derives the expected result with plain Scala
+  * collections (different evaluation strategy than the Spark plan), and
+  * float outputs are compared BIT-EXACTLY — the entries' arithmetic is
+  * designed to be IEEE-reproducible, so the spec holds them to it. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdc_scd2: version chains are contiguous, last-write-wins, exactly one current row per key") {
+    val d = sf("sf0.001")
+    val rows = graft.operators.Cdc.scd2.fn(spark, d).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    // expected version count per key = distinct order dates per customer
+    val want = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderdate")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey.keySet == want.keySet)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to want(k)).toSeq,
+        s"key $k: versions not contiguous")
+      // intervals chain: eff_to == next version's eff_from; only the
+      // last is open (null eff_to, is_current)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Any](3) == b.getAs[Any](2), s"key $k chain")
+          assert(!a.getBoolean(5))
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(3) && sorted.last.getBoolean(5))
+      // eff_from strictly increasing (render to ISO strings — sortable)
+      val froms = sorted.map(_.getAs[Any](2).toString)
+      assert(froms.zip(froms.tail).forall { case (x, y) => x < y })
+    }
+    // last-write-wins dedup: spot-check one key with a same-day collision
+    val collide = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n"), expr("max_by(o_totalprice, o_orderkey)").as("p"))
+      .filter(col("n") > 1).limit(1).collect()
+    collide.foreach { c =>
+      val row = rows.find(r => r.getLong(0) == c.getLong(0) &&
+        r.getAs[Any](2) == c.getAs[Any](1)).get
+      assert(row.getDouble(4) == c.getDouble(3), "same-day last write should win")
+    }
+  }
+
+  test("mv_incremental_retract: signed partial-combine equals from-scratch recompute, deletes really retract") {
+    val d = sf("sf0.001")
+    val got = graft.operators.Cdc.mvIncrementalRetract.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val scratch = Tables.orders(spark, d)
+      .filter(!(col("o_orderdate") < lit("1997-01-01") &&
+        col("o_orderkey") % 13 === 0))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Num.dec(col("o_totalprice"))).cast("double").as("rev"))
+      .orderBy(col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == scratch.toSeq)
+    // retractions occurred: some customer's count shrank vs append-only
+    val full = Tables.orders(spark, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (k, n, _) => n < full(k) })
+  }
+
+  test("stat_chi2_independence: bit-exact vs a serial contingency model") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val obs = docs.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val r = obs.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val c = obs.groupBy(_._1._2).map { case (s0, m) => s0 -> m.values.sum }
+    val n = obs.values.sum
+    val want = obs.toSeq.sortBy(_._1).map { case ((l, s0), o) =>
+      val dev = (BigInt(o) * n - BigInt(r(l)) * c(s0)).toDouble
+      val den = (BigInt(n) * r(l) * c(s0)).toDouble
+      (l, s0, o, (BigInt(r(l)) * c(s0)).toDouble / n.toDouble,
+        dev * dev / den)
+    }
+    val got = graft.queries.Statistics.chi2.fn(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("basket_copurchase: bit-exact vs a serial pair-count model") {
+    val d = sf("sf0.001")
+    val items = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      .filter(_._2 >= 3L)
+    val itemCnt = items.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val nOrders = byOrder.size.toLong
+    val want = pairCnt.toSeq.map { case ((a, b), nab) =>
+      val lift = (nab * nOrders).toDouble / (itemCnt(a) * itemCnt(b)).toDouble
+      (a, b, nab, itemCnt(a), itemCnt(b), lift)
+    }.sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }.take(20)
+    val got = graft.operators.Basket.copurchaseLift.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("graph_label_prop: matches a serial synchronous LPA with the same tie-break") {
+    val n = graft.operators.LabelProp.N
+    val base = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i * 7 + 11) % n)))
+    val edges = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2)
+    var lab = (0L until n).map(i => i -> i).toMap
+    for (_ <- 1 to graft.operators.LabelProp.Rounds) {
+      lab = edges.groupBy(_._1).map { case (u, es) =>
+        val counts = es.groupBy(e => lab(e._2)).map { case (l, xs) =>
+          (l, xs.size)
+        }
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val got = graft.operators.LabelProp.labelProp.fn(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab)
+    // propagation actually happened (labels coalesced below node count)
+    assert(got.values.toSet.size < n)
+  }
+
+  test("ev_ewma_smooth: bit-exact vs a serial truncated-EWMA model") {
+    val d = sf("sf0.001")
+    val counts = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val weights = (1 to 16).map(k => math.pow(0.5, k))
+    val want = counts.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      val s = xs.sortBy(_._2.getTime)
+      s.indices.map { i =>
+        val lags = (0 until 16).filter(j => i - j >= 0)
+        val num = lags.map(j => s(i - j)._3.toDouble * weights(j)).sum
+        val den = lags.map(weights(_)).sum
+        (t, s(i)._2, s(i)._3, num / den)
+      }
+    }.sortBy(x => (x._1, x._2.getTime))
+    val got = graft.operators.Events.ewma.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
