@@ -19,6 +19,7 @@ object Registry {
       graft.operators.Spectral.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.LabelProp.all ++
+      graft.operators.Mis.all ++
       graft.operators.Triangles.all ++ graft.operators.Basket.all ++
       graft.operators.KCore.all ++ graft.operators.Hierarchy.all ++
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++

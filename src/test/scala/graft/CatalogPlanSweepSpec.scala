@@ -36,6 +36,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "text_bpe_vocab", "text_bpe_encode",      // driver merge loop
     "sssp_synthetic",                          // hybrid local solve
     "graph_kcore",                             // driver fixpoint loop
+    "graph_mis",                               // driver fixpoint loop
     "graph_tree_closure",                      // driver doubling loop
     "emb_power_iteration",                     // superstep collects
     "sim_ann_ivf_trained",                     // Lloyd rounds
