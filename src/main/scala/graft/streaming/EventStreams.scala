@@ -38,6 +38,25 @@ object EventStreams {
   case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
       n_events: Long)
 
+  /** [[sessionize]] as Spark's NATIVE `session_window` aggregation —
+    * the engine-managed state path (the custom GroupState above exists
+    * to show the general recipe; this is what a deployment should run
+    * when plain per-session aggregates suffice): the state store merges
+    * overlapping gap windows itself, sessions emit when the watermark
+    * passes their close, and there is no user-written state machine to
+    * get wrong. Same strict >gap boundary semantics as the batch
+    * `ev_sessionize_native` entry; StreamingSpec drives the same
+    * fixture through both streaming implementations. */
+  def sessionizeNative(events: Dataset[Ev], gapSec: Long = 1800): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("w"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"),
+        col("n_events"))
+
   /** Gap-based sessionization with event-time timeout: a session closes
     * when no event arrives for `gapSec` in event time (watermark-driven).
     * State is one tiny record per active user — bounded, shardable. */

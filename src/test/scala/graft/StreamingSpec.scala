@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.exists(s => s.user_id == 2 && s.n_events == 1))
   }
 
+  test("native session_window streaming agg matches the GroupState sessionizer on the same fixture") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionizeNative(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    // same feed as the GroupState test: one 2-event session for user 1,
+    // then watermark-advancing singletons for users 2 and 3
+    mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(10), 1, "view", 1.0))
+    out.processAllAvailable()
+    mem.addData(Ev(ts(600), 2, "click", 1.0))
+    out.processAllAvailable()
+    mem.addData(Ev(ts(1200), 3, "click", 1.0))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("native_sessions").as[Session].collect()
+    val u1 = got.filter(_.user_id == 1)
+    assert(u1.length == 1)
+    assert(u1.head.n_events == 2)
+    assert(u1.head.start_ts == ts(0) && u1.head.end_ts == ts(10))
+    assert(got.exists(s => s.user_id == 2 && s.n_events == 1))
+    // engine-managed state emits the SAME closed sessions the custom
+    // GroupState machine emitted for this feed (user 3's session is
+    // still open in both — neither may emit it)
+    assert(!got.exists(_.user_id == 3))
+  }
+
   test("sessionize splits on gap within one batch") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
