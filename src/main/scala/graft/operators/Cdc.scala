@@ -21,7 +21,96 @@ import graft.Num
 object Cdc {
 
   def all: Seq[QueryDef] =
-    Seq(merge, mvIncremental, mvIncrementalRetract, snapshotDiff, scd2)
+    Seq(merge, mvIncremental, mvIncrementalRetract, snapshotDiff, scd2,
+      timeTravel)
+
+  /** Time travel — reconstruct the table AS OF a version timestamp from
+    * a base snapshot plus a dated change log (the Delta/Iceberg
+    * `VERSION AS OF` semantics, spelled out): keep only log batches
+    * ≤ T, compact to the LATEST change per key (the log-compaction step
+    * [[merge]] doesn't need because it applies exactly one batch), then
+    * one full-outer apply against the base. Three dated batches derive
+    * deterministically from the key space — credit updates (1996-06),
+    * deletes + per-nation inserts (1997-06), debit updates (1998-06) —
+    * and T = 1997-12-31 must apply the first two and ignore the third.
+    *
+    * Scale shape: the log filter is a partition-pruning predicate on a
+    * date-partitioned log table in production; compaction is one
+    * key-partitioned window over the SURVIVING log only; the apply is
+    * the same single full-outer equi join as `cdc_merge` (shuffle-free
+    * on a bucketed base). */
+  val timeTravel = QueryDef("cdc_time_travel",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          Num.dec(col("c_acctbal")).as("bal"))
+      def batch(ts: String, df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bts", lit(ts))
+      val b1 = batch("1996-06-01", base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), lit("U").as("op"),
+          col("c_nationkey").as("new_nationkey"),
+          (col("bal") + lit("100.00").cast("decimal(12,2)"))
+            .cast("decimal(12,2)").as("new_bal")))
+      val b2d = batch("1997-06-01", base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit("D").as("op"),
+          lit(null).cast("int").as("new_nationkey"),
+          lit(null).cast("decimal(12,2)").as("new_bal")))
+      val b2i = batch("1997-06-01", Tables.nation(s, d)
+        .select((col("n_nationkey").cast("bigint") + 900000L).as("c_custkey"),
+          lit("I").as("op"), col("n_nationkey").as("new_nationkey"),
+          lit("0.00").cast("decimal(12,2)").as("new_bal")))
+      val b3 = batch("1998-06-01", base.filter(col("c_custkey") % 7 === 2)
+        .select(col("c_custkey"), lit("U").as("op"),
+          col("c_nationkey").as("new_nationkey"),
+          (col("bal") - lit("50.00").cast("decimal(12,2)"))
+            .cast("decimal(12,2)").as("new_bal")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("bts").desc)
+      val applied = b1.unionAll(b2d).unionAll(b2i).unionAll(b3)
+        .filter(col("bts") <= lit("1997-12-31"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn", "bts")
+      base.join(applied, Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          coalesce(col("new_nationkey"), col("c_nationkey"))
+            .as("c_nationkey"),
+          coalesce(col("new_bal"), col("bal")).cast("double")
+            .as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_nationkey,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+      log AS (
+        SELECT c_custkey, '1996-06-01' AS bts, 'U' AS op,
+          c_nationkey AS new_nationkey,
+          CAST(bal + CAST('100.00' AS DECIMAL(12,2)) AS DECIMAL(12,2))
+            AS new_bal
+        FROM base WHERE c_custkey % 10 = 1
+        UNION ALL
+        SELECT c_custkey, '1997-06-01', 'D', CAST(NULL AS INT),
+          CAST(NULL AS DECIMAL(12,2))
+        FROM base WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT) + 900000, '1997-06-01', 'I',
+          n_nationkey, CAST('0.00' AS DECIMAL(12,2))
+        FROM nation
+        UNION ALL
+        SELECT c_custkey, '1998-06-01', 'U', c_nationkey,
+          CAST(bal - CAST('50.00' AS DECIMAL(12,2)) AS DECIMAL(12,2))
+        FROM base WHERE c_custkey % 7 = 2),
+      applied AS (SELECT * FROM (
+          SELECT c_custkey, op, new_nationkey, new_bal,
+            ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY bts DESC)
+              AS rn
+          FROM log WHERE bts <= '1997-12-31')
+        WHERE rn = 1)
+      SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+        COALESCE(a.new_nationkey, b.c_nationkey) AS c_nationkey,
+        CAST(COALESCE(a.new_bal, b.bal) AS DOUBLE) AS c_acctbal
+      FROM base b FULL OUTER JOIN applied a USING (c_custkey)
+      WHERE a.op IS NULL OR a.op <> 'D'
+      ORDER BY c_custkey"""))
 
   /** SCD Type-2 dimension build — the warehouse pattern that turns a
     * change log into validity intervals: per key, each change opens a

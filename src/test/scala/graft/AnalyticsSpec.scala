@@ -70,6 +70,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exists { case (k, n, _) => n < full(k) })
   }
 
+  test("cdc_time_travel: as-of state applies only batches <= T, serially recomputed") {
+    val d = sf("sf0.001")
+    val base = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        Num.dec(col("c_acctbal")).as("bal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDecimal(2)))
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey")).collect().map(_.getInt(0))
+    val want = (base.flatMap { case (k, nat, bal) =>
+      if (k % 10 == 3) None // deleted by the 1997 batch
+      else if (k % 10 == 1) // 1996 credit applies; 1998 debit must NOT
+        Some((k, nat, bal.add(new java.math.BigDecimal("100.00"))
+          .doubleValue()))
+      else Some((k, nat, bal.doubleValue()))
+    } ++ nations.map(n => (n.toLong + 900000L, n, 0.0)))
+      .sortBy(_._1)
+    val got = graft.operators.Cdc.timeTravel.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want.toSeq)
+    // the excluded 1998 batch really changed nothing: some key matches
+    // %7==2 and its balance is the base (or base+100) value, never −50
+    assert(base.exists(_._1 % 7 == 2))
+  }
+
   test("stat_chi2_independence: bit-exact vs a serial contingency model") {
     val d = sf("sf0.001")
     val docs = Tables.documents(spark, d)
