@@ -107,5 +107,12 @@ object HashExpressions {
           s"edit_dist expects exactly 2 arguments, got ${exprs.length}")
         EditDistanceAscii(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count expects exactly 2 arguments, " +
+            s"got ${exprs.length}")
+        SortedIntersectCount(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

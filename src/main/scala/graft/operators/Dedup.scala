@@ -1038,6 +1038,7 @@ object Dedup {
     * per-member term is the min-container id when the member IS X's
     * rep — covered by X's precomputed second-smallest member id. */
   def containmentOf(docsIn: DataFrame, tau: Double): DataFrame = {
+    graft.functions.HashExpressions.register(docsIn.sparkSession)
     val ts = docsIn
       .select(col("doc_id"),
         array_sort(array_distinct(tokens(col("text")))).as("ts"))
@@ -1069,10 +1070,14 @@ object Dedup {
       .withColumn("rn", row_number().over(wnd))
       .where(col("rn") <=
         col("sz") - ceil(lit(tau) * col("sz").cast("double")) + 1)
-      .select(col("rep").as("a_rep"), col("w"))
+      .select(col("rep").as("a_rep"), col("sz").as("a_sz"), col("w"))
+    // size filter rides the candidate join: C(A→B) ≥ τ needs
+    // |B| ≥ |A∩B| ≥ τ·|A| — exactness-preserving, prunes before distinct
     val cand = pref
-      .join(ctok.select(col("rep").as("b_rep"), col("w")), "w")
-      .where(col("a_rep") =!= col("b_rep"))
+      .join(ctok.select(col("rep").as("b_rep"), col("sz").as("b_sz"),
+        col("w")), "w")
+      .where(col("a_rep") =!= col("b_rep") &&
+        col("b_sz") >= ceil(lit(tau) * col("a_sz").cast("double")))
       .select(col("a_rep"), col("b_rep"))
       .distinct()
     // exact verify on class pairs, then per-contained-class rollup of
@@ -1082,8 +1087,11 @@ object Dedup {
         "a_rep")
       .join(classes.select(col("rep").as("b_rep"), col("ts").as("tb"),
         col("cnt").as("b_cnt")), "b_rep")
+      // merge-walk kernel over the sorted arrays — size(array_intersect)
+      // builds a per-row hash set and materializes the intersection
+      // array; at ~15 M verified class pairs that dominated the entry
       .withColumn("containment",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        expr("sorted_intersect_count(ta, tb)").cast("double") /
           size(col("ta")).cast("double"))
       .where(col("containment") >= tau)
       .groupBy(col("a_rep"))

@@ -171,6 +171,24 @@ class DedupSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("sorted_intersect_count kernel equals the set model and the builtin on arbitrary sorted arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, expr, size}
+    graft.functions.HashExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def arr() =
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toString).distinct.sorted
+    val rows = Seq.fill(300)((arr(), arr()))
+    val got = rows.toDF("a", "b")
+      .withColumn("kern", expr("sorted_intersect_count(a, b)"))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
+      .collect()
+    got.zip(rows).foreach { case (r, (a, b)) =>
+      assert(r.getInt(2) == a.toSet.intersect(b.toSet).size)
+      assert(r.getInt(2) == r.getInt(3))
+    }
+  }
+
   test("containment join: directional, catches the small-doc-in-big-page case, matches all-pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
