@@ -53,7 +53,11 @@ object KCore {
   /** Frontier rows above which the per-round broadcast hints are
     * dropped in favor of AQE-planned shuffle joins. The `lost` delta is
     * bounded by (k-1)·frontier rows (every peeled node has degree < k),
-    * so one cap governs both hinted sides. */
+    * so one cap governs both hinted sides. A 16 M cap was A/B'd at the
+    * 64× tier (round-1 frontier ~4.8 M nodes): broadcasting it measured
+    * indistinguishable from the shuffle path (67.0 vs 65.8 s) — the
+    * mass-peel round's cost is the edge relation itself, not the join
+    * strategy — so the cap stays at the cluster-conservative 4 M. */
   val BroadcastFrontierMax = 4000000L
 
   def all: Seq[QueryDef] = Seq(kcore)

@@ -27,7 +27,84 @@ import graft.functions.TextFunctions._
   */
 object TextScoring {
 
-  def all: Seq[QueryDef] = Seq(tfidf, qualityModel, ngramNovelty, entropy)
+  def all: Seq[QueryDef] =
+    Seq(tfidf, qualityModel, ngramNovelty, entropy, rakeKeywords)
+
+  /** RAKE-style keyword extraction (Rose et al. 2010) — unsupervised
+    * keyphrase mining, the doc-level complement to [[tfidf]]'s term
+    * relevance: candidate phrases are maximal stopword-free token runs
+    * (split at the corpus stopwords), each scored by the summed corpus
+    * DEGREE of its member words (degree = Σ length of phrases a word
+    * occurs in — words that appear inside long multi-word phrases score
+    * high), top-3 phrases per document. The degree-sum variant keeps
+    * the score an exact INTEGER (classic RAKE's deg/freq ratio would
+    * sum per-word float ratios — order-dependent); ties break on
+    * (phrase text, phrase position).
+    *
+    * Scale shape: one token explode (~1 row/token), ONE doc-partitioned
+    * window for the phrase-id prefix sum, a (doc, phrase) agg, a
+    * vocabulary-sized degree agg joined back (AQE decides the
+    * broadcast), and WindowGroupLimit for the per-doc top-3 — linear,
+    * no self-joins. */
+  val rakeKeywords = QueryDef("text_keywords_rake",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val seg = tok
+        .withColumn("is_stop", col("w").isin("the", "a"))
+        .withColumn("pid",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wdoc))
+        .filter(!col("is_stop"))
+      val phrases = seg.groupBy(col("doc_id"), col("pid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("w"))))
+          .as("pw"))
+        .select(col("doc_id"), col("pid"),
+          expr("transform(pw, x -> x.w)").as("ws"),
+          size(col("pw")).cast("long").as("plen"))
+      val wstats = phrases
+        .select(explode(col("ws")).as("w"), col("plen"))
+        .groupBy(col("w")).agg(sum(col("plen")).as("deg"))
+      val pscore = phrases
+        .select(col("doc_id"), col("pid"), explode(col("ws")).as("w"))
+        .join(wstats, "w")
+        .groupBy(col("doc_id"), col("pid")).agg(sum(col("deg")).as("score"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("phrase"), col("pid"))
+      phrases.join(pscore, Seq("doc_id", "pid"))
+        .withColumn("phrase", concat_ws(" ", col("ws")))
+        .withColumn("rank", row_number().over(wRank).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+      tok AS (SELECT doc_id,
+          unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS w FROM t),
+      seg AS (SELECT doc_id, pos, w,
+          SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+          (w IN ('the', 'a')) AS is_stop
+        FROM tok),
+      ph AS (SELECT doc_id, pid,
+          string_agg(w, ' ' ORDER BY pos) AS phrase,
+          CAST(COUNT(*) AS BIGINT) AS plen,
+          list(w ORDER BY pos) AS ws
+        FROM seg WHERE NOT is_stop GROUP BY doc_id, pid),
+      wstats AS (SELECT w, CAST(SUM(plen) AS BIGINT) AS deg
+        FROM (SELECT unnest(ws) AS w, plen FROM ph) GROUP BY w),
+      pscore AS (SELECT doc_id, pid, CAST(SUM(deg) AS BIGINT) AS score
+        FROM (SELECT doc_id, pid, unnest(ws) AS w FROM ph) p
+        JOIN wstats USING (w)
+        GROUP BY doc_id, pid),
+      ranked AS (SELECT ph.doc_id, ph.phrase, ps.score,
+          ROW_NUMBER() OVER (PARTITION BY ph.doc_id
+            ORDER BY ps.score DESC, ph.phrase, ph.pid) AS rank
+        FROM ph JOIN pscore ps USING (doc_id, pid))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
   /** Per-document token entropy H(d) = −Σ_w p(w|d)·ln p(w|d) — the
     * vocabulary-diversity quality signal (near-zero for boilerplate /

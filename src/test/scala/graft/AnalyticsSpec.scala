@@ -162,6 +162,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.toSet.size < n)
   }
 
+  test("text_keywords_rake: matches a serial phrase-segmentation model") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stop = Set("the", "a")
+    // phrases per doc with their phrase-id (count of stopwords before)
+    val phrases = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      var pid = 0L
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long,
+        Vector[String])]
+      var cur = Vector.empty[String]
+      toks.foreach { w =>
+        if (stop(w)) {
+          if (cur.nonEmpty) { buf += ((id, pid, cur)); cur = Vector.empty }
+          pid += 1
+        } else cur :+= w
+      }
+      if (cur.nonEmpty) buf += ((id, pid, cur))
+      buf
+    }
+    val deg = phrases.flatMap { case (_, _, ws) => ws.map(_ -> ws.size.toLong) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val want = phrases.map { case (id, pid, ws) =>
+      (id, pid, ws.mkString(" "), ws.map(deg).sum)
+    }.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      ps.sortBy { case (_, pid, phrase, score) => (-score, phrase, pid) }
+        .take(3).zipWithIndex
+        .map { case ((id, _, phrase, score), i) =>
+          (id, (i + 1).toLong, phrase, score)
+        }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.operators.TextScoring.rakeKeywords.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("ev_ewma_smooth: bit-exact vs a serial truncated-EWMA model") {
     val d = sf("sf0.001")
     val counts = Tables.events(spark, d)
