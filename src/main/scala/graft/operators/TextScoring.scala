@@ -74,9 +74,12 @@ object TextScoring {
         .orderBy(col("score").desc, col("phrase"), col("pid"))
       phrases.join(pscore, Seq("doc_id", "pid"))
         .withColumn("phrase", concat_ws(" ", col("ws")))
-        .withColumn("rank", row_number().over(wRank).cast("bigint"))
+        // rank stays INT through the filter so InferWindowGroupLimit's
+        // rank-filter pattern matches (PlanShapeSpec pins the heap limit)
+        .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
+        .select(col("doc_id"), col("rank").cast("bigint").as("rank"),
+          col("phrase"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t

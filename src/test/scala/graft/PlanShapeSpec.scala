@@ -438,10 +438,17 @@ class PlanShapeSpec extends SparkSpec {
     // around the shuffle — the reason no custom top-k operator is needed
     // (SURVEY.md §7.3)
     for (name <- Seq("ev_top_minute", "q17_top_parts_per_brand",
-        "sim_topk_bruteforce", "q44_latest_per_key")) {
+        "sim_topk_bruteforce", "q44_latest_per_key",
+        "text_keywords_rake")) {
       val p = planString(q(name))
       assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1500)}")
     }
+  }
+
+  test("basket_copurchase: pair join is an equi join; top-20 plans as TakeOrderedAndProject") {
+    val p = planString(q("basket_copurchase"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
   test("dedup_incremental_stored: stored band index is read bucketed and never reshuffles") {
