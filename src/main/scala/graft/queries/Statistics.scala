@@ -13,7 +13,74 @@ object Statistics {
 
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
-      hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2)
+      hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
+      mannWhitney)
+
+  /** Mann–Whitney U — the rank-sum shift test completing the
+    * four-test monitoring kit ([[ksTest]] = max CDF gap, [[chi2]] =
+    * categorical independence, `profile_drift` = per-value PSI; U =
+    * does one sample stochastically dominate the other). Same
+    * even/odd-orderkey null split of lineitem quantities as KS, so the
+    * two statistics are directly comparable on the same data.
+    *
+    * Ranks use the standard midrank tie treatment: every occurrence of
+    * value v gets rank (#values below v) + (tied + 1)/2. Midranks are
+    * half-integers — EXACT in a double — and R₁ sums |A| of them
+    * (≪ 2^52), so U₁ = n₁n₂ + n₁(n₁+1)/2 − R₁ is exact integer-or-half
+    * arithmetic end to end; no distributional approximation, no float
+    * drift. Plan: the one data pass is the per-value count agg;
+    * cumulative ranks run on the ≤50-row distinct-value relation (the
+    * KS-allowlisted serial-by-construction window); output is one row. */
+  val mannWhitney = QueryDef("stat_mann_whitney",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_quantity").as("v"),
+          (col("l_orderkey") % 2 === 0).as("is_a"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("tied", col("ca") + col("cb"))
+      counts
+        .withColumn("cum", sum(col("tied")).over(w))
+        .withColumn("midrank",
+          (col("cum") - col("tied")).cast("double") +
+            (col("tied") + 1L).cast("double") / lit(2.0))
+        .crossJoin(broadcast(counts.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          (max(col("na")).cast("double") * max(col("nb")).cast("double") +
+            max(col("na")).cast("double") *
+              (max(col("na")) + 1L).cast("double") / lit(2.0) -
+            sum(col("ca").cast("double") * col("midrank"))).as("u_a"))
+    },
+    Some("""WITH counts AS (SELECT l_quantity AS v,
+          CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT v, ca, cb, ca + cb AS tied FROM counts),
+      cum AS (SELECT v, ca, cb, tied,
+          CAST(SUM(tied) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM t),
+      mr AS (SELECT v, ca, cb,
+          CAST(cum - tied AS DOUBLE) + CAST(tied + 1 AS DOUBLE) / 2.0
+            AS midrank
+        FROM cum),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb FROM counts)
+      SELECT tot.na AS n_a, tot.nb AS n_b,
+        CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE) +
+          CAST(tot.na AS DOUBLE) * CAST(tot.na + 1 AS DOUBLE) / 2.0 -
+          SUM(CAST(ca AS DOUBLE) * midrank) AS u_a
+      FROM mr CROSS JOIN tot
+      GROUP BY tot.na, tot.nb"""))
 
   /** Chi-squared independence test over a categorical pair — the third
     * leg of the drift/shift toolkit beside [[ksTest]] (continuous,

@@ -162,6 +162,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.toSet.size < n)
   }
 
+  test("stat_mann_whitney: bit-exact vs a serial midrank model; U_a + U_b == n_a*n_b") {
+    val d = sf("sf0.001")
+    val vs = Tables.lineitem(spark, d)
+      .select(col("l_quantity"), col("l_orderkey")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1) % 2 == 0))
+    val sorted = vs.sortBy(_._1)
+    // midranks: every occurrence of v gets (#below) + (tied+1)/2
+    val byV = sorted.groupBy(_._1).toSeq.sortBy(_._1)
+    var below = 0L
+    var r1 = 0.0
+    var r2 = 0.0
+    byV.foreach { case (_, xs) =>
+      val tied = xs.size.toLong
+      val mid = below.toDouble + (tied + 1).toDouble / 2.0
+      r1 += xs.count(_._2) * mid
+      r2 += xs.count(!_._2) * mid
+      below += tied
+    }
+    val na = vs.count(_._2).toLong
+    val nb = vs.size - na
+    val wantUa = na.toDouble * nb.toDouble +
+      na.toDouble * (na + 1).toDouble / 2.0 - r1
+    val row = graft.queries.Statistics.mannWhitney.fn(spark, d).collect()(0)
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getDouble(2) == wantUa)
+    // complement identity (exact arithmetic makes it == not ≈)
+    val ub = na.toDouble * nb.toDouble +
+      nb.toDouble * (nb + 1).toDouble / 2.0 - r2
+    assert(wantUa + ub == na.toDouble * nb.toDouble)
+  }
+
   test("text_keywords_rake: matches a serial phrase-segmentation model") {
     val d = sf("sf0.001")
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))

@@ -72,7 +72,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "retrieval_hybrid_rrf",
     // cumulative-CDF window runs over the DISTINCT-value relation
     // (≤ 50 discrete quantities at any corpus size)
-    "stat_ks_test")
+    "stat_ks_test",
+    // same distinct-value cumulative-rank window as stat_ks_test
+    "stat_mann_whitney")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
