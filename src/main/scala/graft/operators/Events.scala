@@ -20,7 +20,104 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
-      rangeJoin, resample, resampleFat, anomaly, interpolate, ewma)
+      rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum)
+
+  /** One-sided CUSUM changepoint detection over per-type minute volumes
+    * — the sequential drift detector beside [[anomaly]]'s pointwise 3σ
+    * gate and [[ewma]]'s smoother: a CUSUM accumulates SMALL sustained
+    * shifts that no single-point test sees. Page's recurrence
+    * S_i = max(0, S_{i−1} + (x_i − μ − k)) looks serial, but linearizes
+    * exactly: with P_i the prefix sum of deviations, S_i = P_i −
+    * min(0, min_{j≤i} P_j) — one cumulative sum + one running min, both
+    * GROWING window frames (the incremental kind — the
+    * `ev_interpolate_linear` quadratic-trap lesson respected by
+    * construction).
+    *
+    * All-integer decision discipline (the [[anomaly]] convention, one
+    * step further): deviations are scaled by 20n so slack k = μ/20 stays
+    * integral — d_i = 20·n·x_i − 21·s1 — and the 5σ alarm compares
+    * S_i² > 25·400·(n·s2 − s1²), all in DecimalType(38,0): no mean, no
+    * sqrt, no float cumulative sum (whose accumulation ORDER differs
+    * between engines), no drift. The reported `max_cusum` normalizes
+    * back to count units with ONE IEEE division of two exact values.
+    *
+    * Plan: one partial-agg pass to the calendar-bounded (type, minute)
+    * relation; per-type stats joined back unhinted (AQE broadcasts the
+    * 5-row relation); ONE type-partitioned window evaluates both running
+    * frames on a shared sort; the argmax rank runs on the same minute
+    * relation. Output is one row per type (always non-empty). */
+  val cusum = QueryDef("ev_cusum_changepoint",
+    (s, d) => {
+      val byMin = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      val c = col("cnt").cast("decimal(38,0)")
+      val stats = byMin.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(c).cast("decimal(38,0)").as("s1"),
+          sum(c * c).cast("decimal(38,0)").as("s2"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = byMin.join(stats, "event_type")
+        .withColumn("dv",
+          lit(20L).cast("decimal(38,0)") * col("n") * c -
+            lit(21L).cast("decimal(38,0)") * col("s1"))
+      val cus = dev
+        .withColumn("p", sum(col("dv")).over(w))
+        .withColumn("mn", least(min(col("p")).over(w),
+          lit(0L).cast("decimal(38,0)")))
+        .withColumn("s", col("p") - col("mn"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("s").desc, col("m"))
+      cus
+        .withColumn("alarm",
+          when(col("s") > lit(0L).cast("decimal(38,0)") &&
+            col("s") * col("s") > lit(10000L).cast("decimal(38,0)") *
+              (col("n") * col("s2") - col("s1") * col("s1")), 1L)
+            .otherwise(0L))
+        .withColumn("rk", row_number().over(rk))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_minutes"),
+          sum(col("alarm")).as("n_alarms"),
+          (max(when(col("rk") === 1, col("s"))).cast("double") /
+            (lit(20.0) * max(col("n")).cast("double"))).as("max_cusum"),
+          max(when(col("rk") === 1, col("m"))).as("argmax_minute"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type, date_trunc('minute', ts) AS m,
+          CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+          CAST(SUM(cnt) AS DECIMAL(38,0)) AS s1,
+          CAST(SUM(cnt*cnt) AS DECIMAL(38,0)) AS s2
+        FROM c GROUP BY 1),
+      dev AS (SELECT c.event_type, c.m, st.n, st.s1, st.s2,
+          CAST(20 AS DECIMAL(38,0)) * st.n * c.cnt -
+            CAST(21 AS DECIMAL(38,0)) * st.s1 AS dv
+        FROM c JOIN st USING (event_type)),
+      pre AS (SELECT event_type, m, n, s1, s2,
+          CAST(SUM(dv) OVER w AS DECIMAL(38,0)) AS p
+        FROM dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cus AS (SELECT event_type, m, n, s1, s2,
+          p - LEAST(CAST(MIN(p) OVER w2 AS DECIMAL(38,0)),
+            CAST(0 AS DECIMAL(38,0))) AS s
+        FROM pre
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      rk AS (SELECT event_type, m, n, s1, s2, s,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY s DESC, m) AS rk,
+          CASE WHEN s > 0 AND s*s > CAST(10000 AS DECIMAL(38,0)) *
+            (n*s2 - s1*s1) THEN 1 ELSE 0 END AS alarm
+        FROM cus)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_minutes,
+        CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+        CAST(MAX(CASE WHEN rk = 1 THEN s END) AS DOUBLE) /
+          (20.0 * CAST(MAX(n) AS DOUBLE)) AS max_cusum,
+        MAX(CASE WHEN rk = 1 THEN m END) AS argmax_minute
+      FROM rk GROUP BY event_type ORDER BY event_type"""))
 
   /** Exponentially-weighted moving average over per-type minute volumes
     * — the time-series smoother ops dashboards run beside

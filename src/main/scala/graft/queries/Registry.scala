@@ -7,7 +7,7 @@ object Registry {
   def all: Seq[QueryDef] =
     MapReduceQueries.all ++ Relational.all ++ Relational2.all ++
       Relational3.all ++ Relational4.all ++ Relational5.all ++
-      Relational6.all ++
+      Relational6.all ++ Relational7.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
       graft.operators.TextScoring.all ++ graft.operators.HeavyHitters.all ++
       graft.operators.Bpe.all ++ graft.operators.Curation.all ++

@@ -12,6 +12,87 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q55_bloom_prune_join: prune is invisible in results, and the bloom really prunes") {
+    val d = sf("sf0.001")
+    // result identity: the bloom only removes rows the join would drop
+    val got = SparkEntry.queries("q55_bloom_prune_join")(spark, d).collect()
+    val dim = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val want = Tables.lineitem(spark, d)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2)) // bit-exact
+    }
+    // pruning power: the bloom filter alone (before the exact join)
+    // passes only a small fraction of lineitem — the shuffle-reduction
+    // claim, measured. FP ceiling at this fill is far under 2 %.
+    graft.functions.BloomFunctions.register(spark)
+    Tables.registerAll(spark, d)
+    val kept = spark.sql("""
+      WITH dim AS (SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate < TIMESTAMP '1996-01-01'),
+      bf AS (SELECT bloom_agg(xxhash64(o_orderkey)) AS b FROM dim)
+      SELECT COUNT(*) AS kept FROM lineitem
+      WHERE bloom_might_contain((SELECT b FROM bf), xxhash64(l_orderkey))""")
+      .head().getLong(0)
+    val total = Tables.lineitem(spark, d).count()
+    val matched = Tables.lineitem(spark, d)
+      .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    assert(kept >= matched, "bloom must never drop a true match")
+    assert(kept < total / 5,
+      s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
+  }
+
+  test("ev_cusum_changepoint: linearized CUSUM equals Page's clamped recurrence, serially replayed") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_cusum_changepoint")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // serial model: per-type minute counts, then the literal recurrence
+    // S_i = max(0, S_{i-1} + (20·n·x_i − 21·s1)) — the form the entry's
+    // prefix-sum − running-min rewrite claims to equal
+    val byMin = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    byMin.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(_._3.toLong)
+      val n = BigInt(series.length)
+      val s1 = series.map(BigInt(_)).sum
+      val s2 = series.map(x => BigInt(x) * x).sum
+      var s = BigInt(0)
+      var best = BigInt(0); var bestAt = -1
+      var alarms = 0L
+      val thr = BigInt(10000) * (n * s2 - s1 * s1)
+      series.zipWithIndex.foreach { case (x, i) =>
+        s = (s + BigInt(20) * n * x - BigInt(21) * s1).max(BigInt(0))
+        if (s > best) { best = s; bestAt = i } // strict: first max wins,
+        // matching the rank tie-break (s DESC, m ASC)
+        if (s > 0 && s * s > thr) alarms += 1
+      }
+      if (bestAt == -1) bestAt = 0 // all-zero series: earliest minute
+      val g = got(tpe)
+      assert(g.getLong(1) == series.length, s"$tpe n_minutes")
+      assert(g.getLong(2) == alarms, s"$tpe n_alarms")
+      assert(g.getDouble(3) ==
+        best.toDouble / (20.0 * series.length), s"$tpe max_cusum")
+      assert(g.getTimestamp(4) == rows.sortBy(_._2).apply(bestAt)._2,
+        s"$tpe argmax_minute")
+    }
+  }
+
   test("cdc_scd2: version chains are contiguous, last-write-wins, exactly one current row per key") {
     val d = sf("sf0.001")
     val rows = graft.operators.Cdc.scd2.fn(spark, d).collect()

@@ -385,6 +385,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q55_bloom_prune_join: explicit bloom prune filters the fact side BELOW the join") {
+    // The deliberate twin of the injected-runtime-filter test above: the
+    // query states its own bloom semi-join reduction, so it must not
+    // depend on optimizer thresholds. Assert the might_contain predicate
+    // ended up in a Filter inside a join INPUT subtree (pushed below the
+    // join onto the fact side), not evaluated post-join.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val opt = q("q55_bloom_prune_join").queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no join in plan:\n$opt")
+    val belowJoin = joins.exists(_.children.exists(_.collect {
+      case f: Filter if f.condition.collectFirst {
+        case _: BloomFilterMightContain => () }.nonEmpty => f
+    }.nonEmpty))
+    assert(belowJoin,
+      s"bloom_might_contain not pushed below the join:\n$opt")
+  }
+
   test("parquet aggregate pushdown: count/min/max answered from file footers, no row scan") {
     // The third metadata-era scale lever beside partition pruning and
     // row-group skipping: parquet footers already store row counts and
