@@ -14,7 +14,90 @@ object Statistics {
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
-      mannWhitney)
+      mannWhitney, welchT)
+
+  /** Welch's unequal-variance t-test — the parametric leg completing the
+    * five-test monitoring kit ([[ksTest]] CDF gap, [[mannWhitney]] rank
+    * dominance, [[chi2]] categorical, `profile_drift` per-value PSI;
+    * Welch = mean shift in units of standard error). Same even/odd null
+    * split of lineitem quantities, so all the statistics compare on one
+    * dataset.
+    *
+    * Float discipline (the q48 pattern): ONE scan accumulates exact
+    * decimal power sums (n, Σx, Σx²) per sample side — map-side
+    * combinable partials, the distributed-aggregate shape — each sum
+    * converts to double ONCE, then t and the Welch–Satterthwaite df are
+    * a fixed IEEE expression tree spelled identically in both engines
+    * (DuckDB converts via the VARCHAR route: its direct int128 cast
+    * double-rounds for sums > 2^53). One output row, no window, no
+    * join. */
+  val welchT = QueryDef("stat_welch_ttest",
+    (s, d) => {
+      val q = dec(col("l_quantity"))
+      val isA = col("l_orderkey") % 2 === 0
+      val g = Tables.lineitem(s, d).agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, q)).as("sa1"),
+        sum(when(isA, q * q)).as("sa2"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+        sum(when(!isA, q)).as("sb1"),
+        sum(when(!isA, q * q)).as("sb2"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val va = (naD * dbl("sa2") - dbl("sa1") * dbl("sa1")) /
+        (naD * (naD - lit(1.0)))
+      val vb = (nbD * dbl("sb2") - dbl("sb1") * dbl("sb1")) /
+        (nbD * (nbD - lit(1.0)))
+      val sea = va / naD
+      val seb = vb / nbD
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (dbl("sa1") / naD).as("mean_a"),
+        (dbl("sb1") / nbD).as("mean_b"),
+        ((dbl("sa1") / naD - dbl("sb1") / nbD) / sqrt(sea + seb))
+          .as("t_stat"),
+        ((sea + seb) * (sea + seb) /
+          (sea * sea / (naD - lit(1.0)) + seb * seb / (nbD - lit(1.0))))
+          .as("df"))
+    },
+    Some("""WITH g AS (SELECT
+        CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS na,
+        SUM(CASE WHEN l_orderkey % 2 = 0
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS sa1,
+        SUM(CASE WHEN l_orderkey % 2 = 0
+          THEN CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2)) END) AS sa2,
+        CAST(SUM(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS nb,
+        SUM(CASE WHEN l_orderkey % 2 <> 0
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS sb1,
+        SUM(CASE WHEN l_orderkey % 2 <> 0
+          THEN CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2)) END) AS sb2
+        FROM lineitem),
+      gd AS (SELECT na, nb,
+        CAST(CAST(sa1 AS VARCHAR) AS DOUBLE) AS sa1d,
+        CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) AS sa2d,
+        CAST(CAST(sb1 AS VARCHAR) AS DOUBLE) AS sb1d,
+        CAST(CAST(sb2 AS VARCHAR) AS DOUBLE) AS sb2d
+        FROM g),
+      v AS (SELECT na, nb, sa1d, sb1d,
+        (CAST(na AS DOUBLE) * sa2d - sa1d * sa1d) /
+          (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) /
+          CAST(na AS DOUBLE) AS sea,
+        (CAST(nb AS DOUBLE) * sb2d - sb1d * sb1d) /
+          (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) /
+          CAST(nb AS DOUBLE) AS seb
+        FROM gd)
+      SELECT na AS n_a, nb AS n_b,
+        sa1d / CAST(na AS DOUBLE) AS mean_a,
+        sb1d / CAST(nb AS DOUBLE) AS mean_b,
+        (sa1d / CAST(na AS DOUBLE) - sb1d / CAST(nb AS DOUBLE)) /
+          sqrt(sea + seb) AS t_stat,
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (CAST(na AS DOUBLE) - 1.0) +
+           seb * seb / (CAST(nb AS DOUBLE) - 1.0)) AS df
+      FROM v"""))
 
   /** Mann–Whitney U — the rank-sum shift test completing the
     * four-test monitoring kit ([[ksTest]] = max CDF gap, [[chi2]] =

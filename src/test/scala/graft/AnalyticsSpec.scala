@@ -55,6 +55,32 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("stat_welch_ttest: bit-exact vs a serial exact-power-sums model") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_welch_ttest")(spark, d).head()
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    val (a, b) = rows.partition(_._1 % 2 == 0)
+    def stats(xs: Array[(Long, BigDecimal)]) = {
+      val n = xs.length.toDouble
+      val s1 = xs.map(_._2).sum.toDouble          // exact decimal, ONE cast
+      val s2 = xs.map(x => x._2 * x._2).sum.toDouble
+      (n, s1, s2)
+    }
+    val (na, sa1, sa2) = stats(a); val (nb, sb1, sb2) = stats(b)
+    val sea = (na * sa2 - sa1 * sa1) / (na * (na - 1.0)) / na
+    val seb = (nb * sb2 - sb1 * sb1) / (nb * (nb - 1.0)) / nb
+    assert(got.getLong(0) == a.length && got.getLong(1) == b.length)
+    assert(got.getDouble(2) == sa1 / na)
+    assert(got.getDouble(3) == sb1 / nb)
+    assert(got.getDouble(4) == (sa1 / na - sb1 / nb) / math.sqrt(sea + seb))
+    assert(got.getDouble(5) == (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)))
+    // sanity: a null split should not reject at any conventional level
+    assert(math.abs(got.getDouble(4)) < 4.0)
+  }
+
   test("ev_cusum_changepoint: linearized CUSUM equals Page's clamped recurrence, serially replayed") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_cusum_changepoint")(spark, d).collect()
