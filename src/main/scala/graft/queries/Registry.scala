@@ -16,7 +16,7 @@ object Registry {
       graft.operators.Dedup.all ++ graft.operators.Components.all ++
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Semantic.all ++ graft.operators.Retrieval.all ++
-      graft.operators.Spectral.all ++
+      graft.operators.Spectral.all ++ graft.operators.Eval.all ++
       graft.operators.Events.all ++
       graft.operators.PageRank.all ++ graft.operators.LabelProp.all ++
       graft.operators.Mis.all ++

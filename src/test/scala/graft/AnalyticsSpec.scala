@@ -55,6 +55,30 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("eval_ndcg: metric invariants hold and the index beats the random-ranking floor") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("eval_ndcg")(spark, d).collect()
+    assert(rows.length == 5, "one row per query vector")
+    // idcg recomputed serially with the same Math.log the entry's
+    // math_ln resolves to — ndcg must be EXACTLY dcg/idcg
+    val idcg = (1 to 10).map(i =>
+      ((1L << (11 - i)) - 1).toDouble /
+        (math.log(i + 1.0) / math.log(2.0))).foldLeft(0.0)(_ + _)
+    rows.foreach { r =>
+      val (nSys, nOv, dcg, ndcg) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nSys > 0 && nSys <= 10 && nOv <= nSys)
+      assert(ndcg == dcg / idcg, "ndcg must be dcg over the closed-form idcg")
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+    }
+    // quality floor: mean NDCG@10 of the 5-table 7-probe LSH index must
+    // clear 0.3 — far above a random ranking (expected ~0.02 on a
+    // 600-vector corpus: hitting any top-10 doc at all is rare), below
+    // the ~0.7 it measures, so noise-robust but regression-sensitive
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean >= 0.3, s"mean NDCG@10 degraded: $mean")
+  }
+
   test("stat_welch_ttest: bit-exact vs a serial exact-power-sums model") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("stat_welch_ttest")(spark, d).head()

@@ -118,6 +118,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // 20-query probe set (`vec_id < 20`), and for IVF the K-cell
     // centroid sample plus 20×nprobe probe assignments
     "sim_topk_bruteforce" -> Seq("agg[-]<-[embeddings]"),
+    // NDCG eval: the 5-query exact-leg cross join (`vec_id < 5` key
+    // filter — the sim_topk_bruteforce shape) and the 5×35-row LSH
+    // probe set derived from the same filtered relation
+    "eval_ndcg" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
     // k-row seed-centroid broadcast (`vec_id < 8` key filter)
