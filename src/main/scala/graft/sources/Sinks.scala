@@ -27,7 +27,7 @@ object Sinks {
 
   def all: Seq[QueryDef] =
     Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip,
-      orcRoundtrip, zorderLayout, schemaEvolution)
+      orcRoundtrip, zorderLayout, schemaEvolution, compaction)
 
   /** Schema-evolution ingest — the lake reality the fixed-schema
     * roundtrips skip: a long-lived dataset's early files lack columns
@@ -79,6 +79,48 @@ object Sinks {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag/$name"
   }
+
+  /** Small-file compaction as an oracle-backed entry: fragment lineitem
+    * into 64 undersized files (the streaming-ingest reality [[compact]]
+    * exists for), compact to ~100k-row files, and prove the rewrite
+    * lossless by aggregating the COMPACTED copy against the oracle's
+    * view of the original table. `files_planned` carries the layout
+    * decision into the checked output — the oracle recomputes it as
+    * ⌈rows/target⌉ with exact integer arithmetic, so a drifted planning
+    * formula (not just lost rows) fails the hash gate. SourcesSpec
+    * separately asserts the files on disk match the plan; the 100 TB
+    * framing lives on [[compact]]. */
+  val compaction = QueryDef("sink_compaction",
+    (s, d) => {
+      val target = 100000L
+      val frag = sinkPath(d, "lineitem_fragmented")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(frag)
+      val out = sinkPath(d, "lineitem_compacted")
+      val planned = compact(s, frag, out, target)
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("orders"),
+          Num.sumd(Num.dec(col("l_quantity"))).as("sum_qty"),
+          Num.sumd(Num.dec(col("l_extendedprice"))).as("sum_price"))
+        .withColumn("files_planned", lit(planned))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH fp AS (SELECT GREATEST(CAST(1 AS BIGINT),
+          (COUNT(*) + 99999) // 100000) AS files_planned FROM lineitem)
+      SELECT l_returnflag,
+        count(*) AS n,
+        count(DISTINCT l_orderkey) AS orders,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS sum_price,
+        fp.files_planned
+      FROM lineitem CROSS JOIN fp
+      GROUP BY l_returnflag, fp.files_planned ORDER BY l_returnflag"""))
 
   /** Write lineitem partitioned by `l_returnflag` and bucketed 8-ways on
     * `l_orderkey`, then prove the round-trip by re-reading the table and
