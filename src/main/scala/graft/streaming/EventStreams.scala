@@ -189,4 +189,53 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  case class MinuteCount(event_type: String, m: Timestamp, cnt: Long)
+  case class CusumState(p: Long, minP: Long)
+  case class CusumRow(event_type: String, m: Timestamp, cnt: Long,
+      s: Long, alarm: Boolean)
+
+  /** Streaming twin of `Events.cusum` — Page's CUSUM as a live monitor.
+    * The batch entry is retrospective (μ estimated from the whole
+    * series); a monitor cannot see the future, so this takes the
+    * calibration stats (nRef, s1Ref, s2Ref — exact integer power sums
+    * from a training window, e.g. last week's minutes) and carries the
+    * linearized recurrence in GroupState: P (prefix sum of scaled
+    * deviations d = 20·nRef·cnt − 21·s1Ref, i.e. slack = μ₀/20) and
+    * min(0, min P) — two Longs per monitored series, O(1) state. Every
+    * minute emits S = P − minP and the 5σ alarm decision
+    * S² > 10⁴·(nRef·s2Ref − s1Ref²), squared in BigInt (S can pass
+    * 2^31·√thr; the BATCH entry runs the same arithmetic in
+    * DecimalType(38,0) — at ≥ ~10¹² events/minute the Long state here
+    * would need the same widening).
+    *
+    * Within a microbatch, minutes process in event-time order; for
+    * in-order arrival the union of microbatch outputs equals a one-shot
+    * serial fold (StreamingSpec proves it across a batch split, and
+    * that an injected mean shift raises the alarm only after onset). */
+  def cusumMonitor(minutes: Dataset[MinuteCount], nRef: Long, s1Ref: Long,
+      s2Ref: Long): Dataset[CusumRow] = {
+    val spark = minutes.sparkSession
+    import spark.implicits._
+    val thr = BigInt(10000) * (BigInt(nRef) * s2Ref - BigInt(s1Ref) * s1Ref)
+
+    def fn(tpe: String, rows: Iterator[MinuteCount],
+        state: GroupState[CusumState]): Iterator[CusumRow] = {
+      var st = state.getOption.getOrElse(CusumState(0L, 0L))
+      val out = rows.toSeq.sortBy(_.m.getTime).map { r =>
+        val p = st.p + 20L * nRef * r.cnt - 21L * s1Ref
+        val minP = math.min(st.minP, math.min(p, 0L))
+        st = CusumState(p, minP)
+        val s = p - minP
+        CusumRow(tpe, r.m, r.cnt, s,
+          s > 0L && BigInt(s) * s > thr)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    minutes.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -230,4 +230,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(t => t._1 == 107L &&
       t._4 == Some(3.0) && t._5 == Some(5.0)))
   }
+
+  test("streaming CUSUM monitor == serial fold across a microbatch split; alarms only after the shift") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EventStreams.{MinuteCount, CusumRow}
+    // calibration window: mean 10/minute over 8 minutes
+    val calib = Seq(9L, 11L, 10L, 10L, 9L, 11L, 10L, 10L)
+    val nRef = calib.length.toLong
+    val s1Ref = calib.sum
+    val s2Ref = calib.map(x => x * x).sum
+    // live series: 6 quiet minutes at the target rate, then a sustained
+    // +60 % shift no single minute of which would trip a 3σ point test
+    val live = Seq(10L, 9L, 11L, 10L, 10L, 9L) ++ Seq.fill(14)(16L)
+    val rows = live.zipWithIndex.map { case (c, i) =>
+      MinuteCount("click", ts(i.toLong), c)
+    }
+    val mem = MemoryStream[MinuteCount]
+    val q = EventStreams.cusumMonitor(mem.toDS(), nRef, s1Ref, s2Ref)
+      .writeStream.format("memory").queryName("cusum_rows")
+      .outputMode("append").start()
+    mem.addData(rows.take(9): _*); q.processAllAvailable()
+    mem.addData(rows.drop(9): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_rows").collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    // serial fold of the same linearized recurrence, one shot
+    val thr = BigInt(10000) * (BigInt(nRef) * s2Ref - BigInt(s1Ref) * s1Ref)
+    var p = 0L; var minP = 0L
+    val want = rows.map { r =>
+      p += 20L * nRef * r.cnt - 21L * s1Ref
+      minP = math.min(minP, math.min(p, 0L))
+      val s = p - minP
+      (r.m.getTime, r.cnt, s, s > 0L && BigInt(s) * s > thr)
+    }
+    assert(streamed.toSeq == want,
+      s"streamed ${streamed.toSeq}\nwant $want")
+    // the alarm story: quiet prefix silent, shift eventually alarms —
+    // and stays on (CUSUM accumulates; it does not flap)
+    val alarms = streamed.map(_._4)
+    assert(!alarms.take(6).exists(identity), "false alarm before the shift")
+    assert(alarms.last, "sustained shift never alarmed")
+    val first = alarms.indexOf(true)
+    assert(first >= 6 && alarms.drop(first).forall(identity))
+  }
 }
