@@ -14,7 +14,58 @@ object Statistics {
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
-      mannWhitney, welchT)
+      mannWhitney, welchT, equidepth)
+
+  /** Equi-depth (decile) histogram — the profiling twin of the
+    * equi-width [[histogram]] and what an optimizer's column statistics
+    * actually store: bucket EDGES adapt to the distribution so every
+    * bucket holds ~n/10 rows, where equi-width buckets collapse under
+    * skew. The nine decile edges are exact discrete order statistics
+    * from ONE [[graft.operators.Quantiles.valueAtRanks]] pass (all nine
+    * ranks share the same two-level prefix sum — no global sort, no
+    * whole-column buffer, no nine-fold rescan), broadcast as a single
+    * row; bucket assignment is nine raw-double comparisons (bucket =
+    * #edges strictly below v — exact, no arithmetic). Bucket min/max
+    * come back as data values, so every output cell is either an exact
+    * count or an actual input double. */
+  val equidepth = QueryDef("stat_equidepth_histogram",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val edges = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+        (1 to 9).map(i => s"e$i" ->
+          floor((lit(i.toLong) * (col("n") - 1)).cast("double") / 10.0)))
+      li.crossJoin(broadcast(edges))
+        .withColumn("bucket",
+          (1 to 9).map(i => when(col("v") > col(s"e$i"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val edgeSel = (1 to 9)
+        .map(i => s"MAX(CASE WHEN k.i = $i THEN o.v END) AS e$i")
+        .mkString(",\n          ")
+      val bucketSum = (1 to 9)
+        .map(i => s"(CASE WHEN l_extendedprice > e$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH nrows AS (SELECT COUNT(*) AS n FROM lineitem),
+        k AS (SELECT CAST(t.i AS INT) AS i,
+          CAST(FLOOR(CAST(t.i * (n - 1) AS DOUBLE) / 10.0) AS BIGINT) AS idx
+          FROM range(1, 10) t(i) CROSS JOIN nrows),
+        o AS (SELECT l_extendedprice AS v,
+          ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS idx
+          FROM lineitem),
+        e AS (SELECT
+          $edgeSel
+          FROM o JOIN k ON o.idx = k.idx)
+        SELECT CAST($bucketSum AS BIGINT) AS bucket,
+          COUNT(*) AS n, MIN(l_extendedprice) AS v_min,
+          MAX(l_extendedprice) AS v_max
+        FROM lineitem CROSS JOIN e
+        GROUP BY 1 ORDER BY 1"""
+    })
 
   /** Welch's unequal-variance t-test — the parametric leg completing the
     * five-test monitoring kit ([[ksTest]] CDF gap, [[mannWhitney]] rank

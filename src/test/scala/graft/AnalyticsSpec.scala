@@ -55,6 +55,29 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("stat_equidepth_histogram: bit-exact vs a serial decile model; buckets balanced") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_equidepth_histogram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    val vs = Tables.lineitem(spark, d).select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    val sorted = vs.sorted
+    val edges = (1 to 9).map(i =>
+      sorted(math.floor((i.toLong * (vs.length - 1)).toDouble / 10.0).toInt))
+    val want = vs.groupBy(v => edges.count(v > _).toLong).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong, g.min, g.max) }
+    assert(got.toSeq == want)
+    // equi-depth property: near-unique prices keep every decile within
+    // 2% of n/10 (ties could legitimately widen this on other data)
+    assert(got.length == 10)
+    got.foreach { case (_, n, _, _) =>
+      assert(math.abs(n - vs.length / 10.0) <= vs.length * 0.02, s"n=$n") }
+    // buckets tile the domain in order
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3)
+      case _ => () }
+  }
+
   test("eval_ndcg: metric invariants hold and the index beats the random-ranking floor") {
     val d = sf("sf0.001")
     val rows = SparkEntry.queries("eval_ndcg")(spark, d).collect()

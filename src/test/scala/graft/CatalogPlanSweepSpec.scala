@@ -64,6 +64,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * both engines, so no Spark-side rewrite is possible). */
   private val serialWindowsByConstruction = Set(
     "stat_mad", "stat_winsorized", "pack_sequences",
+    // nine decile edges from one valueAtRanks pass: same ~B-row bucket
+    // relation windows as stat_mad/stat_winsorized
+    "stat_equidepth_histogram",
     // the e2e pipeline ends in the same packCounts level-2 offsets
     // (≤ P-row bucket relation)
     "pipeline_curation_e2e",
@@ -148,6 +151,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // Quantiles bucket-offset relation: B fixed buckets
     "stat_mad" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_winsorized" -> Seq("agg[bkt]<-[lineitem]"),
+    "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
     // ntile bucket counts/offsets: B fixed buckets
     "q37_ntile" -> Seq("agg[bkt]<-[customer]"),
     // language signature profile: rank ≤ 10 filter keeps ≤ 10 words per
