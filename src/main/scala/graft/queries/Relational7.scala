@@ -1,13 +1,72 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 
 /** Round-10 relational additions: join-side reduction patterns that only
   * matter at scale — the explicit bloom-filter semi-join reduction every
-  * warehouse engine applies when a huge fact joins a selective dimension. */
+  * warehouse engine applies when a huge fact joins a selective dimension —
+  * and the skyline operator family. */
 object Relational7 {
 
-  def all: Seq[QueryDef] = Seq(bloomPruneJoin)
+  def all: Seq[QueryDef] = Seq(bloomPruneJoin, skyline)
+
+  /** 2-D skyline (Pareto front) per return flag: the lineitems for which
+    * no other lineitem in the group has BOTH lower-or-equal price and
+    * lower-or-equal quantity (one strict) — the classic multi-criteria
+    * "best trade-offs" operator the catalog's top-k/rank surface did not
+    * yet cover.
+    *
+    * Distributed shape — the Quantiles two-level prefix-sum pattern
+    * applied to dominance: after collapsing to per-(flag, price) min
+    * quantity (any higher-qty peer at the same price is dominated by
+    * that row), a naive front test is one PER-FLAG window — serial over
+    * every distinct price of a group at 100 TB (3 partitions!). Instead:
+    * (1) per-(flag, price-bucket) floors get the only cross-bucket
+    * window, over the ~#buckets-row bucket relation; (2) the exact test
+    * runs per-(flag, bucket) — PARALLEL BY BUCKET — against
+    * min(carried prior-bucket floor, within-bucket exclusive running
+    * min). Exact because an earlier-bucket row always has strictly
+    * smaller price (bucket edges order prices) and dominates iff its
+    * qty ≤ ours, i.e. iff the prior floor ≤ ours. Both running mins are
+    * growing frames (incremental). The oracle deliberately spells the
+    * SINGLE-level window formulation — hash equality proves the bucket
+    * reduction, not just the answer. */
+  val skyline = QueryDef("q56_skyline",
+    (s, d) => {
+      val inf = lit(Double.MaxValue)
+      val pq = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+        .agg(min(col("l_quantity")).as("qty"))
+        .withColumn("b", floor(col("price") / 1000.0))
+      val floors = pq.groupBy(col("l_returnflag"), col("b"))
+        .agg(min(col("qty")).as("bq"))
+      val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prior = floors
+        .withColumn("prior", min(col("bq")).over(wb))
+        .select(col("l_returnflag"), col("b"), col("prior"))
+      val wi = Window.partitionBy(col("l_returnflag"), col("b"))
+        .orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pq.join(prior, Seq("l_returnflag", "b"))
+        .withColumn("local", min(col("qty")).over(wi))
+        .filter(col("qty") <
+          least(coalesce(col("prior"), inf), coalesce(col("local"), inf)))
+        .select(col("l_returnflag"), col("price"), col("qty"))
+        .orderBy(col("l_returnflag"), col("price"))
+    },
+    Some("""WITH pq AS (SELECT l_returnflag, l_extendedprice AS price,
+          MIN(l_quantity) AS qty
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT l_returnflag, price, qty,
+          MIN(qty) OVER (PARTITION BY l_returnflag ORDER BY price
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        FROM pq)
+      SELECT l_returnflag, price, qty FROM r
+      WHERE prior IS NULL OR qty < prior
+      ORDER BY l_returnflag, price"""))
 
   /** Revenue of lineitems belonging to urgent first-year orders, with the
     * fact side pruned by a distributed Bloom filter of the dimension's

@@ -55,6 +55,24 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("q56_skyline: matches the brute-force dominance definition") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("q56_skyline")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // literal definition, all-pairs per group: (p, q) is on the front iff
+    // no point in the group has p' <= p, q' <= q with one strict
+    val pts = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.distinct.toSeq.filterNot { case (_, p, q) =>
+        g.exists { case (_, p2, q2) =>
+          p2 <= p && q2 <= q && (p2 < p || q2 < q) } }
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("stat_equidepth_histogram: bit-exact vs a serial decile model; buckets balanced") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("stat_equidepth_histogram")(spark, d)
