@@ -14,7 +14,56 @@ object Statistics {
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
-      mannWhitney, welchT, equidepth)
+      mannWhitney, welchT, equidepth, rankNormalize)
+
+  /** Percentile-rank (CDF) normalization of a HIGH-cardinality column —
+    * the feature-engineering transform that maps every price to its
+    * empirical quantile (rank-gauss/uniformization pipelines start
+    * here). The defining scale problem: the cumulative count runs over
+    * the DISTINCT-VALUE relation, which for prices is data-scaled — the
+    * one-window spelling that is fine for stat_ks_test's ≤50 quantities
+    * is a single-task sort here. So this entry materializes the full
+    * per-value CDF with the Quantiles two-level machinery: the only
+    * serial window crosses the ~#buckets-row bucket-offset relation;
+    * per-value cumulative counts then run PARTITIONED BY BUCKET. cdf is
+    * one division of exact longs per distinct value (midrank-free: CDF
+    * at v = share of rows ≤ v, DuckDB's cume_dist convention). */
+  val rankNormalize = QueryDef("stat_rank_normalize",
+    (s, d) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val b = vc.withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
+      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff", coalesce(
+          sum(col("bc")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bkt"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bkt")).orderBy(col("v"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      b.join(broadcast(bofs), "bkt")
+        .withColumn("cum_n", col("boff") + sum(col("c")).over(wIn))
+        .crossJoin(broadcast(vc.agg(sum(col("c")).as("n_total"))))
+        .select(col("v").as("price"), col("c").as("n"), col("cum_n"),
+          (col("cum_n").cast("double") / col("n_total").cast("double"))
+            .as("cdf"))
+        .orderBy(col("price"))
+    },
+    Some("""WITH vc AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+        FROM lineitem GROUP BY 1),
+      cum AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_n
+        FROM vc),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc)
+      SELECT v AS price, c AS n, cum_n,
+        CAST(cum_n AS DOUBLE) / CAST(tot.n AS DOUBLE) AS cdf
+      FROM cum CROSS JOIN tot ORDER BY price"""))
 
   /** Equi-depth (decile) histogram — the profiling twin of the
     * equi-width [[histogram]] and what an optimizer's column statistics

@@ -55,6 +55,24 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("stat_rank_normalize: bit-exact vs a serial CDF; monotone, ends at 1") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_rank_normalize")(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vs = Tables.lineitem(spark, d).select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    val counts = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val want = counts.map { case (v, c) =>
+      cum += c; (v, c, cum, cum.toDouble / vs.length.toDouble) }
+    assert(got.toSeq == want)
+    assert(got.last._4 == 1.0)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._4, "CDF must be strictly increasing over values")
+      case _ => () }
+  }
+
   test("q56_skyline: matches the brute-force dominance definition") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("q56_skyline")(spark, d).collect()

@@ -67,6 +67,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // nine decile edges from one valueAtRanks pass: same ~B-row bucket
     // relation windows as stat_mad/stat_winsorized
     "stat_equidepth_histogram",
+    // full-CDF materialization: the serial window crosses only the
+    // bucket-offset relation; per-value cumsums are bucket-partitioned
+    "stat_rank_normalize",
     // the e2e pipeline ends in the same packCounts level-2 offsets
     // (≤ P-row bucket relation)
     "pipeline_curation_e2e",
@@ -152,6 +155,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_mad" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_winsorized" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
+    "stat_rank_normalize" -> Seq("agg[bkt]<-[lineitem]"),
     // ntile bucket counts/offsets: B fixed buckets
     "q37_ntile" -> Seq("agg[bkt]<-[customer]"),
     // language signature profile: rank ≤ 10 filter keeps ≤ 10 words per
