@@ -19,7 +19,62 @@ import graft.functions.TextFunctions._
 object Pipeline2 {
 
   def all: Seq[QueryDef] =
-    Seq(funnel, rarity, latestPerKey, dedupApply, retention, unigramLogprob)
+    Seq(funnel, rarity, latestPerKey, dedupApply, retention, unigramLogprob,
+      survivorQuality)
+
+  /** Quality-aware dedup survivorship — [[dedupApply]] keeps the
+    * min-doc_id representative of every duplicate cluster; real curation
+    * pipelines keep the BEST one (the copies differ in truncation,
+    * boilerplate, encoding damage — arrival order is not a quality
+    * signal). Per cluster, the survivor is the member with the highest
+    * `text_quality` score, ties to the smaller doc_id.
+    *
+    * The cluster key is the VOCABULARY fingerprint (sorted distinct
+    * tokens), not the sorted token multiset: every term of the quality
+    * score (type-token ratio, stopword ratio, length) is
+    * permutation-invariant, so a multiset key would make all cluster
+    * members score identically and the policy would silently collapse
+    * to min-id keeping — same-support/different-repetition is the
+    * near-dup class where a quality keeper actually changes the answer
+    * (truncated or stutter-damaged copies of one source).
+    *
+    * The quality relation is literally `TextAnalysis.quality.fn` — the
+    * oracle-proven entry reused as a building block, so the two entries'
+    * scores CANNOT drift apart (and the oracle here re-spells the same
+    * formula text). Plan: one shuffle on the cluster key; the per-cluster
+    * argmax is a rank-1 window that Spark executes with the heap-based
+    * WindowGroupLimit pre-filter (no full sort of cluster members),
+    * filtered on the raw rank before any cast. */
+  val survivorQuality = QueryDef("dedup_survivor_quality",
+    (s, d) => {
+      val q = TextAnalysis.quality.fn(s, d)
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("norm"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("norm",
+          array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH q AS (SELECT doc_id, lang, n_chars,
+        array_to_string(list_sort(list_distinct(string_split(text,' '))),' ') AS norm,
+        CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+            / len(string_split(text,' ')) * 0.3 +
+          (1.0 - CAST(len(list_filter(string_split(text,' '),
+              w -> w IN ('the','a'))) AS DOUBLE)
+            / len(string_split(text,' '))) * 0.4 +
+          least(1.0, CAST(len(string_split(text,' ')) AS BIGINT)/100.0) * 0.3
+          AS quality
+      FROM documents)
+      SELECT doc_id, lang, n_chars, quality FROM (
+        SELECT doc_id, lang, n_chars, quality, ROW_NUMBER() OVER (
+          PARTITION BY norm ORDER BY quality DESC, doc_id) AS rn
+        FROM q)
+      WHERE rn = 1 ORDER BY doc_id"""))
 
   /** Unigram language-model score (the standard statistical quality
     * filter for LM corpora): each document's log-probability under the

@@ -55,6 +55,35 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned too little: kept=$kept of $total (matched=$matched)")
   }
 
+  test("dedup_survivor_quality: one survivor per cluster, max-quality, and it beats first-keeper") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("dedup_survivor_quality")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def qual(text: String): Double = {
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val ttr = t.distinct.length.toDouble / n
+      val stop = t.count(w => w == "the" || w == "a").toDouble / n
+      ttr * 0.3 + (1.0 - stop) * 0.4 + math.min(1.0, n / 100.0) * 0.3
+    }
+    val clusters = docs.groupBy { case (_, t) => t.split(" ", -1).distinct.sorted.toSeq }
+    assert(got.size == clusters.size, "exactly one survivor per cluster")
+    var beatsFirst = 0
+    clusters.values.foreach { members =>
+      val best = members.map { case (id, t) => (id, qual(t)) }
+        .minBy { case (id, q) => (-q, id) }
+      assert(got.get(best._1).contains(best._2),
+        s"survivor mismatch in cluster of ${members.map(_._1).toSeq}")
+      if (best._1 != members.map(_._1).min) beatsFirst += 1
+    }
+    // the policy must actually differ from dedup_apply's first-keeper on
+    // this corpus — otherwise the entry proves nothing here
+    assert(beatsFirst > 0, "quality keeper never disagreed with min-id keeper")
+  }
+
   test("stat_rank_normalize: bit-exact vs a serial CDF; monotone, ends at 1") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("stat_rank_normalize")(spark, d).collect()

@@ -458,7 +458,7 @@ class PlanShapeSpec extends SparkSpec {
     // (SURVEY.md §7.3)
     for (name <- Seq("ev_top_minute", "q17_top_parts_per_brand",
         "sim_topk_bruteforce", "q44_latest_per_key",
-        "text_keywords_rake")) {
+        "text_keywords_rake", "dedup_survivor_quality")) {
       val p = planString(q(name))
       assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1500)}")
     }
