@@ -20,7 +20,51 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
-      rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum)
+      rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
+      attribution)
+
+  /** Last-touch attribution: credit each purchase's revenue to the most
+    * recent view/click by the same user strictly before it (ties broken
+    * by event_id), "none" when no prior touchpoint exists — the standard
+    * conversion-credit rollup of clickstream analytics.
+    *
+    * The per-purchase lookup is ONE growing-frame window
+    * (`[unboundedPreceding, -1]`, the incremental
+    * UnboundedPrecedingWindowFunctionFrame — the `ev_interpolate_linear`
+    * quadratic-trap lesson applied at design time, not discovered at the
+    * 8× tier): a running `last(touch, ignoreNulls)` carries the latest
+    * touchpoint type down each user's timeline in one pass. Plan: one
+    * shuffle on user_id, then a 3-row hash agg; revenue sums in
+    * decimal(12,2) per the Num convention. */
+  val attribution = QueryDef("ev_attribution",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("touch",
+          when(col("event_type").isin("view", "click"), col("event_type")))
+        .withColumn("last_touch",
+          last(col("touch"), ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sumd(dec(col("value"))).as("attributed_revenue"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+        CASE WHEN event_type IN ('view','click') THEN event_type END AS touch
+        FROM events),
+      w AS (SELECT event_type, value,
+        last_value(touch IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM e)
+      SELECT COALESCE(last_touch, 'none') AS touch_type,
+        COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_revenue
+      FROM w WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1"""))
 
   /** One-sided CUSUM changepoint detection over per-type minute volumes
     * — the sequential drift detector beside [[anomaly]]'s pointwise 3σ

@@ -193,6 +193,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(4)) < 4.0)
   }
 
+  test("ev_attribution: serial per-user timeline replay, exact decimal revenue") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_attribution")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val events = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // serial model: walk each user's (ts, event_id)-ordered timeline
+    // carrying the latest view/click; purchases credit it (or "none")
+    val credits = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastTouch: String = null
+      rows.sortBy(r => (r._2.getTime, r._3)).flatMap { case (_, _, _, tpe, v) =>
+        val out =
+          if (tpe == "purchase")
+            Some((if (lastTouch == null) "none" else lastTouch,
+              BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+          else None
+        if (tpe == "view" || tpe == "click") lastTouch = tpe
+        out
+      }
+    }
+    val expect = credits.groupBy(_._1).map { case (t, vs) =>
+      t -> (vs.size.toLong, vs.map(_._2).sum.toDouble)
+    }
+    assert(got == expect, s"got=$got expect=$expect")
+    // the corpus must exercise every bucket or the entry proves little
+    assert(got.keySet == Set("view", "click", "none"),
+      s"buckets: ${got.keySet}")
+    // conservation: every purchase is credited exactly once
+    assert(got.values.map(_._1).sum ==
+      events.count(_._4 == "purchase"), "purchase count conserved")
+  }
+
   test("ev_cusum_changepoint: linearized CUSUM equals Page's clamped recurrence, serially replayed") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_cusum_changepoint")(spark, d).collect()
