@@ -26,7 +26,55 @@ object Similarity {
 
   def all: Seq[QueryDef] =
     Seq(bruteForceTopK, annLsh, annIvf, annIvfTrained, quantizedTopK,
-      knnGraph, matryoshkaTopK)
+      knnGraph, matryoshkaTopK, randomProjection)
+
+  /** Johnson–Lindenstrauss random projection: 64 → 16 dimensions via a
+    * deterministic ±1 sign matrix (Achlioptas' database-friendly
+    * construction — signs, not Gaussians, so the projection is exact
+    * integer-weighted sums with no RNG state to ship), scaled by 1/√16
+    * so expected squared distances are preserved. This is the
+    * dimensionality-reduction FRONT-END of the ANN stack: at 100 TB you
+    * project once at ingest and run LSH/IVF shortlisting in the 4×
+    * smaller space ([[matryoshkaTopK]] cuts dims by trusting trained
+    * prefixes; JL cuts them with a distribution-free guarantee).
+    *
+    * Plan: the 16 sign rows are built in-plan from `range(16)` (sign =
+    * which half of the Mersenne prime 2³¹−1 a QUADRATIC hash of the
+    * flattened (i,j) index lands in — quadratic because any affine
+    * formula is linear in the index and its sign pattern carries
+    * sawtooth correlations that measurably distort distances; same
+    * closed form in both engines) and broadcast; each output coordinate is one
+    * codegen `dot_f64` fold over the input vector — no shuffle of the
+    * corpus at all, output is the (vec_id, j) projection relation.
+    * Distance-preservation is asserted in OperatorsSpec (mean pairwise
+    * squared-distance ratio ≈ 1). */
+  val randomProjection = QueryDef("emb_random_projection",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val signs = s.range(16).select(col("id").as("j"),
+        expr("""transform(sequence(0, 63), i ->
+            CASE WHEN ((1103515245L * (16L * CAST(i AS BIGINT) + id)
+                         * (16L * CAST(i AS BIGINT) + id)
+                       + 12345L * (16L * CAST(i AS BIGINT) + id)
+                       + 101L) % 2147483647L) * 2L < 2147483647L
+              THEN 1.0D ELSE -1.0D END)""")
+          .as("svec"))
+      Tables.embeddings(s, d)
+        .crossJoin(broadcast(signs))
+        .select(col("vec_id"), col("j"),
+          (expr("dot_f64(embedding, svec)") / lit(4.0)).as("proj"))
+        .orderBy(col("vec_id"), col("j"))
+    },
+    Some("""WITH signs AS (SELECT j, list_transform(range(0, 64),
+          i -> CASE WHEN ((1103515245 * (16*i + j) * (16*i + j)
+                + 12345 * (16*i + j) + 101) % 2147483647) * 2 < 2147483647
+            THEN 1.0 ELSE -1.0 END) AS svec
+        FROM range(0, 16) t(j))
+      SELECT e.vec_id, s.j,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * s.svec[i])) / 4.0 AS proj
+      FROM embeddings e CROSS JOIN signs s
+      ORDER BY e.vec_id, s.j"""))
 
   /** Matryoshka / truncated-dimension retrieval — the other
     * memory-bandwidth lever next to [[quantizedTopK]]'s int8: shortlist

@@ -97,6 +97,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
   private val boundedBroadcastsByReview: Map[String, Seq[String]] = Map(
     // K centroid seeds: `vec_id < K` key-range filter, K fixed
     "emb_kmeans_assign" -> Seq("agg[-]<-[embeddings]"),
+    // same K-seed centroid broadcast, rank-2 instead of rank-1
+    "emb_silhouette" -> Seq("agg[-]<-[embeddings]"),
     // same K-seed centroid broadcast for the SemDeDup assignment step
     "dedup_semantic" -> Seq("agg[-]<-[embeddings]"),
     // 4×8-entry PQ codebook and the 32-row query-ADC table: both bounded

@@ -280,4 +280,77 @@ class OperatorsSpec extends SparkSpec {
     if (planted.nonEmpty)
       info(f"simhash(hamming<=1) recall on j>=0.9 pairs = ${(planted & sim).size.toDouble / planted.size}%.2f")
   }
+
+  test("emb_random_projection: JL distance preservation and a serial sign-matrix model") {
+    val proj = Similarity.randomProjection.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // serial model of the LCG sign matrix and the left-to-right fold
+    def sign(i: Int, j: Long): Double = {
+      val n = 16L * i + j
+      val h = (1103515245L * n * n + 12345L * n + 101L) % 2147483647L
+      if (h * 2L < 2147483647L) 1.0 else -1.0
+    }
+    val expect = for ((id, v) <- vecs.toSeq; j <- 0L until 16L) yield {
+      var s = 0.0
+      var i = 0
+      while (i < 64) { s += v(i).toDouble * sign(i, j); i += 1 }
+      (id, j, s / 4.0)
+    }
+    assert(proj.toSet == expect.toSet, "projection != serial sign-matrix model")
+    // JL guarantee, measured: squared pairwise distances survive the
+    // 64 -> 16 projection in expectation (relative variance ~ 2/16)
+    val pm = proj.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3) }
+    val ids = vecs.keys.toSeq.sorted.take(60)
+    // pairs with near-zero original distance (the planted near-dups) have
+    // meaningless ratios — the JL bound is multiplicative, so measure it
+    // where the denominator is non-trivial
+    val ratios = (for (a <- ids; b <- ids if a < b) yield {
+      val d0 = vecs(a).zip(vecs(b))
+        .map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      val d1 = pm(a).zip(pm(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      (d0, d1 / d0)
+    }).filter(_._1 > 1.0).map(_._2)
+    val mean = ratios.sum / ratios.size
+    info(f"JL ratio: mean=$mean%.3f min=${ratios.min}%.2f max=${ratios.max}%.2f over ${ratios.size} pairs")
+    assert(mean > 0.85 && mean < 1.15, f"mean distance ratio $mean%.3f")
+    assert(ratios.forall(r => r > 0.15 && r < 3.5),
+      "an individual pair distorted past the JL tail bound")
+  }
+
+  test("emb_silhouette: serial centroid model, bounded scores, assignment agrees with kmeans") {
+    import graft.operators.Clustering
+    val got = Clustering.silhouette.fn(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val seeds = (0L until 8L).map(c => c -> vecs(c))
+    val expect = vecs.map { case (id, v) =>
+      val xx = dot(v, v)
+      val ds = seeds.map { case (c, cv) =>
+        (xx - 2.0 * dot(v, cv) + dot(cv, cv), c) }.sortBy(identity)
+      val (a2, cid) = ds.head
+      val b2 = ds(1)._1
+      val sil = if (math.max(a2, b2) == 0.0) 0.0
+        else (b2 - a2) / math.max(a2, b2)
+      id -> ((cid, sil))
+    }
+    assert(got == expect, "silhouette != serial centroid model")
+    // scores live in [-1, 1] (modulo the documented cancellation edge)
+    assert(got.values.forall { case (_, s) => s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12 })
+    // the rank-1 leg IS the kmeans assignment
+    val km = Clustering.kmeansAssign.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == km,
+      "silhouette cluster leg diverged from emb_kmeans_assign")
+  }
 }
