@@ -36,22 +36,26 @@ object Events {
     * touchpoint type down each user's timeline in one pass. Plan: one
     * shuffle on user_id, then a 3-row hash agg; revenue sums in
     * decimal(12,2) per the Num convention. */
+  /** The attribution transformation on any events-shaped frame — shared
+    * with the streaming parity spec (`EventStreams.lastTouchCredit`). */
+  def attributionOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        when(col("event_type").isin("view", "click"), col("event_type")))
+      .withColumn("last_touch",
+        last(col("touch"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sumd(dec(col("value"))).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
+
   val attribution = QueryDef("ev_attribution",
-    (s, d) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
-        .withColumn("touch",
-          when(col("event_type").isin("view", "click"), col("event_type")))
-        .withColumn("last_touch",
-          last(col("touch"), ignoreNulls = true).over(byUser))
-        .filter(col("event_type") === "purchase")
-        .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sumd(dec(col("value"))).as("attributed_revenue"))
-        .orderBy(col("touch_type"))
-    },
+    (s, d) => attributionOf(Tables.events(s, d)),
     Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
         CASE WHEN event_type IN ('view','click') THEN event_type END AS touch
         FROM events),

@@ -190,6 +190,47 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class TouchState(lastTouch: Option[String])
+  case class CreditRow(event_id: Long, user_id: Long, p_ts: Timestamp,
+      touch_type: String, value: Option[Double])
+
+  /** Streaming twin of `Events.attribution` — last-touch conversion
+    * credit as stateful stream processing: the per-user state is ONE
+    * small value (the latest view/click type), every arriving purchase
+    * emits a credit row against the state as of strictly before it.
+    * Within a microbatch, rows process in (ts, event_id) order — exactly
+    * the batch entry's window ordering, so a same-instant touch with a
+    * smaller event_id counts and one with a larger does not, and for
+    * in-order arrival the union of microbatch outputs equals the batch
+    * relation the entry aggregates (StreamingSpec proves credit parity
+    * across a batch split). State is O(1) per user — the
+    * unbounded-history lookback that costs the batch twin a full
+    * user-partitioned window is FREE here; a production deployment adds
+    * an idle-user TTL via timeouts. */
+  def lastTouchCredit(events: Dataset[EvId]): Dataset[CreditRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, evs: Iterator[EvId],
+        state: GroupState[TouchState]): Iterator[CreditRow] = {
+      var st = state.getOption.getOrElse(TouchState(None))
+      val out = scala.collection.mutable.ListBuffer.empty[CreditRow]
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += CreditRow(e.event_id, user, e.ts,
+            st.lastTouch.getOrElse("none"), e.value)
+        if (e.event_type == "view" || e.event_type == "click")
+          st = TouchState(Some(e.event_type))
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class MinuteCount(event_type: String, m: Timestamp, cnt: Long)
   case class CusumState(p: Long, minP: Long)
   case class CusumRow(event_type: String, m: Timestamp, cnt: Long,

@@ -231,6 +231,50 @@ class StreamingSpec extends SparkSpec {
       t._4 == Some(3.0) && t._5 == Some(5.0)))
   }
 
+  test("streaming last-touch credit == batch ev_attribution across a microbatch split") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.EvId
+    val all = Seq(
+      EvId(100L, ts(10), 1L, "view", Some(0.0)),
+      EvId(101L, ts(20), 1L, "click", Some(0.0)),
+      EvId(102L, ts(20), 1L, "purchase", Some(5.0)), // same-instant: the
+      // click (smaller event_id, same ts) counts — window order (ts, id)
+      EvId(103L, ts(25), 2L, "purchase", Some(7.0)), // user 2: untouched
+      // batch split falls here — lastTouch must carry across microbatches
+      EvId(104L, ts(30), 1L, "purchase", Some(9.0)),
+      EvId(105L, ts(35), 1L, "view", Some(0.0)),
+      EvId(106L, ts(40), 1L, "purchase", Some(3.0)))
+    val mem = MemoryStream[EvId]
+    val q = graft.streaming.EventStreams.lastTouchCredit(mem.toDS())
+      .writeStream.format("memory").queryName("credit_rows")
+      .outputMode("append").start()
+    mem.addData(all.take(4): _*); q.processAllAvailable()
+    mem.addData(all.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("credit_rows").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getDouble(4))).toSet
+    assert(streamed == Set(
+      (102L, "click", 5.0), (103L, "none", 7.0),
+      (104L, "click", 9.0), // cross-batch carry
+      (106L, "view", 3.0)))
+    // aggregate parity with the batch catalog entry's transformation on
+    // the same rows: group the streamed credits the way ev_attribution
+    // does and compare against the batch window pass over the fixture
+    val agg = spark.table("credit_rows")
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Events.attributionOf(
+        all.toDF().select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg == batch, s"streamed-agg $agg\nbatch $batch")
+    assert(batch == Set(("click", 2L, 14.0), ("none", 1L, 7.0),
+      ("view", 1L, 3.0)))
+  }
+
   test("streaming CUSUM monitor == serial fold across a microbatch split; alarms only after the shift") {
     implicit val sc = spark.sqlContext
     import graft.streaming.EventStreams.{MinuteCount, CusumRow}
