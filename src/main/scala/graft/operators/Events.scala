@@ -21,7 +21,7 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
-      attribution)
+      attribution, rollingActive)
 
   /** Last-touch attribution: credit each purchase's revenue to the most
     * recent view/click by the same user strictly before it (ties broken
@@ -36,6 +36,41 @@ object Events {
     * touchpoint type down each user's timeline in one pass. Plan: one
     * shuffle on user_id, then a 3-row hash agg; revenue sums in
     * decimal(12,2) per the Num convention. */
+  /** 7-day rolling active users (the DAU→WAU dashboard series): for each
+    * calendar day, the count of DISTINCT users active in the trailing
+    * 7-day window. Sliding DISTINCT is the one rolling metric a window
+    * function cannot express (count-distinct does not decompose over
+    * frames); the scalable spelling is contribute-and-regroup: collapse
+    * raw events to (user, day) FIRST — at 100 TB that's the 10⁴×
+    * reduction, events per user-day are many — then explode each
+    * user-day into the ≤7 window-ends it feeds and count distinct per
+    * window. Fan-out is bounded at 7× the collapsed relation, every
+    * stage is key-partitioned; the trailing output tail past the last
+    * observed day is cut by a broadcast 1-row max. */
+  val rollingActive = QueryDef("ev_rolling_active_users",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val maxDay = ud.agg(max(col("day")).as("max_day"))
+      ud.withColumn("w_end", explode(expr(
+          "sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("w_end") <= col("max_day"))
+        .groupBy(col("w_end").as("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events),
+      mx AS (SELECT max(day) AS max_day FROM ud),
+      ex AS (SELECT user_id,
+        unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+          AS w_end FROM ud)
+      SELECT w_end AS day, count(DISTINCT user_id) AS active_7d
+      FROM ex, mx WHERE w_end <= max_day
+      GROUP BY 1 ORDER BY 1"""))
+
   /** The attribution transformation on any events-shaped frame — shared
     * with the streaming parity spec (`EventStreams.lastTouchCredit`). */
   def attributionOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

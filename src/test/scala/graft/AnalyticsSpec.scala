@@ -229,6 +229,27 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("ev_rolling_active_users: serial rolling-distinct model, monotone ramp-up") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_rolling_active_users")(spark, d)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val userDays = Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    val days = userDays.map(_._2)
+    val dayMs = 86400000L
+    val expect = (days.min to days.max by dayMs).map { end =>
+      end -> userDays.filter { case (_, dd) =>
+        dd <= end && dd > end - 7L * dayMs }.map(_._1).size.toLong
+    }.filter(_._2 > 0)
+    assert(got.toSeq.sortBy(_._1) == expect, "rolling distinct != serial model")
+    // the first 7 days ramp up (each window adds a day of potential
+    // users), and no window exceeds the total population
+    val total = userDays.map(_._1).size
+    assert(got.forall(_._2 <= total))
+  }
+
   test("ev_cusum_changepoint: linearized CUSUM equals Page's clamped recurrence, serially replayed") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_cusum_changepoint")(spark, d).collect()
