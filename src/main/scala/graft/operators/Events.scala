@@ -21,7 +21,44 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
-      attribution, rollingActive)
+      attribution, rollingActive, transitions)
+
+  /** First-order Markov transition matrix over user event streams: for
+    * every (from, to) event-type pair, the transition count and the
+    * row-normalized probability — the behavioral model behind
+    * next-action prediction and funnel-drop diagnosis.
+    *
+    * Plan: one user_id shuffle for the `lead` pairing (each event joins
+    * its successor in (ts, event_id) order — a growing-frame-free O(1)
+    * window), then a hash agg to the ≤ |types|² relation; the
+    * normalizing row sums are a window over THAT 25-row relation,
+    * partitioned by from-type (parallel, and trivially small — the raw
+    * data never reaches it). Probabilities are one BIGINT/BIGINT IEEE
+    * division, identical in both engines. */
+  val transitions = QueryDef("ev_transition_matrix",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byFrom = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH pairs AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS to_type
+        FROM events),
+      m AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+          AS DOUBLE) AS p
+      FROM m ORDER BY from_type, to_type"""))
 
   /** Last-touch attribution: credit each purchase's revenue to the most
     * recent view/click by the same user strictly before it (ties broken

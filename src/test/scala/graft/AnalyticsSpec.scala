@@ -229,6 +229,32 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("ev_transition_matrix: serial timeline replay; rows normalize to 1") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_transition_matrix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val events = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val counts = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expect = counts.map { case (k, n) =>
+      k -> (n, n.toDouble / fromTotals(k._1).toDouble) }
+    assert(got == expect, "transition matrix != serial timeline replay")
+    // each from-row is a probability distribution
+    got.keys.map(_._1).toSet.foreach { ft: String =>
+      val rowSum = got.collect { case ((f, _), (_, p)) if f == ft => p }.sum
+      assert(math.abs(rowSum - 1.0) < 1e-9, s"$ft row sums to $rowSum")
+    }
+  }
+
   test("ev_rolling_active_users: serial rolling-distinct model, monotone ramp-up") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_rolling_active_users")(spark, d)
