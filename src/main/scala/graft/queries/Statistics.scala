@@ -14,7 +14,59 @@ object Statistics {
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
-      mannWhitney, welchT, equidepth, rankNormalize)
+      mannWhitney, welchT, equidepth, rankNormalize, weightedMedian)
+
+  /** Exact WEIGHTED median — the Quantiles two-level selection machinery
+    * generalized from row counts to weight sums: weighted median price
+    * where each lineitem counts `l_quantity` times (the
+    * "median price per unit shipped" statistic; the unweighted
+    * [[median]] answers a different question). Selection target is the
+    * smallest v whose cumulative WEIGHT doubles past the total — the
+    * `cum*2 >= W` integer compare keeps the decision exact (no halving
+    * of floats, no parity branch).
+    *
+    * Scale shape is [[rankNormalize]]'s: per-value weight sums (one
+    * data-scaled shuffle to the distinct-value relation), the only
+    * serial window over the ~#buckets-row bucket-offset relation,
+    * per-value cumulative weights partitioned by bucket, one broadcast
+    * total. A single-window spelling would be a single-task sort over
+    * the data-scaled distinct-price relation. */
+  val weightedMedian = QueryDef("stat_weighted_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val pv = li.groupBy(col("v")).agg(sum(col("w")).as("c"))
+      val b = pv.withColumn("bkt",
+        floor(col("v") / lit(1000.0)).cast("long"))
+      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff",
+          coalesce(sum(col("bc")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val cum = b.join(broadcast(bofs), "bkt")
+        .withColumn("cum",
+          col("boff") + sum(col("c")).over(
+            Window.partitionBy(col("bkt")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = li.agg(sum(col("w")).as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
+            .as("weighted_median"),
+          max(col("tw")).as("total_weight"))
+    },
+    Some("""WITH vw AS (SELECT l_extendedprice AS v,
+        CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      pv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS c FROM vw GROUP BY v),
+      cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum FROM pv),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM vw)
+      SELECT min(CASE WHEN cum * 2 >= tw THEN v END) AS weighted_median,
+        tw AS total_weight
+      FROM cum, tot GROUP BY tw"""))
 
   /** Percentile-rank (CDF) normalization of a HIGH-cardinality column —
     * the feature-engineering transform that maps every price to its

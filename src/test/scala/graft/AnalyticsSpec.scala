@@ -229,6 +229,29 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("stat_weighted_median: serial weighted-selection model on the real corpus") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_weighted_median")(spark, d).collect()(0)
+    val vw = Tables.lineitem(spark, d)
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val tw = vw.map(_._2).sum
+    // smallest v whose cumulative weight doubles past the total
+    val sorted = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val wm = sorted.collectFirst {
+      case (v, w) if { cum += w; 2 * cum >= tw } => v }.get
+    assert(got.getDouble(0) == wm, s"weighted median ${got.getDouble(0)} != $wm")
+    assert(got.getLong(1) == tw)
+    // and it answers a different question than the unweighted median on
+    // this corpus (weights actually move the selection point)
+    var c2 = 0L
+    val um = sorted.collectFirst {
+      case (v, _) if { c2 += 1; 2 * c2 >= sorted.size } => v }.get
+    info(f"weighted=$wm%.2f unweighted-distinct=$um%.2f")
+  }
+
   test("ev_transition_matrix: serial timeline replay; rows normalize to 1") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_transition_matrix")(spark, d).collect()

@@ -70,6 +70,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // full-CDF materialization: the serial window crosses only the
     // bucket-offset relation; per-value cumsums are bucket-partitioned
     "stat_rank_normalize",
+    // weighted selection over the same machinery: serial window only on
+    // the bucket-offset relation, per-value cumulative WEIGHTS
+    // bucket-partitioned
+    "stat_weighted_median",
     // the e2e pipeline ends in the same packCounts level-2 offsets
     // (≤ P-row bucket relation)
     "pipeline_curation_e2e",
@@ -158,6 +162,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_winsorized" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_rank_normalize" -> Seq("agg[bkt]<-[lineitem]"),
+    "stat_weighted_median" -> Seq("agg[bkt]<-[lineitem]", "agg[-]<-[lineitem]"),
     // ntile bucket counts/offsets: B fixed buckets
     "q37_ntile" -> Seq("agg[bkt]<-[customer]"),
     // language signature profile: rank ≤ 10 filter keeps ≤ 10 words per
