@@ -27,7 +27,51 @@ object Sinks {
 
   def all: Seq[QueryDef] =
     Seq(bucketedRoundtrip, rangeLayout, csvRoundtrip, jsonRoundtrip,
-      orcRoundtrip, zorderLayout, schemaEvolution, compaction)
+      orcRoundtrip, zorderLayout, schemaEvolution, compaction,
+      partitionOverwrite)
+
+  /** Dynamic partition overwrite — the lakehouse backfill primitive:
+    * replace exactly the partitions the incoming batch carries, leave
+    * every other partition's files physically untouched. The entry
+    * writes `events` day-partitioned, then overwrites ONE day
+    * (2024-01-15) with corrected rows (value doubled) using
+    * `partitionOverwriteMode=dynamic` as a WRITE OPTION (no session-wide
+    * conf mutation), and proves both halves by re-reading the whole
+    * table and aggregating per day: the patched day must carry the
+    * transform, the other 29 days the original values — a static-mode
+    * overwrite (truncate-all) would zero them and fail the hash gate.
+    * SourcesSpec additionally pins the physical claim: untouched
+    * partition directories keep the exact same file list.
+    *
+    * At 100 TB this is how a daily correction lands: cost ∝ the
+    * backfilled day, not the table; the 30 directories here stand in
+    * for years of partitions. */
+  val partitionOverwrite = QueryDef("sink_partition_overwrite",
+    (s, d) => {
+      val path = sinkPath(d, "events_byday")
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      ev.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+      ev.filter(col("day") === lit("2024-01-15").cast("date"))
+        .withColumn("value", col("value") * 2)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path)
+      // explicit schema: an empty corpus writes zero partition dirs and
+      // parquet inference would fail; the contract schema is ev's own
+      s.read.schema(ev.schema).parquet(path)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          Num.sumd(Num.dec(col("value"))).as("sum_value"))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+              = DATE '2024-01-15'
+            THEN value * 2 ELSE value END AS DECIMAL(12,2))) AS DOUBLE)
+          AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Schema-evolution ingest — the lake reality the fixed-schema
     * roundtrips skip: a long-lived dataset's early files lack columns

