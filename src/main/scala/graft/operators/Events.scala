@@ -21,7 +21,80 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
-      attribution, rollingActive, transitions)
+      attribution, rollingActive, transitions, twap, streak)
+
+  /** Time-weighted average value per event type (TWAP — the telemetry /
+    * finance convention where an observation holds until the next one
+    * replaces it, so each value is weighted by how LONG it was current,
+    * not how often it was sampled): Σ value·dur / Σ dur over the LOCF
+    * step function. Irregular sampling makes the unweighted mean wrong
+    * by construction — a sensor that reports once an hour while idle
+    * and every second under load would otherwise be load-biased.
+    *
+    * Plan: one type-partitioned O(1) `lead` window for each
+    * observation's hold duration, then a hash agg; durations are exact
+    * whole-second longs (the sessionize cast-long convention, mirrored
+    * by DuckDB's date_diff), value·dur products and their sums are
+    * exact decimals, and the final TWAP is one IEEE division. */
+  val twap = QueryDef("ev_twap",
+    (s, d) => {
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(byType))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur",
+          col("next_ts").cast("long") - col("ts").cast("long"))
+        .groupBy(col("event_type"))
+        .agg((sum(dec(col("value")) * col("dur")).cast("double") /
+            sum(col("dur")).cast("double")).as("twap"),
+          sum(col("dur")).as("total_dur"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH w AS (SELECT event_type, value,
+        date_diff('second', ts, lead(ts) OVER (PARTITION BY event_type
+          ORDER BY ts, event_id)) AS dur
+        FROM events)
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur) AS DOUBLE)
+          / CAST(SUM(dur) AS DOUBLE) AS twap,
+        CAST(SUM(dur) AS BIGINT) AS total_dur
+      FROM w WHERE dur IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Longest consecutive-day activity streak per user — the canonical
+    * gaps-and-islands problem: collapse to (user, day), then `day −
+    * row_number` is CONSTANT within a run of consecutive days (both
+    * advance by 1/day) and jumps at every gap, so it IS the island key;
+    * the streak is the biggest island. Two key-partitioned stages after
+    * the distinct — no self-join, no iteration, the island trick turns
+    * a sequence problem into a group-by. */
+  val streak = QueryDef("ev_streak",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("island",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+        CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      isl AS (SELECT user_id,
+        day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+          AS INTEGER) AS island
+        FROM ud),
+      runs AS (SELECT user_id, island, COUNT(*) AS len FROM isl
+        GROUP BY 1, 2)
+      SELECT user_id, MAX(len) AS longest_streak,
+        COUNT(*) AS n_streaks
+      FROM runs GROUP BY 1 ORDER BY 1"""))
 
   /** First-order Markov transition matrix over user event streams: for
     * every (from, to) event-type pair, the transition count and the

@@ -14,7 +14,83 @@ object Statistics {
   def all: Seq[QueryDef] =
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
-      mannWhitney, welchT, equidepth, rankNormalize, weightedMedian)
+      mannWhitney, welchT, equidepth, rankNormalize, weightedMedian,
+      wilson)
+
+  /** Wilson 95% score interval on conversion rates — the A/B-dashboard
+    * statistic the five monitoring tests don't cover: a small-sample-
+    * safe confidence interval for a PROPORTION (the normal
+    * approximation's ±z√(p(1−p)/n) collapses at p near 0/1; Wilson
+    * inverts the score test instead, so the bounds stay inside [0,1]
+    * and stay honest at a handful of conversions). Trials = view/click
+    * touches, successes = purchases last-touch-attributed to them —
+    * literally [[graft.operators.Events.attributionOf]] reused as the
+    * numerator relation, so the rate measured here and the credit
+    * reported there cannot drift.
+    *
+    * Float discipline: both engines compute the SAME IEEE tree — p and
+    * the interval are built from one division each plus a correctly-
+    * rounded sqrt (IEEE 754 guarantees sqrt's rounding, so libm
+    * agreement is free, unlike ln/exp which route through math_ln);
+    * every constant is the same literal on both sides. The formula
+    * relation is 2 rows — cost lives in the one events scan +
+    * attribution window. */
+  val wilson = QueryDef("stat_wilson_interval",
+    (s, d) => {
+      val conv = graft.operators.Events.attributionOf(Tables.events(s, d))
+        .select(col("touch_type"), col("n_purchases"))
+      val touches = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("event_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_touches"))
+      val z = lit(1.96)
+      val nD = col("n_touches").cast("double")
+      val sD = col("n_purchases").cast("double")
+      val p = sD / nD
+      val zz = z * z
+      val denom = lit(1.0) + zz / nD
+      val center = p + zz / (lit(2.0) * nD)
+      val margin = z * sqrt(
+        (p * (lit(1.0) - p) + zz / (lit(4.0) * nD * nD)) / nD)
+      touches.join(conv, Seq("touch_type"), "left")
+        .na.fill(0L, Seq("n_purchases"))
+        .select(col("touch_type"), col("n_touches"), col("n_purchases"),
+          p.as("rate"),
+          ((center - margin) / denom).as("wilson_lo"),
+          ((center + margin) / denom).as("wilson_hi"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN event_type IN ('view','click') THEN event_type END
+          AS touch
+        FROM events),
+      w AS (SELECT event_type,
+        last_value(touch IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM e),
+      conv AS (SELECT last_touch AS touch_type, COUNT(*) AS n_purchases
+        FROM w WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        GROUP BY 1),
+      tch AS (SELECT event_type AS touch_type, COUNT(*) AS n_touches
+        FROM events WHERE event_type IN ('view','click') GROUP BY 1),
+      j AS (SELECT t.touch_type, t.n_touches,
+          CAST(COALESCE(c.n_purchases, 0) AS BIGINT) AS n_purchases
+        FROM tch t LEFT JOIN conv c ON t.touch_type = c.touch_type),
+      f AS (SELECT touch_type, n_touches, n_purchases,
+          CAST(n_touches AS DOUBLE) AS nd,
+          CAST(n_purchases AS DOUBLE) / CAST(n_touches AS DOUBLE) AS p
+        FROM j)
+      SELECT touch_type, n_touches, n_purchases, p AS rate,
+        (p + 1.96 * 1.96 / (2.0 * nd)
+          - 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd))
+            / nd))
+          / (1.0 + 1.96 * 1.96 / nd) AS wilson_lo,
+        (p + 1.96 * 1.96 / (2.0 * nd)
+          + 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd))
+            / nd))
+          / (1.0 + 1.96 * 1.96 / nd) AS wilson_hi
+      FROM f ORDER BY touch_type"""))
 
   /** Exact WEIGHTED median — the Quantiles two-level selection machinery
     * generalized from row counts to weight sums: weighted median price

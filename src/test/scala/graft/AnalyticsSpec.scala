@@ -229,6 +229,97 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("ev_twap: serial LOCF-integral model, exact decimal weighting") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_twap")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val events = Tables.events(spark, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val expect = events.groupBy(_._1).map { case (tpe, rows) =>
+      val ordered = rows.sortBy(r => (r._2.getTime, r._3))
+      val steps = ordered.zip(ordered.tail).map { case (a, b) =>
+        val dur = b._2.getTime / 1000L - a._2.getTime / 1000L
+        (BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * dur, dur)
+      }
+      val num = steps.map(_._1).sum
+      val den = steps.map(_._2).sum
+      tpe -> (num.toDouble / den.toDouble, den)
+    }
+    assert(got == expect, s"twap != serial LOCF integral")
+    // a time-weighted mean must sit inside the value range
+    events.groupBy(_._1).foreach { case (tpe, rows) =>
+      val vs = rows.map(_._4)
+      assert(got(tpe)._1 >= vs.min && got(tpe)._1 <= vs.max)
+    }
+  }
+
+  test("ev_streak: serial gaps-and-islands model") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_streak")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dayMs = 86400000L
+    val userDays = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).getTime / dayMs))
+    val expect = userDays.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      // walk the sorted days, counting consecutive runs
+      var streaks = List.empty[Long]
+      var cur = 0L
+      var prev = Long.MinValue
+      days.foreach { d0 =>
+        if (d0 == prev + 1) cur += 1 else { if (cur > 0) streaks ::= cur; cur = 1 }
+        prev = d0
+      }
+      if (cur > 0) streaks ::= cur
+      u -> (streaks.max, streaks.size.toLong)
+    }
+    assert(got == expect, "streaks != serial islands model")
+  }
+
+  test("stat_wilson_interval: serial Wilson formula; bounds bracket the rate inside [0,1]") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_wilson_interval")(spark, d).collect()
+    assert(got.nonEmpty)
+    // recompute trials/successes serially from the attribution semantics
+    val events = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val credits = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastTouch: String = null
+      rows.sortBy(r => (r._2, r._3)).flatMap { case (_, _, _, tpe) =>
+        val out = if (tpe == "purchase" && lastTouch != null) Some(lastTouch)
+          else None
+        if (tpe == "view" || tpe == "click") lastTouch = tpe
+        out
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val touches = events.map(_._4).filter(t => t == "view" || t == "click")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == touches(t))
+      assert(r.getLong(2) == credits.getOrElse(t, 0L))
+      val n = touches(t).toDouble
+      val p = credits.getOrElse(t, 0L).toDouble / n
+      val zz = 1.96 * 1.96
+      val center = p + zz / (2.0 * n)
+      val margin = 1.96 * math.sqrt((p * (1.0 - p) + zz / (4.0 * n * n)) / n)
+      val denom = 1.0 + zz / n
+      assert(r.getDouble(3) == p)
+      assert(r.getDouble(4) == (center - margin) / denom, s"$t lo")
+      assert(r.getDouble(5) == (center + margin) / denom, s"$t hi")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0 &&
+        r.getDouble(4) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(5))
+    }
+  }
+
   test("stat_weighted_median: serial weighted-selection model on the real corpus") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("stat_weighted_median")(spark, d).collect()(0)
