@@ -21,7 +21,47 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
-      attribution, rollingActive, transitions, twap, streak)
+      attribution, rollingActive, transitions, twap, streak, cumulative)
+
+  /** Cumulative distinct users per day (the growth curve twin of
+    * [[rollingActive]]'s trailing window): running DISTINCT decomposed
+    * by the FIRST-SEEN trick — a user contributes to every day from
+    * their first activity on, so cumulative distinct at day d = count
+    * of users whose min(day) ≤ d. One user-keyed agg to first days
+    * (data-scaled pass), one count per first-day, then the running sum
+    * crosses only the calendar-bounded day relation (~30 rows — the
+    * q42 class of serial window, allowlisted by construction); days
+    * with no first-timer still appear via the distinct active-day
+    * spine, carrying the running total forward. */
+  val cumulative = QueryDef("ev_cumulative_users",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDays = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("fday"))
+        .groupBy(col("fday")).agg(count(lit(1)).as("new_users"))
+      val spine = ud.select(col("day")).distinct()
+      spine.join(firstDays, col("day") === col("fday"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT user_id,
+        CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      fd AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+      nu AS (SELECT fday, COUNT(*) AS new_users FROM fd GROUP BY 1),
+      spine AS (SELECT DISTINCT day FROM ud)
+      SELECT s.day,
+        CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+        CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumulative_users
+      FROM spine s LEFT JOIN nu ON s.day = nu.fday
+      ORDER BY s.day"""))
 
   /** Time-weighted average value per event type (TWAP — the telemetry /
     * finance convention where an observation holds until the next one

@@ -229,6 +229,27 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("ev_cumulative_users: first-seen model; monotone; ends at total population") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_cumulative_users")(spark, d).collect()
+      .map(r => (r.getDate(0).getTime, r.getLong(1), r.getLong(2)))
+    val dayMs = 86400000L
+    val userDays = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).getTime))
+    val firstDay = userDays.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val spine = userDays.map(_._2).distinct.sorted
+    var cum = 0L
+    val expect = spine.map { day =>
+      val nu = firstDay.values.count(_ == day).toLong
+      cum += nu
+      (day, nu, cum)
+    }
+    assert(got.toSeq == expect.toSeq, "growth curve != first-seen model")
+    assert(got.last._3 == firstDay.size, "curve must end at the population")
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq, "monotone")
+  }
+
   test("ev_twap: serial LOCF-integral model, exact decimal weighting") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_twap")(spark, d).collect()

@@ -74,6 +74,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // the bucket-offset relation, per-value cumulative WEIGHTS
     // bucket-partitioned
     "stat_weighted_median",
+    // growth-curve running sum over the calendar-bounded day spine
+    // (~30 rows) — the q42_moving_range class
+    "ev_cumulative_users",
     // the e2e pipeline ends in the same packCounts level-2 offsets
     // (≤ P-row bucket relation)
     "pipeline_curation_e2e",
