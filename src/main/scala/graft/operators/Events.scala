@@ -173,19 +173,6 @@ object Events {
           AS DOUBLE) AS p
       FROM m ORDER BY from_type, to_type"""))
 
-  /** Last-touch attribution: credit each purchase's revenue to the most
-    * recent view/click by the same user strictly before it (ties broken
-    * by event_id), "none" when no prior touchpoint exists — the standard
-    * conversion-credit rollup of clickstream analytics.
-    *
-    * The per-purchase lookup is ONE growing-frame window
-    * (`[unboundedPreceding, -1]`, the incremental
-    * UnboundedPrecedingWindowFunctionFrame — the `ev_interpolate_linear`
-    * quadratic-trap lesson applied at design time, not discovered at the
-    * 8× tier): a running `last(touch, ignoreNulls)` carries the latest
-    * touchpoint type down each user's timeline in one pass. Plan: one
-    * shuffle on user_id, then a 3-row hash agg; revenue sums in
-    * decimal(12,2) per the Num convention. */
   /** 7-day rolling active users (the DAU→WAU dashboard series): for each
     * calendar day, the count of DISTINCT users active in the trailing
     * 7-day window. Sliding DISTINCT is the one rolling metric a window
@@ -239,6 +226,19 @@ object Events {
       .orderBy(col("touch_type"))
   }
 
+  /** Last-touch attribution: credit each purchase's revenue to the most
+    * recent view/click by the same user strictly before it (ties broken
+    * by event_id), "none" when no prior touchpoint exists — the standard
+    * conversion-credit rollup of clickstream analytics.
+    *
+    * The per-purchase lookup is ONE growing-frame window
+    * (`[unboundedPreceding, -1]`, the incremental
+    * UnboundedPrecedingWindowFunctionFrame — the `ev_interpolate_linear`
+    * quadratic-trap lesson applied at design time, not discovered at the
+    * 8× tier): a running `last(touch, ignoreNulls)` carries the latest
+    * touchpoint type down each user's timeline in one pass. Plan: one
+    * shuffle on user_id, then a 3-row hash agg; revenue sums in
+    * decimal(12,2) per the Num convention. */
   val attribution = QueryDef("ev_attribution",
     (s, d) => attributionOf(Tables.events(s, d)),
     Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value,

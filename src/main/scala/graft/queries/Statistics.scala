@@ -32,8 +32,13 @@ object Statistics {
     * the interval are built from one division each plus a correctly-
     * rounded sqrt (IEEE 754 guarantees sqrt's rounding, so libm
     * agreement is free, unlike ln/exp which route through math_ln);
-    * every constant is the same literal on both sides. The formula
-    * relation is 2 rows — cost lives in the one events scan +
+    * every constant is the same literal on both sides. The sqrt operand
+    * is clamped at 0: last-touch attribution can credit SEVERAL
+    * purchases to one touch, so s > n (p > 1) is reachable on a
+    * pathological slice, where the raw operand goes negative — Spark
+    * would emit NaN but DuckDB raises an error, so without the clamp
+    * the two engines don't even disagree, the oracle run ABORTS. The
+    * formula relation is 2 rows — cost lives in the one events scan +
     * attribution window. */
   val wilson = QueryDef("stat_wilson_interval",
     (s, d) => {
@@ -50,8 +55,8 @@ object Statistics {
       val zz = z * z
       val denom = lit(1.0) + zz / nD
       val center = p + zz / (lit(2.0) * nD)
-      val margin = z * sqrt(
-        (p * (lit(1.0) - p) + zz / (lit(4.0) * nD * nD)) / nD)
+      val margin = z * sqrt(greatest(lit(0.0),
+        (p * (lit(1.0) - p) + zz / (lit(4.0) * nD * nD)) / nD))
       touches.join(conv, Seq("touch_type"), "left")
         .na.fill(0L, Seq("n_purchases"))
         .select(col("touch_type"), col("n_touches"), col("n_purchases"),
@@ -83,12 +88,12 @@ object Statistics {
         FROM j)
       SELECT touch_type, n_touches, n_purchases, p AS rate,
         (p + 1.96 * 1.96 / (2.0 * nd)
-          - 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd))
-            / nd))
+          - 1.96 * sqrt(greatest(0.0,
+              (p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd)) / nd)))
           / (1.0 + 1.96 * 1.96 / nd) AS wilson_lo,
         (p + 1.96 * 1.96 / (2.0 * nd)
-          + 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd))
-            / nd))
+          + 1.96 * sqrt(greatest(0.0,
+              (p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd * nd)) / nd)))
           / (1.0 + 1.96 * 1.96 / nd) AS wilson_hi
       FROM f ORDER BY touch_type"""))
 

@@ -233,7 +233,6 @@ class AnalyticsSpec extends SparkSpec {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_cumulative_users")(spark, d).collect()
       .map(r => (r.getDate(0).getTime, r.getLong(1), r.getLong(2)))
-    val dayMs = 86400000L
     val userDays = Tables.events(spark, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .collect().map(r => (r.getLong(0), r.getDate(1).getTime))
@@ -331,7 +330,8 @@ class AnalyticsSpec extends SparkSpec {
       val p = credits.getOrElse(t, 0L).toDouble / n
       val zz = 1.96 * 1.96
       val center = p + zz / (2.0 * n)
-      val margin = 1.96 * math.sqrt((p * (1.0 - p) + zz / (4.0 * n * n)) / n)
+      val margin = 1.96 * math.sqrt(
+        math.max(0.0, (p * (1.0 - p) + zz / (4.0 * n * n)) / n))
       val denom = 1.0 + zz / n
       assert(r.getDouble(3) == p)
       assert(r.getDouble(4) == (center - margin) / denom, s"$t lo")
