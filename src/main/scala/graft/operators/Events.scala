@@ -21,7 +21,51 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
-      attribution, rollingActive, transitions, twap, streak, cumulative)
+      attribution, rollingActive, transitions, twap, streak, cumulative,
+      seasonalAnomaly)
+
+  /** Seasonally-adjusted volume anomalies — [[anomaly]] with the
+    * baseline keyed by (type, HOUR-OF-DAY) instead of one global mean
+    * per type: a 9am-sized spike is normal at 9am and a 3-sigma event
+    * at 3am, which a flat baseline cannot see in either direction (it
+    * both misses night anomalies and false-alarms every busy morning
+    * when traffic is diurnal). Same all-integer decision discipline:
+    * per-cell counts and the (n·x − s1)² > 9·(n·s2 − s1²) compare run
+    * entirely in DecimalType(38,0) — no mean, no sqrt, no float ever.
+    * Plan shape is [[anomaly]]'s with a finer join key: the baseline
+    * relation is ≤ |types|·24 rows, AQE-broadcast onto the hourly
+    * cells. */
+  val seasonalAnomaly = QueryDef("ev_anomaly_seasonal",
+    (s, d) => {
+      val hourlyCnt = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hod", hour(col("hour")))
+      val c = col("cnt").cast("decimal(38,0)")
+      val stats = hourlyCnt.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(c).cast("decimal(38,0)").as("s1"),
+          sum(c * c).cast("decimal(38,0)").as("s2"))
+      hourlyCnt.join(stats, Seq("event_type", "hod"))
+        .filter((col("n") * c - col("s1")) *
+          (col("n") * c - col("s1")) >
+          lit(9L).cast("decimal(38,0)") *
+            (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("hour"), col("cnt"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH hourly AS (SELECT event_type,
+        date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      h2 AS (SELECT event_type, hour, cnt,
+        EXTRACT(HOUR FROM hour) AS hod FROM hourly),
+      stats AS (SELECT event_type, hod, COUNT(*) AS n,
+        SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM h2 GROUP BY 1, 2)
+      SELECT h.event_type, h.hour, h.cnt
+      FROM h2 h JOIN stats s USING (event_type, hod)
+      WHERE (s.n*h.cnt - s.s1)*(s.n*h.cnt - s.s1)
+        > 9*(s.n*s.s2 - s.s1*s.s1)
+      ORDER BY h.event_type, h.hour"""))
 
   /** Cumulative distinct users per day (the growth curve twin of
     * [[rollingActive]]'s trailing window): running DISTINCT decomposed

@@ -15,7 +15,61 @@ object Statistics {
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
       mannWhitney, welchT, equidepth, rankNormalize, weightedMedian,
-      wilson)
+      weightedMedianGrouped, wilson)
+
+  /** [[weightedMedian]] per group (weighted median price per return
+    * flag) — the grouped form is where the two-level machinery gets
+    * STRICTLY better: every window picks up the group as a partition
+    * key, so there is no serial window at all — bucket offsets run
+    * partitioned by group, cumulative weights by (group, bucket), and
+    * the selection compare per group. Same exact `cum*2 ≥ W` integer
+    * decision; the offset and total relations are (groups × buckets)-
+    * and groups-bounded, broadcast onto the distinct-value relation. */
+  val weightedMedianGrouped = QueryDef("stat_weighted_median_grouped",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val pv = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("c"))
+      val b = pv.withColumn("bkt",
+        floor(col("v") / lit(1000.0)).cast("long"))
+      val bofs = b.groupBy(col("g"), col("bkt"))
+        .agg(sum(col("c")).as("bc"))
+        .withColumn("boff",
+          coalesce(sum(col("bc")).over(
+            Window.partitionBy(col("g")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("g"), col("bkt"), col("boff"))
+      val cum = b.join(broadcast(bofs), Seq("g", "bkt"))
+        .withColumn("cum",
+          col("boff") + sum(col("c")).over(
+            Window.partitionBy(col("g"), col("bkt")).orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = li.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+      cum.join(broadcast(tot), "g")
+        .groupBy(col("g"))
+        .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
+            .as("weighted_median"),
+          max(col("tw")).as("total_weight"))
+        .select(col("g").as("l_returnflag"), col("weighted_median"),
+          col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH vw AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      pv AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS c FROM vw
+        GROUP BY 1, 2),
+      cum AS (SELECT g, v, CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum FROM pv),
+      tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM vw GROUP BY 1)
+      SELECT c.g AS l_returnflag,
+        min(CASE WHEN c.cum * 2 >= t.tw THEN c.v END) AS weighted_median,
+        t.tw AS total_weight
+      FROM cum c JOIN tot t USING (g)
+      GROUP BY c.g, t.tw ORDER BY 1"""))
 
   /** Wilson 95% score interval on conversion rates — the A/B-dashboard
     * statistic the five monitoring tests don't cover: a small-sample-

@@ -229,6 +229,33 @@ class AnalyticsSpec extends SparkSpec {
       events.count(_._4 == "purchase"), "purchase count conserved")
   }
 
+  test("ev_anomaly_seasonal: serial per-(type,hod) 3-sigma model; flags differ from the flat baseline") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("ev_anomaly_seasonal")(spark, d).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val hourly = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expect = hourly.groupBy { case (t, h, _) =>
+      (t, h.toLocalDateTime.getHour) }.toSeq.flatMap { case (_, cells) =>
+      val n = BigInt(cells.length)
+      val s1 = cells.map(c => BigInt(c._3)).sum
+      val s2 = cells.map(c => BigInt(c._3) * c._3).sum
+      cells.filter { case (_, _, cnt) =>
+        val dev = n * cnt - s1
+        dev * dev > BigInt(9) * (n * s2 - s1 * s1)
+      }.map(c => (c._1, c._2.getTime, c._3))
+    }.toSet
+    assert(got == expect, "seasonal flags != serial per-(type,hod) model")
+    assert(got.nonEmpty, "corpus must produce at least one seasonal flag")
+    // the point of the finer baseline: its flag set differs from the
+    // flat per-type baseline's on this corpus
+    val flat = SparkEntry.queries("ev_anomaly")(spark, d).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(got != flat, "seasonal baseline never disagreed with the flat one")
+  }
+
   test("ev_cumulative_users: first-seen model; monotone; ends at total population") {
     val d = sf("sf0.001")
     val got = SparkEntry.queries("ev_cumulative_users")(spark, d).collect()
@@ -339,6 +366,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0 &&
         r.getDouble(4) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(5))
     }
+  }
+
+  test("stat_weighted_median_grouped: serial per-group weighted selection") {
+    val d = sf("sf0.001")
+    val got = SparkEntry.queries("stat_weighted_median_grouped")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val vw = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expect = vw.groupBy(_._1).map { case (g, rows) =>
+      val tw = rows.map(_._3).sum
+      val sorted = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val wm = sorted.collectFirst {
+        case (v, w) if { cum += w; 2 * cum >= tw } => v }.get
+      g -> (wm, tw)
+    }
+    assert(got == expect, "grouped weighted medians != serial model")
+    assert(got.size >= 3, "returnflag groups expected")
   }
 
   test("stat_weighted_median: serial weighted-selection model on the real corpus") {

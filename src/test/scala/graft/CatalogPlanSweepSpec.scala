@@ -166,6 +166,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_rank_normalize" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_weighted_median" -> Seq("agg[bkt]<-[lineitem]", "agg[-]<-[lineitem]"),
+    // grouped twin: offsets are (groups × buckets)-bounded, totals
+    // groups-bounded (returnflag cardinality 3)
+    "stat_weighted_median_grouped" ->
+      Seq("agg[g,bkt]<-[lineitem]", "agg[g]<-[lineitem]"),
     // ntile bucket counts/offsets: B fixed buckets
     "q37_ntile" -> Seq("agg[bkt]<-[customer]"),
     // language signature profile: rank ≤ 10 filter keeps ≤ 10 words per
