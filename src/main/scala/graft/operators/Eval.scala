@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
@@ -9,14 +10,128 @@ import graft.{QueryDef, Tables}
   * rankings; a training-data pipeline also needs the METRIC that decides
   * whether an index is good enough to deploy. ScalaTest already asserts
   * recall floors (AnnRecallSpec et al.); this makes the graded-relevance
-  * metric itself a first-class, oracle-checked catalog entry.
+  * metrics themselves first-class, oracle-checked catalog entries:
+  * NDCG@10 (graded, position-discounted) and MRR + recall@k (binary,
+  * first-hit / set-overlap — the complementary pair every retrieval
+  * dashboard reports).
   */
 object Eval {
 
-  def all: Seq[QueryDef] = Seq(ndcg)
+  def all: Seq[QueryDef] = Seq(ndcg, mrr)
 
   private val K = 10  // evaluate @10
   private val NQ = 5  // query vectors (vec_id < 5, the brute-force set)
+
+  /** The shared evaluation relations: (ideal, sys).
+    *
+    * ideal — exact brute-force cosine top-K per query with graded
+    * relevance rel = 11 − ideal_rank (the sim_topk_bruteforce broadcast
+    * cross-join shape, the declared bounded yardstick);
+    * sys — the multi-table multi-probe LSH index's top-K
+    * (the sim_ann_lsh candidate machinery), with its system rank.
+    *
+    * Plan: the corpus is scanned once for each leg; both rankings are
+    * per-query top-10 windows over candidate relations. At 100 TB the
+    * exact leg is the expensive one — which is exactly why it is the
+    * EVAL (run once on a sample to certify the index), not the serving
+    * path. */
+  private def idealAndSys(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.HashExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
+      .withColumn("bs", array(
+        (0 until Similarity.NumTables).map(t =>
+          expr(Similarity.bucketExpr(t))): _*))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bs").as("q_bs"))
+
+    // ideal ranking: exact cosine top-K (the sim_topk_bruteforce shape)
+    val scoredAll = e.crossJoin(broadcast(
+        q.select(col("q_id"), col("q_emb"), col("q_nrm"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        expr("dot_f64(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
+    val wi = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ideal = scoredAll.withColumn("r", row_number().over(wi))
+      .filter(col("r") <= K)
+      .select(col("q_id"), col("vec_id"), (lit(11) - col("r")).as("rel"))
+
+    // system ranking: the sim_ann_lsh candidate machinery at top-K
+    val eb = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("bs")))
+      .withColumnRenamed("pos", "e_tbl").withColumnRenamed("col", "e_b")
+    val probeStructs = for {
+      t <- 0 until Similarity.NumTables; m <- Similarity.ProbeMasks
+    } yield struct(lit(t).as("p_tbl"),
+      col("q_bs").getItem(t).bitwiseXOR(lit(m)).as("p_b"))
+    val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(array(probeStructs: _*)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("p.p_tbl").as("p_tbl"), col("p.p_b").as("p_b"))
+    val scoredSys = eb.join(broadcast(probes),
+        col("e_tbl") === col("p_tbl") && col("e_b") === col("p_b") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (expr("dot_f64(q_emb, embedding)") /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+      .distinct()
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val sys = scoredSys.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    (ideal, sys)
+  }
+
+  /** DuckDB spelling of the same two relations, as the shared CTE
+    * prefix `WITH en, q, scored_all, ideal, eb, probes, scored_sys,
+    * sys` — appended to by each metric's oracle. */
+  private def sharedCtes: String = {
+    val nt = Similarity.NumTables
+    val bucketCols = (0 until nt)
+      .map(t => s"${Similarity.bucketSqlDuck("embedding", t)} AS b$t")
+      .mkString(",\n        ")
+    val ebTerms = (0 until nt)
+      .map(t => s"SELECT vec_id, embedding, nrm, $t AS tbl, b$t AS b FROM en")
+      .mkString("\n        UNION ALL ")
+    val probeTerms = (for { t <- 0 until nt; m <- Similarity.ProbeMasks }
+      yield s"SELECT q_id, q_emb, q_nrm, $t AS tbl, xor(qb$t, $m) AS pb FROM q")
+      .mkString("\n        UNION ALL ")
+    val qCols = (0 until nt).map(t => s"b$t AS qb$t").mkString(", ")
+    s"""WITH en AS (SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding,
+        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
+      $bucketCols
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, $qCols
+      FROM en WHERE vec_id < $NQ),
+    scored_all AS (SELECT q.q_id, e.vec_id,
+        list_sum(list_transform(range(1, len(q.q_emb)+1),
+          i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (q.q_nrm * e.nrm) AS cosine
+      FROM en e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+    ideal AS (SELECT q_id, vec_id, 11 - r AS rel FROM (
+      SELECT q_id, vec_id, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS r
+      FROM scored_all) WHERE r <= $K),
+    eb AS (
+      $ebTerms),
+    probes AS (
+      $probeTerms),
+    scored_sys AS (SELECT DISTINCT p.q_id, e.vec_id,
+        list_sum(list_transform(range(1, len(p.q_emb)+1),
+          i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (p.q_nrm * e.nrm) AS cosine
+      FROM eb e JOIN probes p ON e.tbl = p.tbl AND e.b = p.pb
+        AND e.vec_id <> p.q_id),
+    sys AS (SELECT q_id, vec_id, rank FROM (
+      SELECT q_id, vec_id, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored_sys) WHERE rank <= $K)"""
+  }
 
   /** NDCG@10 of the multi-table multi-probe LSH index against exact
     * brute-force cosine ranking, per query. Relevance labels are graded
@@ -33,65 +148,10 @@ object Eval {
     *  - the DCG SUM is an explicit LEFT FOLD over the rank-sorted term
     *    list in BOTH engines (sort_array + `aggregate` here,
     *    list(ORDER BY) + `list_reduce` in DuckDB) — never a hash-agg
-    *    float sum whose accumulation order the engine chooses.
-    *
-    * Plan: the corpus is scanned once for the exact ranking (broadcast
-    * 5-query cross join — the declared bounded yardstick shape shared
-    * with sim_topk_bruteforce) and once for the LSH candidate join; both
-    * rankings are per-query top-10 windows over candidate relations; the
-    * metric agg touches ≤ NQ·K rows. At 100 TB the exact leg is the
-    * expensive one — which is exactly why it is the EVAL (run once on a
-    * sample to certify the index), not the serving path. */
+    *    float sum whose accumulation order the engine chooses. */
   val ndcg = QueryDef("eval_ndcg",
     (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      graft.functions.HashExpressions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", expr("sqrt(dot_f64(embedding, embedding))"))
-        .withColumn("bs", array(
-          (0 until Similarity.NumTables).map(t =>
-            expr(Similarity.bucketExpr(t))): _*))
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("bs").as("q_bs"))
-
-      // ideal ranking: exact cosine top-K (the sim_topk_bruteforce shape)
-      val scoredAll = e.crossJoin(broadcast(
-          q.select(col("q_id"), col("q_emb"), col("q_nrm"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cosine",
-          expr("dot_f64(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
-      val wi = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val ideal = scoredAll.withColumn("r", row_number().over(wi))
-        .filter(col("r") <= K)
-        .select(col("q_id"), col("vec_id"), (lit(11) - col("r")).as("rel"))
-
-      // system ranking: the sim_ann_lsh candidate machinery at top-K
-      val eb = e.select(col("vec_id"), col("embedding"), col("nrm"),
-          posexplode(col("bs")))
-        .withColumnRenamed("pos", "e_tbl").withColumnRenamed("col", "e_b")
-      val probeStructs = for {
-        t <- 0 until Similarity.NumTables; m <- Similarity.ProbeMasks
-      } yield struct(lit(t).as("p_tbl"),
-        col("q_bs").getItem(t).bitwiseXOR(lit(m)).as("p_b"))
-      val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
-          explode(array(probeStructs: _*)).as("p"))
-        .select(col("q_id"), col("q_emb"), col("q_nrm"),
-          col("p.p_tbl").as("p_tbl"), col("p.p_b").as("p_b"))
-      val scoredSys = eb.join(broadcast(probes),
-          col("e_tbl") === col("p_tbl") && col("e_b") === col("p_b") &&
-            col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (expr("dot_f64(q_emb, embedding)") /
-            (col("q_nrm") * col("nrm"))).as("cosine"))
-        .distinct()
-      val ws = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val sys = scoredSys.withColumn("rank", row_number().over(ws))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("vec_id"), col("rank"))
-
+      val (ideal, sys) = idealAndSys(s, d)
       val terms = sys.join(ideal, Seq("q_id", "vec_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0)))
         .withColumn("term",
@@ -112,47 +172,7 @@ object Eval {
         .orderBy(col("q_id"))
     },
     Some {
-      val nt = Similarity.NumTables
-      val bucketCols = (0 until nt)
-        .map(t => s"${Similarity.bucketSqlDuck("embedding", t)} AS b$t")
-        .mkString(",\n        ")
-      val ebTerms = (0 until nt)
-        .map(t => s"SELECT vec_id, embedding, nrm, $t AS tbl, b$t AS b FROM en")
-        .mkString("\n        UNION ALL ")
-      val probeTerms = (for { t <- 0 until nt; m <- Similarity.ProbeMasks }
-        yield s"SELECT q_id, q_emb, q_nrm, $t AS tbl, xor(qb$t, $m) AS pb FROM q")
-        .mkString("\n        UNION ALL ")
-      val qCols = (0 until nt).map(t => s"b$t AS qb$t").mkString(", ")
-      s"""WITH en AS (SELECT vec_id, embedding,
-        sqrt(list_sum(list_transform(embedding,
-          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
-        $bucketCols
-        FROM embeddings),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, $qCols
-        FROM en WHERE vec_id < $NQ),
-      scored_all AS (SELECT q.q_id, e.vec_id,
-          list_sum(list_transform(range(1, len(q.q_emb)+1),
-            i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-            / (q.q_nrm * e.nrm) AS cosine
-        FROM en e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-      ideal AS (SELECT q_id, vec_id, 11 - r AS rel FROM (
-        SELECT q_id, vec_id, ROW_NUMBER() OVER (
-          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS r
-        FROM scored_all) WHERE r <= $K),
-      eb AS (
-        $ebTerms),
-      probes AS (
-        $probeTerms),
-      scored_sys AS (SELECT DISTINCT p.q_id, e.vec_id,
-          list_sum(list_transform(range(1, len(p.q_emb)+1),
-            i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-            / (p.q_nrm * e.nrm) AS cosine
-        FROM eb e JOIN probes p ON e.tbl = p.tbl AND e.b = p.pb
-          AND e.vec_id <> p.q_id),
-      sys AS (SELECT q_id, vec_id, rank FROM (
-        SELECT q_id, vec_id, ROW_NUMBER() OVER (
-          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored_sys) WHERE rank <= $K),
+      s"""$sharedCtes,
       terms AS (SELECT s.q_id, s.rank, COALESCE(i.rel, 0) AS rel,
           CAST((CAST(1 AS BIGINT) << COALESCE(i.rel, 0)) - 1 AS DOUBLE) /
             (ln(CAST(s.rank + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE))) AS term
@@ -171,5 +191,47 @@ object Eval {
           (a, b) -> a + b) AS idcg)
       SELECT q_id, n_sys, n_overlap, dcg, dcg / idcg.idcg AS ndcg
       FROM agg CROSS JOIN idcg ORDER BY q_id"""
+    })
+
+  /** MRR + recall@k of the same LSH index against the same exact
+    * ranking — the binary-relevance complement to [[ndcg]]: reciprocal
+    * rank of the FIRST system result that lands anywhere in the exact
+    * top-10 (rel > 0), and the exact-set overlap fractions at cutoffs 5
+    * and 10 (sys top-5 ∩ ideal top-5, sys top-10 ∩ ideal top-10). All
+    * counts and ranks are exact integers; rr and the recalls are one
+    * double division each, spelled identically in both engines. A query
+    * with no hit reports first_hit_rank 0, rr 0.0 — COALESCE spelled on
+    * both sides, not engine null semantics. */
+  val mrr = QueryDef("eval_mrr",
+    (s, d) => {
+      val (ideal, sys) = idealAndSys(s, d)
+      val firstHit = min(when(col("rel") > 0, col("rank")))
+      sys.join(ideal, Seq("q_id", "vec_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0)))
+        .groupBy(col("q_id"))
+        .agg(
+          coalesce(firstHit, lit(0)).cast("bigint").as("first_hit_rank"),
+          coalesce(lit(1.0) / firstHit.cast("double"), lit(0.0)).as("rr"),
+          (sum(when(col("rank") <= 5 && col("rel") >= 6, 1L).otherwise(0L))
+            .cast("double") / lit(5.0)).as("recall_at_5"),
+          (sum(when(col("rel") > 0, 1L).otherwise(0L))
+            .cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      s"""$sharedCtes,
+      j AS (SELECT s.q_id, s.rank, COALESCE(i.rel, 0) AS rel
+        FROM sys s LEFT JOIN ideal i
+          ON s.q_id = i.q_id AND s.vec_id = i.vec_id)
+      SELECT q_id,
+        CAST(COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0) AS BIGINT)
+          AS first_hit_rank,
+        COALESCE(1.0 / CAST(MIN(CASE WHEN rel > 0 THEN rank END)
+          AS DOUBLE), 0.0) AS rr,
+        CAST(SUM(CASE WHEN rank <= 5 AND rel >= 6 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 5.0 AS recall_at_5,
+        CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+          AS recall_at_10
+      FROM j GROUP BY q_id ORDER BY q_id"""
     })
 }

@@ -19,7 +19,75 @@ import graft.functions.TextFunctions._
 object TextPipeline {
 
   def all: Seq[QueryDef] =
-    Seq(topBigrams, piiScrub, stratifiedSample, invertedIndex)
+    Seq(topBigrams, pmiBigrams, piiScrub, stratifiedSample, invertedIndex)
+
+  /** Top-30 collocations by pointwise mutual information — the
+    * association score that separates true phrases from mere frequency
+    * ([[topBigrams]] surfaces stopword pairs; PMI surfaces pairs that
+    * co-occur far above chance): PMI = ln(p(xy) / (p(x)·p(y))) with the
+    * joint over the bigram total and marginals over the unigram total,
+    * spelled ln(c_xy·Nu² / (Nb·c_x·c_y)) so every operand is an exact
+    * BIGINT count cast to double once, and the single `math_ln`
+    * (bit-identical to DuckDB's libm ln) sees the same IEEE operand.
+    * The c_xy ≥ 5 support floor is the standard collocation guard —
+    * rare pairs otherwise dominate PMI by construction.
+    *
+    * Plan: two explode→hash-agg passes (unigrams, bigrams) plus one
+    * map-side-only length sum; marginal joins are UNHINTED (vocabulary-
+    * sized — AQE broadcasts them only while actually small); the two
+    * global totals attach as 1-row broadcasts; top-30 ends in
+    * TakeOrderedAndProject. */
+  val pmiBigrams = QueryDef("text_pmi_bigrams",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val toks = Tables.documents(s, d).withColumn("t", tokens(col("text")))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).as("nu"))
+      val nb = toks.filter(size(col("t")) >= 2)
+        .select((size(col("t")) - 1).cast("long").as("nb1"))
+        .agg(sum(col("nb1")).as("nb"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(shinglesSql("t", 2))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx"),
+          "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy"),
+          "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi", expr(
+          """math_ln((cast(cxy as double) * cast(nu as double) *
+               cast(nu as double)) /
+             (cast(nb as double) * cast(cx as double) *
+               cast(cy as double)))"""))
+        .select(col("bigram"), col("cxy"), col("cx"), col("cy"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(30)
+    },
+    Some("""WITH t AS (SELECT string_split(text,' ') AS t FROM documents),
+      uni AS (SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(t) AS w FROM t) GROUP BY w),
+      nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+      nb AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS nb FROM t
+        WHERE len(t) >= 2),
+      bi AS (SELECT bigram, COUNT(*) AS cxy FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+            j -> t[j] || ' ' || t[j+1])) AS bigram
+          FROM t WHERE len(t) >= 2)
+        GROUP BY bigram HAVING COUNT(*) >= 5),
+      sp AS (SELECT bigram, cxy,
+        string_split(bigram, ' ')[1] AS w1,
+        string_split(bigram, ' ')[2] AS w2 FROM bi)
+      SELECT bigram, cxy, u1.c AS cx, u2.c AS cy,
+        ln((CAST(cxy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) /
+           (CAST(nb AS DOUBLE) * CAST(u1.c AS DOUBLE) *
+            CAST(u2.c AS DOUBLE))) AS pmi
+      FROM sp JOIN uni u1 ON sp.w1 = u1.w JOIN uni u2 ON sp.w2 = u2.w
+      CROSS JOIN nu CROSS JOIN nb
+      ORDER BY pmi DESC, bigram LIMIT 30"""))
 
   /** Inverted index (word → posting list): document frequency plus the
     * first 20 postings, serialized as a string so the result stays

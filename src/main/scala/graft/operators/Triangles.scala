@@ -35,7 +35,7 @@ object Triangles {
 
   val N = 1000L
 
-  def all: Seq[QueryDef] = Seq(triangles)
+  def all: Seq[QueryDef] = Seq(triangles, clusteringCoeff)
 
   /** Deterministic triangle-bearing graph as a simple undirected edge
     * set: one row per unordered pair {a, b}. */
@@ -50,44 +50,54 @@ object Triangles {
       .distinct()
   }
 
+  /** Per-node degree over the simple undirected edge set. */
+  private def degreesOf(s: SparkSession): DataFrame = {
+    val simple = simpleEdges(s)
+    simple.select(col("a").as("v"))
+      .unionAll(simple.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Per-node triangle participation counts, top 20 by (count desc, node).
     * Rank = deg * 2^20 + id packs the (degree, id) total order into one
     * BIGINT comparison (deg and id both ≪ 2^20). */
+  /** Per-node triangle participation counts via the degree-ordered
+    * orientation (every node's out-degree O(√m) — see the object doc). */
+  private def perNodeTriangles(s: SparkSession): DataFrame = {
+    val simple = simpleEdges(s)
+    val deg = degreesOf(s)
+    val ranked = simple
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"),
+        (col("da") * 1048576L + col("a")).as("ra"),
+        (col("db") * 1048576L + col("b")).as("rb"))
+    // orient low rank → high rank, carrying the head's rank for the
+    // wedge ordering below
+    val o = ranked.select(
+      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+    // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w.
+    // NOTE the oriented relation `o` appears three times in this plan
+    // (both wedge sides + the closing probe) and Catalyst recomputes
+    // the generator/degree subtree for each — free here (the graph is
+    // a deterministic `range` expression, no I/O), but on a real
+    // 100 TB edge table the first step is persisting/checkpointing `o`
+    // once, the same seam the power-iteration operator documents.
+    val wedges = o.select(col("u"), col("v"), col("rv"))
+      .join(o.select(col("u"), col("v").as("w"), col("rv").as("rw")), "u")
+      .where(col("rv") < col("rw"))
+    val close = o.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(close, Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+  }
+
   val triangles = QueryDef("graph_triangles",
-    (s, _) => {
-      val simple = simpleEdges(s)
-      val deg = simple.select(col("a").as("v"))
-        .unionAll(simple.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val ranked = simple
-        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
-        .select(col("a"), col("b"),
-          (col("da") * 1048576L + col("a")).as("ra"),
-          (col("db") * 1048576L + col("b")).as("rb"))
-      // orient low rank → high rank, carrying the head's rank for the
-      // wedge ordering below
-      val o = ranked.select(
-        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
-        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
-      // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w.
-      // NOTE the oriented relation `o` appears three times in this plan
-      // (both wedge sides + the closing probe) and Catalyst recomputes
-      // the generator/degree subtree for each — free here (the graph is
-      // a deterministic `range` expression, no I/O), but on a real
-      // 100 TB edge table the first step is persisting/checkpointing `o`
-      // once, the same seam the power-iteration operator documents.
-      val wedges = o.select(col("u"), col("v"), col("rv"))
-        .join(o.select(col("u"), col("v").as("w"), col("rv").as("rw")), "u")
-        .where(col("rv") < col("rw"))
-      val close = o.select(col("u").as("v"), col("v").as("w"))
-      val tris = wedges.join(close, Seq("v", "w"))
-      tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-        .orderBy(col("tri").desc, col("node"))
-        .limit(20)
-    },
+    (s, _) => perNodeTriangles(s)
+      .orderBy(col("tri").desc, col("node"))
+      .limit(20),
     Some(s"""WITH ids AS (SELECT range AS id FROM range($N)),
       base AS (
         SELECT id AS src, (id + 1) % $N AS dst FROM ids
@@ -109,4 +119,58 @@ object Triangles {
         UNION ALL SELECT z FROM tri)
       SELECT node, COUNT(*) AS tri FROM nodes
       GROUP BY node ORDER BY tri DESC, node LIMIT 20"""))
+
+  /** Local clustering coefficient — closed-wedge fraction per node,
+    * 2T_v / (deg_v · (deg_v − 1)): the standard community-structure
+    * diagnostic (and the per-node statistic whose graph-wide average is
+    * the Watts–Strogatz coefficient; the fold stays with the consumer
+    * to keep float accumulation order out of the entry). Reuses the
+    * degree-ordered triangle enumeration — same three hash joins — plus
+    * one left join back to the degree relation; T and deg·(deg−1) are
+    * exact BIGINTs, the coefficient is one shared double division. Top
+    * 50 by (coeff desc, node); nodes with deg < 2 define no wedge and
+    * are excluded on both sides. */
+  val clusteringCoeff = QueryDef("graph_clustering_coeff",
+    (s, _) => {
+      val tri = perNodeTriangles(s)
+      degreesOf(s).filter(col("deg") >= 2)
+        .join(tri, col("v") === col("node"), "left")
+        .select(col("v").as("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coeff",
+          (lit(2.0) * col("tri").cast("double")) /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+        .orderBy(col("coeff").desc, col("node"))
+        .limit(50)
+    },
+    Some(s"""WITH ids AS (SELECT range AS id FROM range($N)),
+      base AS (
+        SELECT id AS src, (id + 1) % $N AS dst FROM ids
+        UNION ALL
+        SELECT id, (id + 2) % $N FROM ids
+        UNION ALL
+        SELECT id, (id * 7 + 11) % $N FROM ids),
+      se AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM se UNION ALL SELECT b FROM se)
+        GROUP BY v),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM se e1
+        JOIN se e2 ON e2.a = e1.b
+        JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+      ntri AS (SELECT node, COUNT(*) AS tri FROM nodes GROUP BY node)
+      SELECT d.v AS node, d.deg,
+        CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+        (2.0 * CAST(COALESCE(t.tri, 0) AS DOUBLE)) /
+          CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+      FROM deg d LEFT JOIN ntri t ON t.node = d.v
+      WHERE d.deg >= 2
+      ORDER BY coeff DESC, node LIMIT 50"""))
 }

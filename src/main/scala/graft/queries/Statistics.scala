@@ -15,7 +15,7 @@ object Statistics {
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
       mannWhitney, welchT, equidepth, rankNormalize, weightedMedian,
-      weightedMedianGrouped, wilson)
+      weightedMedianGrouped, wilson, olsGroup, benford, autocorr)
 
   /** [[weightedMedian]] per group (weighted median price per return
     * flag) — the grouped form is where the two-level machinery gets
@@ -925,4 +925,183 @@ object Statistics {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag")),
     None)
+
+  /** Per-group ordinary least squares — slope, intercept, and r² of
+    * price regressed on quantity, per (return flag × line status) cell
+    * discipline extended to the full regression line: engines disagree
+    * on `regr_slope`'s internal accumulation order, so both sides build
+    * the SAME five exact decimal power sums per group (map-side
+    * combinable — each partition contributes exact partials, the
+    * distributed shape a 100 TB regression wants), convert each to
+    * double exactly once, and evaluate one shared IEEE tree:
+    * slope = (n·Sxy − SxSy)/(n·Sxx − Sx²), intercept = (Sy − slope·Sx)/n,
+    * r² = (num/denX)·(num/denY). DuckDB's decimal→double cast rounds
+    * twice (int128→double, then /10^scale) — the VARCHAR route parses
+    * correctly-rounded, bit-equal to Spark's BigDecimal conversion. */
+  val olsGroup = QueryDef("stat_ols_group",
+    (s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+      val denX = nd * dbl("sxx") - dbl("sx") * dbl("sx")
+      val denY = nd * dbl("syy") - dbl("sy") * dbl("sy")
+      val slope = num / denX
+      g.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          slope.as("slope"),
+          ((dbl("sy") - slope * dbl("sx")) / nd).as("intercept"),
+          ((num / denX) * (num / denY)).as("r2"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH g AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+            CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+      gd AS (SELECT l_returnflag, l_linestatus, n, CAST(n AS DOUBLE) AS nd,
+        CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+        CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+      FROM g),
+      t AS (SELECT l_returnflag, l_linestatus, n, nd, syd, sxd,
+        nd * sxyd - sxd * syd AS num,
+        nd * sxxd - sxd * sxd AS denx,
+        nd * syyd - syd * syd AS deny
+      FROM gd)
+      SELECT l_returnflag, l_linestatus, n,
+        num / denx AS slope,
+        (syd - (num / denx) * sxd) / nd AS intercept,
+        (num / denx) * (num / deny) AS r2
+      FROM t ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Benford first-digit test over prices — the fraud/data-quality
+    * screen: the observed leading-digit distribution vs Benford's
+    * log-law expectation, with per-digit chi² contributions. The
+    * leading digit is read from the DECIMAL-exact cents value's decimal
+    * string (integer formatting is engine-identical; double formatting
+    * is not), so the digit relation is exact; expected proportions run
+    * through `math_ln` (bit-identical to DuckDB's libm ln, see
+    * [[graft.functions.MathLog]]) in one shared spelling. Per-digit
+    * rows sidestep the 9-term float-sum accumulation-order trap — the
+    * consumer folds the total in a defined order if it wants one.
+    * Scale: one scan → 9-group hash agg → broadcast 1-row total. */
+  val benford = QueryDef("stat_benford",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val cents = (dec(col("l_extendedprice")) * 100).cast("bigint")
+      val obs = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("bigint")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+      val od = col("n_obs").cast("double")
+      val expN = col("n_total").cast("double") * col("benford_p")
+      obs.crossJoin(broadcast(tot))
+        .withColumn("benford_p",
+          expr("math_ln(1.0d + 1.0d / cast(digit as double)) / math_ln(10.0d)"))
+        .select(col("digit"), col("n_obs"),
+          (od / col("n_total").cast("double")).as("obs_p"),
+          col("benford_p"),
+          ((od - expN) * (od - expN) / expN).as("chi2_term"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH obs AS (SELECT CAST(SUBSTR(CAST(CAST(
+          CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        COUNT(*) AS n_obs
+        FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+      t AS (SELECT digit, n_obs, n_total,
+        ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS benford_p
+        FROM obs CROSS JOIN tot)
+      SELECT digit, n_obs,
+        CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_p,
+        benford_p,
+        (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_p) *
+        (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_p) /
+        (CAST(n_total AS DOUBLE) * benford_p) AS chi2_term
+      FROM t ORDER BY digit"""))
+
+  /** Lag-k Pearson autocorrelation of the daily-revenue series, k=1..7 —
+    * the seasonality diagnostic behind [[graft.operators.Events]]'
+    * seasonal-anomaly entry: a weekly cycle shows up as an r₇ spike.
+    * Defined as the Pearson correlation of (y_t, y_{t−k}) over days
+    * where BOTH exist (a calendar-shift equi-join — no serial
+    * row-number window over the series, no global-mean subtraction
+    * pass), which keeps every sum a per-k exact integer/decimal
+    * aggregate: daily revenue is summed in decimal and held as BIGINT
+    * cents, products are widened to DECIMAL(38,0) (a 64×-replica daily
+    * sum squares past int64), and the q48 IEEE tree runs once per k.
+    * Scale: one orders scan → calendar-bounded daily relation (~2.5k
+    * rows at ANY corpus size) → 7-way local-relation cross join →
+    * equi-join → 7-group agg. */
+  val autocorr = QueryDef("stat_autocorr",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("bigint").as("yc"))
+      val lags = (1 to 7).map(_.toLong).toDF("k")
+      val shifted = daily.crossJoin(broadcast(lags))
+        .select(date_add(col("dt"), col("k").cast("int")).as("dt"),
+          col("k"), col("yc").as("y_lag"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val g = daily.join(shifted, "dt")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("yc")).as("sx"), sum(col("y_lag")).as("sy"),
+          sum(dd(col("yc")) * dd(col("yc"))).as("sxx"),
+          sum(dd(col("y_lag")) * dd(col("y_lag"))).as("syy"),
+          sum(dd(col("yc")) * dd(col("y_lag"))).as("sxy"))
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      g.select(col("k"), col("n"),
+          ((nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
+             sqrt(nd * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("autocorr"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          AS yc
+        FROM orders GROUP BY 1),
+      lags AS (SELECT CAST(range + 1 AS BIGINT) AS k FROM range(7)),
+      shifted AS (SELECT dt + CAST(k AS INTEGER) AS dt, k, yc AS y_lag
+        FROM daily CROSS JOIN lags),
+      g AS (SELECT k, COUNT(*) AS n,
+        CAST(SUM(yc) AS BIGINT) AS sx,
+        CAST(SUM(y_lag) AS BIGINT) AS sy,
+        SUM(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS sxx,
+        SUM(CAST(y_lag AS DECIMAL(19,0)) * CAST(y_lag AS DECIMAL(19,0)))
+          AS syy,
+        SUM(CAST(yc AS DECIMAL(19,0)) * CAST(y_lag AS DECIMAL(19,0)))
+          AS sxy
+        FROM daily d JOIN shifted s USING (dt) GROUP BY k),
+      gd AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+        CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+      FROM g)
+      SELECT k, n,
+        (nd * sxyd - sxd * syd) /
+          (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
+          AS autocorr
+      FROM gd ORDER BY k"""))
 }

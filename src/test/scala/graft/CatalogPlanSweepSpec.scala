@@ -138,6 +138,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // filter — the sim_topk_bruteforce shape) and the 5×35-row LSH
     // probe set derived from the same filtered relation
     "eval_ndcg" -> Seq("agg[-]<-[embeddings]"),
+    // MRR/recall eval shares eval_ndcg's two legs: the 5-query exact
+    // cross join (`vec_id < 5` key filter) and the derived probe set
+    "eval_mrr" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
     // k-row seed-centroid broadcast (`vec_id < 8` key filter)
