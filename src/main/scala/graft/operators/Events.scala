@@ -22,7 +22,43 @@ object Events {
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
       attribution, rollingActive, transitions, twap, streak, cumulative,
-      seasonalAnomaly)
+      seasonalAnomaly, interArrival)
+
+  /** Inter-arrival time profile per event type — the burstiness
+    * statistic behind rate limiting, bot detection, and arrival-process
+    * modeling: per user, the microsecond gap between consecutive events
+    * (any type, ordered by ts with the event_id tie-break every other
+    * user window uses), aggregated by the LATER event's type. Gaps are
+    * exact BIGINT micros; the mean is one double division over the
+    * exact sum (VARCHAR-route cast in DuckDB — a 64×-replica gap sum
+    * passes 2⁵³). One user-keyed shuffle for the lag window, one
+    * type-keyed aggregate. */
+  val interArrival = QueryDef("ev_inter_arrival",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_us", expr("unix_micros(ts) - unix_micros(prev_ts)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          (sum(col("gap_us")).cast("double") / count(lit(1)))
+            .as("mean_gap_us"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_gaps,
+        CAST(CAST(SUM(gap_us) AS VARCHAR) AS DOUBLE) / COUNT(*)
+          AS mean_gap_us,
+        MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
 
   /** Seasonally-adjusted volume anomalies — [[anomaly]] with the
     * baseline keyed by (type, HOUR-OF-DAY) instead of one global mean

@@ -19,7 +19,82 @@ import graft.functions.TextFunctions._
 object TextPipeline {
 
   def all: Seq[QueryDef] =
-    Seq(topBigrams, pmiBigrams, piiScrub, stratifiedSample, invertedIndex)
+    Seq(topBigrams, pmiBigrams, piiScrub, stratifiedSample, invertedIndex,
+      zipfFit)
+
+  /** Zipf-law fit of the vocabulary — OLS of ln(freq) on ln(rank) over
+    * the top-100 words (slope ≈ −1 on natural text; the deviation is a
+    * corpus-health diagnostic: synthetic/templated corpora run shallow,
+    * boilerplate-heavy ones steep). The rank window is unpartitioned
+    * but runs over the LIMIT-100 relation (TakeOrderedAndProject first
+    * — bounded at any corpus size); logs go through `math_ln`; and
+    * because the five OLS power sums are FLOAT sums, each is an
+    * explicit LEFT FOLD over the rank-sorted term list in both engines
+    * (the eval_ndcg discipline) — never a hash-agg float sum whose
+    * accumulation order the engine picks. The OLS tree itself is the
+    * stat_ols_group spelling. */
+  val zipfFit = QueryDef("text_zipf_fit",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val top = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(100)
+      val t = top
+        .withColumn("rank", row_number().over(Window
+          .orderBy(col("cnt").desc, col("w"))))
+        .withColumn("lnr", expr("math_ln(cast(rank as double))"))
+        .withColumn("lnf", expr("math_ln(cast(cnt as double))"))
+      def fold(term: String) =
+        expr(s"""aggregate(sort_array(collect_list(struct(rank, $term
+          as t))), cast(0 as double), (a, x) -> a + x.t)""")
+      val g = t.groupBy()
+        .agg(count(lit(1)).as("n"),
+          fold("lnr").as("sx"), fold("lnf").as("sy"),
+          fold("lnr * lnr").as("sxx"), fold("lnf * lnf").as("syy"),
+          fold("lnr * lnf").as("sxy"))
+      val nd = col("n").cast("double")
+      val num = nd * col("sxy") - col("sx") * col("sy")
+      val denX = nd * col("sxx") - col("sx") * col("sx")
+      val denY = nd * col("syy") - col("sy") * col("sy")
+      val slope = num / denX
+      g.select(col("n").as("n_words"),
+        slope.as("zipf_slope"),
+        ((col("sy") - slope * col("sx")) / nd).as("intercept"),
+        ((num / denX) * (num / denY)).as("r2"))
+    },
+    Some("""WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        GROUP BY w),
+      top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
+      r AS (SELECT cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank FROM top),
+      t AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS lnr,
+        ln(CAST(cnt AS DOUBLE)) AS lnf FROM r),
+      s AS (SELECT COUNT(*) AS n,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnr ORDER BY rank)), (a,b) -> a + b) AS sx,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnf ORDER BY rank)), (a,b) -> a + b) AS sy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnr * lnr ORDER BY rank)), (a,b) -> a + b) AS sxx,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnf * lnf ORDER BY rank)), (a,b) -> a + b) AS syy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnr * lnf ORDER BY rank)), (a,b) -> a + b) AS sxy
+        FROM t),
+      f AS (SELECT n, nd, sx, sy,
+        nd * sxy - sx * sy AS num,
+        nd * sxx - sx * sx AS denx,
+        nd * syy - sy * sy AS deny
+        FROM (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy
+          FROM s))
+      SELECT n AS n_words,
+        num / denx AS zipf_slope,
+        (sy - (num / denx) * sx) / nd AS intercept,
+        (num / denx) * (num / deny) AS r2
+      FROM f"""))
 
   /** Top-30 collocations by pointwise mutual information — the
     * association score that separates true phrases from mere frequency

@@ -35,7 +35,16 @@ object Triangles {
 
   val N = 1000L
 
-  def all: Seq[QueryDef] = Seq(triangles, clusteringCoeff)
+  def all: Seq[QueryDef] = Seq(triangles, clusteringCoeff, commonNeighbors)
+
+  /** Hub cap for common-neighbor wedge enumeration: wedges through a
+    * vertex of degree d cost d² — one 10⁷-degree hub on a web graph is
+    * 10¹⁴ wedges. Capping MIDDLE vertices at deg ≤ 64 bounds per-vertex
+    * fan-out in-plan (and matches link-prediction practice: common
+    * neighbors through hubs carry no signal — Adamic–Adar exists to
+    * downweight exactly these). The oracle applies the same cap, so the
+    * two engines agree on the capped semantics. */
+  val MaxMidDegree = 64L
 
   /** Deterministic triangle-bearing graph as a simple undirected edge
     * set: one row per unordered pair {a, b}. */
@@ -173,4 +182,62 @@ object Triangles {
       FROM deg d LEFT JOIN ntri t ON t.node = d.v
       WHERE d.deg >= 2
       ORDER BY coeff DESC, node LIMIT 50"""))
+
+  /** Common-neighbors link prediction — top 30 NON-adjacent pairs by
+    * shared-neighbor count, with the Jaccard score |N(u)∩N(w)| /
+    * |N(u)∪N(w)| (the first-line link-prediction baselines). Wedge
+    * enumeration groups u–v–w paths by endpoint pair, anti-joins the
+    * edge set to keep only non-edges, and joins degrees for the union
+    * denominator — four hash joins and one aggregate, with the
+    * [[MaxMidDegree]] hub cap bounding the d² wedge fan-out in-plan.
+    * Counts and degrees are exact BIGINTs; Jaccard is one shared double
+    * division. */
+  val commonNeighbors = QueryDef("graph_common_neighbors",
+    (s, _) => {
+      val simple = simpleEdges(s)
+      val deg = degreesOf(s)
+      val mid = simple.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(simple.select(col("b"), col("a")))
+        .join(deg.filter(col("deg") <= MaxMidDegree).select(col("v")), "v")
+      val wedges = mid.select(col("v"), col("n").as("u"))
+        .join(mid.select(col("v"), col("n").as("w")), "v")
+        .where(col("u") < col("w"))
+      val cn = wedges.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      val nonadj = cn.join(simple,
+        cn("u") === simple("a") && cn("w") === simple("b"), "left_anti")
+      nonadj
+        .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
+        .select(col("u"), col("w"), col("cn"),
+          (col("cn").cast("double") /
+            (col("du") + col("dw") - col("cn")).cast("double")).as("jaccard"))
+        .orderBy(col("cn").desc, col("u"), col("w"))
+        .limit(30)
+    },
+    Some(s"""WITH ids AS (SELECT range AS id FROM range($N)),
+      base AS (
+        SELECT id AS src, (id + 1) % $N AS dst FROM ids
+        UNION ALL
+        SELECT id, (id + 2) % $N FROM ids
+        UNION ALL
+        SELECT id, (id * 7 + 11) % $N FROM ids),
+      se AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM se UNION ALL SELECT b FROM se)
+        GROUP BY v),
+      mid AS (SELECT d.v, d.n FROM (
+          SELECT a AS v, b AS n FROM se UNION ALL SELECT b, a FROM se) d
+        JOIN deg g ON d.v = g.v WHERE g.deg <= $MaxMidDegree),
+      wed AS (SELECT w1.n AS u, w2.n AS w
+        FROM mid w1 JOIN mid w2 ON w1.v = w2.v WHERE w1.n < w2.n),
+      cn AS (SELECT u, w, COUNT(*) AS cn FROM wed GROUP BY u, w),
+      nonadj AS (SELECT * FROM cn WHERE NOT EXISTS (
+        SELECT 1 FROM se WHERE se.a = cn.u AND se.b = cn.w))
+      SELECT n.u, n.w, n.cn,
+        CAST(n.cn AS DOUBLE) / CAST(du.deg + dw.deg - n.cn AS DOUBLE)
+          AS jaccard
+      FROM nonadj n JOIN deg du ON n.u = du.v JOIN deg dw ON n.w = dw.v
+      ORDER BY n.cn DESC, n.u, n.w LIMIT 30"""))
 }

@@ -10,7 +10,45 @@ import graft.{QueryDef, Tables}
   * and the skyline operator family. */
 object Relational7 {
 
-  def all: Seq[QueryDef] = Seq(bloomPruneJoin, skyline)
+  def all: Seq[QueryDef] = Seq(bloomPruneJoin, skyline, recursiveDepth)
+
+  /** Native recursive-SQL surface: the SAME `WITH RECURSIVE` text runs
+    * through Spark 4.x's recursive-CTE executor and DuckDB — the
+    * sql_text_surface discipline applied to recursion (so the text must
+    * stay char-identical in both engines; no Spark-side rewrite). The
+    * walk is [[graft.operators.Hierarchy]]'s synthetic customer tree;
+    * output is the depth histogram, so this entry cross-checks the
+    * pointer-jumping twin (`graph_tree_closure`, ⌈log₂ d⌉ shuffles)
+    * against per-level recursion (depth-many joins) — the two
+    * evaluation strategies for the same recursive query, both native.
+    * Scale stance: recursion depth is ln N on the random-attachment
+    * tree (~21 at 10⁹ nodes, far under Spark's 100-level default); each
+    * level is one hash join keyed on the ancestor pointer. The
+    * pointer-jumping twin stays the 100 TB recommendation; this is the
+    * SQL-compatibility path. */
+  val recursiveDepth = {
+    val sqlText = """WITH RECURSIVE par AS (
+        SELECT CAST(c_custkey AS BIGINT) AS node,
+          CASE WHEN c_custkey = 0 THEN CAST(0 AS BIGINT)
+            ELSE ((CAST(c_custkey AS BIGINT) * 2654435761) % 1000000007)
+              % CAST(c_custkey AS BIGINT) END AS parent
+        FROM customer),
+      walk AS (
+        SELECT node, parent AS anc, CAST(1 AS BIGINT) AS depth
+        FROM par WHERE node <> 0
+        UNION ALL
+        SELECT w.node, p.parent, w.depth + 1
+        FROM walk w JOIN par p ON w.anc = p.node WHERE w.anc <> 0),
+      resolved AS (
+        SELECT node, depth FROM walk WHERE anc = 0
+        UNION ALL
+        SELECT node, CAST(0 AS BIGINT) AS depth FROM par WHERE node = 0)
+      SELECT depth, COUNT(*) AS n_nodes FROM resolved
+      GROUP BY depth ORDER BY depth"""
+    QueryDef("sql_recursive_depth",
+      (s, d) => { Tables.registerAll(s, d); s.sql(sqlText) },
+      Some(sqlText))
+  }
 
   /** 2-D skyline (Pareto front) per return flag: the lineitems for which
     * no other lineitem in the group has BOTH lower-or-equal price and

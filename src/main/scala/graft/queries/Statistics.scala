@@ -15,7 +15,7 @@ object Statistics {
     Seq(saltedAgg, saltedJoinQ, median, approxPercentile, approxDistinct,
       hashSample, corrStats, winsorized, histogram, mad, ksTest, chi2,
       mannWhitney, welchT, equidepth, rankNormalize, weightedMedian,
-      weightedMedianGrouped, wilson, olsGroup, benford, autocorr)
+      weightedMedianGrouped, wilson, olsGroup, benford, autocorr, gini)
 
   /** [[weightedMedian]] per group (weighted median price per return
     * flag) — the grouped form is where the two-level machinery gets
@@ -1104,4 +1104,70 @@ object Statistics {
           (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
           AS autocorr
       FROM gd ORDER BY k"""))
+
+  /** Exact Gini coefficient of customer spend — the inequality /
+    * concentration statistic (is 80% of revenue from 2% of customers?).
+    * Definition: G = Σᵢ(2i − n − 1)·y₍ᵢ₎ / (n·Σy) over the sorted
+    * spend values — which looks like it needs a GLOBAL sort + serial
+    * rank at 100 TB. It doesn't: grouping positions by distinct value v
+    * (count c, strictly-smaller count cb) collapses the rank sum in
+    * closed form, Σᵢ∈v(2i − n − 1) = c·(2·cb + c − n), so the statistic
+    * is an aggregate over the DISTINCT-VALUE relation with cb from the
+    * Quantiles two-level machinery: the only serial window crosses the
+    * ~#buckets-row bucket-offset relation, per-value exclusive cumsums
+    * run partitioned by bucket. Every term is exact integer arithmetic
+    * — y·c stays under 2⁶³, the position factor is widened to
+    * DECIMAL(38,0) — and G is ONE double division of two exact
+    * decimals (VARCHAR-route cast in DuckDB). */
+  val gini = QueryDef("stat_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("bigint").as("y"))
+      val vc = spend.groupBy(col("y")).agg(count(lit(1)).as("c"))
+      val b = vc.withColumn("bkt",
+        floor(col("y") / lit(10000000L)).cast("long"))
+      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff", coalesce(
+          sum(col("bc")).over(Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = b.join(broadcast(bofs), "bkt")
+        .withColumn("cb",
+          col("boff") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+      val tot = spend.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("sy"))
+        .agg(sum((col("y") * col("c")).cast("decimal(19,0)") *
+          (lit(2) * col("cb") + col("c") - col("n")).cast("decimal(19,0)"))
+          .as("snum"))
+        .select(col("n").as("n_customers"),
+          col("sy").as("total_spend_cents"),
+          (col("snum").cast("double") /
+            (col("n").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)"))
+              .cast("double")).as("gini"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          AS y
+        FROM orders GROUP BY 1),
+      vc AS (SELECT y, COUNT(*) AS c FROM spend GROUP BY y),
+      cum AS (SELECT y, c, CAST(COALESCE(SUM(c) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cb
+        FROM vc),
+      tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+        FROM spend),
+      agg AS (SELECT n, sy,
+        SUM(CAST(y * c AS DECIMAL(19,0)) *
+            CAST(2 * cb + c - n AS DECIMAL(19,0))) AS snum
+        FROM cum CROSS JOIN tot GROUP BY n, sy)
+      SELECT n AS n_customers, sy AS total_spend_cents,
+        CAST(CAST(snum AS VARCHAR) AS DOUBLE) /
+        CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+          AS VARCHAR) AS DOUBLE) AS gini
+      FROM agg"""))
 }

@@ -88,7 +88,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // (≤ 50 discrete quantities at any corpus size)
     "stat_ks_test",
     // same distinct-value cumulative-rank window as stat_ks_test
-    "stat_mann_whitney")
+    "stat_mann_whitney",
+    // Gini: the serial window crosses only the ~#buckets-row
+    // bucket-offset relation (the stat_rank_normalize machinery);
+    // per-value exclusive cumsums are bucket-partitioned
+    "stat_gini",
+    // rank window over the LIMIT-100 top-words relation
+    // (TakeOrderedAndProject first — bounded at any corpus size)
+    "text_zipf_fit")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
@@ -166,6 +173,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // Quantiles bucket-offset relation: B fixed buckets
     "stat_mad" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_winsorized" -> Seq("agg[bkt]<-[lineitem]"),
+    // Gini bucket-offset relation: ~#buckets rows (value-range bounded);
+    // the totals broadcast is a global aggregate (bounded witness)
+    "stat_gini" -> Seq("agg[bkt]<-[orders]"),
     "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_rank_normalize" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_weighted_median" -> Seq("agg[bkt]<-[lineitem]", "agg[-]<-[lineitem]"),

@@ -183,4 +183,144 @@ class StatsEvalSpec extends SparkSpec {
     // support floor is enforced in the output, not just the model
     assert(got.forall(_.getLong(1) >= 5))
   }
+
+  test("sql_recursive_depth equals the pointer-jumping twin's depth histogram") {
+    val d = sf("sf0.001")
+    val closure = SparkEntry.queries("graph_tree_closure")(spark, d)
+      .collect().map(_.getLong(1))
+      .groupBy(identity).map { case (dep, xs) => dep -> xs.length.toLong }
+    val got = SparkEntry.queries("sql_recursive_depth")(spark, d).collect()
+    assert(got.map(_.getLong(0)).toSet == closure.keySet && got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == closure(r.getLong(0)),
+      s"depth ${r.getLong(0)}"))
+    // recursion really recurses: the random-attachment tree is deeper
+    // than a star
+    assert(closure.keySet.max >= 3)
+  }
+
+  test("graph_common_neighbors matches a serial wedge model on non-edges") {
+    val n = graft.operators.Triangles.N
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 7 + 11) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val edgeSet = edges.toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    // all degrees ≤ MaxMidDegree on this graph, so the hub cap is a
+    // no-op here (its effect is plan-level bounding)
+    assert(adj.values.map(_.size).max <= graft.operators.Triangles.MaxMidDegree)
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((v, ns) <- adj; u <- ns; w <- ns; if u < w) cn((u, w)) += 1
+    val model = cn.toSeq
+      .filterNot { case (p, _) => edgeSet(p) }
+      .map { case ((u, w), c) =>
+        (u, w, c, c.toDouble /
+          (adj(u).size.toLong + adj(w).size.toLong - c).toDouble)
+      }
+      .sortBy(t => (-t._3, t._1, t._2)).take(30)
+    val got = SparkEntry.queries("graph_common_neighbors")(spark, "").collect()
+    assert(got.length == model.length && got.nonEmpty)
+    got.zip(model).foreach { case (g, (u, w, c, j)) =>
+      assert(g.getLong(0) == u && g.getLong(1) == w && g.getLong(2) == c)
+      assert(g.getDouble(3) == j)
+      // link-prediction contract: scored pairs are NOT edges
+      assert(!edgeSet((g.getLong(0), g.getLong(1))))
+    }
+  }
+
+  test("ev_inter_arrival matches a serial per-user gap model") {
+    val d = sf("sf0.001")
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1), r.getLong(2), r.getString(3)))
+    // the schema-adaptive loader yields NTZ (LocalDateTime) or regular
+    // (Timestamp) depending on the file's physical type — gaps are
+    // offset-invariant either way
+    def micros(x: Any): Long = x match {
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    }
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(t => (micros(t._2), t._3))
+      sorted.sliding(2).collect { case Seq(a, b) =>
+        (b._4, micros(b._2) - micros(a._2))
+      }
+    }
+    val model = gaps.groupBy(_._1).map { case (t, xs) =>
+      val g = xs.map(_._2)
+      t -> (g.length.toLong, g.sum.toDouble / g.length.toDouble,
+        g.min, g.max)
+    }
+    val got = SparkEntry.queries("ev_inter_arrival")(spark, d).collect()
+    assert(got.length == model.size && got.nonEmpty)
+    got.foreach { r =>
+      val (ng, mean, mn, mx) = model(r.getString(0))
+      assert(r.getLong(1) == ng && r.getLong(3) == mn && r.getLong(4) == mx)
+      assert(r.getDouble(2) == mean, s"mean gap for ${r.getString(0)}")
+      // events are strictly ordered per user, gaps non-negative
+      assert(mn >= 0L)
+    }
+  }
+
+  test("stat_gini matches the direct sorted-rank formula") {
+    val d = sf("sf0.001")
+    val spend = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rs) =>
+        (rs.map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum * 100)
+          .toLongExact
+      }.toSeq.sorted
+    val n = spend.length
+    val sy = spend.map(BigInt(_)).sum
+    val num = spend.zipWithIndex
+      .map { case (y, i0) => BigInt(2L * (i0 + 1) - n - 1) * BigInt(y) }
+      .sum
+    val want = BigDecimal(num).toDouble / BigDecimal(BigInt(n) * sy).toDouble
+    val got = SparkEntry.queries("stat_gini")(spark, d).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == n.toLong)
+    assert(got.head.getLong(1) == spend.sum)
+    assert(got.head.getDouble(2) == want, "gini")
+    assert(want >= 0.0 && want < 1.0)
+  }
+
+  test("text_zipf_fit matches a serial log-log OLS over the top-100 words") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+      .select(col("text")).collect().map(_.getString(0))
+    val top = docs.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(100)
+    val terms = top.zipWithIndex.map { case ((_, cnt), i0) =>
+      (Math.log((i0 + 1).toDouble), Math.log(cnt.toDouble))
+    }
+    // left folds in rank order, exactly the entry's accumulation
+    val nd = terms.length.toDouble
+    val sx = terms.foldLeft(0.0)((a, t) => a + t._1)
+    val sy = terms.foldLeft(0.0)((a, t) => a + t._2)
+    val sxx = terms.foldLeft(0.0)((a, t) => a + t._1 * t._1)
+    val syy = terms.foldLeft(0.0)((a, t) => a + t._2 * t._2)
+    val sxy = terms.foldLeft(0.0)((a, t) => a + t._1 * t._2)
+    val num = nd * sxy - sx * sy
+    val denX = nd * sxx - sx * sx
+    val denY = nd * syy - sy * sy
+    val slope = num / denX
+    val got = SparkEntry.queries("text_zipf_fit")(spark, d).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == terms.length.toLong)
+    assert(got.head.getDouble(1) == slope, "zipf slope")
+    assert(got.head.getDouble(2) == (sy - slope * sx) / nd)
+    assert(got.head.getDouble(3) == (num / denX) * (num / denY))
+    // frequencies are non-increasing in rank, so the fit must slope down
+    assert(slope < 0)
+  }
 }
