@@ -21,7 +21,47 @@ object TextAnalysis {
 
   def all: Seq[QueryDef] =
     Seq(tokenStats, wordcount, quality, fingerprint, langid, tokenBpe,
-      repetition)
+      repetition, vocabRichness)
+
+  /** Per-language vocabulary richness — type/token ratio, hapax (and
+    * ≤5-count rare-word) share: the lexical-diversity panel corpus
+    * linguistics runs first, and in a training-data pipeline the
+    * cheapest detector for templated or de-duplicated-to-death slices
+    * (richness collapses when boilerplate dominates; hapax share rises
+    * with OCR noise / junk tokens). One explode → (lang, word) count →
+    * per-lang aggregate; ratios are single divisions of exact BIGINTs.
+    * At 100 TB the (lang, word) relation is vocabulary-scaled, and the
+    * rollup is map-side combinable. */
+  val vocabRichness = QueryDef("text_vocab_richness",
+    (s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") <= 5, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("lang"), col("n_types"), col("n_tokens"),
+          col("n_hapax"), col("n_rare"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_share"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH wc AS (SELECT lang, w, COUNT(*) AS c FROM (
+        SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+        GROUP BY lang, w)
+      SELECT lang, COUNT(*) AS n_types,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST(SUM(CASE WHEN c <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          AS type_token_ratio,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE) AS hapax_share
+      FROM wc GROUP BY lang ORDER BY lang"""))
 
   /** Within-document repetition signals (the Gopher-style quality
     * filters for machine-generated / boilerplate text): fraction of

@@ -35,7 +35,70 @@ object Triangles {
 
   val N = 1000L
 
-  def all: Seq[QueryDef] = Seq(triangles, clusteringCoeff, commonNeighbors)
+  def all: Seq[QueryDef] =
+    Seq(triangles, clusteringCoeff, commonNeighbors, assortativity)
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the directed edge list (each undirected edge contributes both
+    * orientations, the standard Newman spelling): positive on social
+    * graphs (hubs befriend hubs), negative on web/biology graphs, and
+    * the one-number summary of whether hub-targeted sampling will bias
+    * a crawl. Exactness is the q48_corr_stats discipline: five exact
+    * BIGINT power sums over the edge relation (degrees join in via two
+    * hash joins), one shared IEEE tree for r. At 100 TB: two
+    * edge-keyed joins + one global aggregate, map-side combinable. */
+  val assortativity = QueryDef("graph_assortativity",
+    (s, _) => {
+      val simple = simpleEdges(s)
+      val deg = degreesOf(s)
+      val dir = simple.select(col("a").as("su"), col("b").as("sv"))
+        .unionAll(simple.select(col("b"), col("a")))
+      val j = dir
+        .join(deg.select(col("v").as("su"), col("deg").as("du")), "su")
+        .join(deg.select(col("v").as("sv"), col("deg").as("dv")), "sv")
+      val g = j.agg(count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      g.select(col("n").as("n_directed_edges"),
+        ((nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (sqrt(nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
+           sqrt(nd * dbl("syy") - dbl("sy") * dbl("sy"))))
+          .as("assortativity"))
+    },
+    Some(s"""WITH ids AS (SELECT range AS id FROM range($N)),
+      base AS (
+        SELECT id AS src, (id + 1) % $N AS dst FROM ids
+        UNION ALL
+        SELECT id, (id + 2) % $N FROM ids
+        UNION ALL
+        SELECT id, (id * 7 + 11) % $N FROM ids),
+      se AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM se UNION ALL SELECT b FROM se)
+        GROUP BY v),
+      dir AS (SELECT a AS su, b AS sv FROM se
+        UNION ALL SELECT b, a FROM se),
+      g AS (SELECT COUNT(*) AS n,
+        CAST(SUM(du.deg) AS BIGINT) AS sx,
+        CAST(SUM(dv.deg) AS BIGINT) AS sy,
+        CAST(SUM(du.deg * du.deg) AS BIGINT) AS sxx,
+        CAST(SUM(dv.deg * dv.deg) AS BIGINT) AS syy,
+        CAST(SUM(du.deg * dv.deg) AS BIGINT) AS sxy
+        FROM dir JOIN deg du ON dir.su = du.v JOIN deg dv ON dir.sv = dv.v)
+      SELECT n AS n_directed_edges,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+      FROM g"""))
 
   /** Hub cap for common-neighbor wedge enumeration: wedges through a
     * vertex of degree d cost d² — one 10⁷-degree hub on a web graph is
