@@ -29,10 +29,12 @@ object Events {
     * modeling: per user, the microsecond gap between consecutive events
     * (any type, ordered by ts with the event_id tie-break every other
     * user window uses), aggregated by the LATER event's type. Gaps are
-    * exact BIGINT micros; the mean is one double division over the
-    * exact sum (VARCHAR-route cast in DuckDB — a 64×-replica gap sum
-    * passes 2⁵³). One user-keyed shuffle for the lag window, one
-    * type-keyed aggregate. */
+    * exact BIGINT micros; they are summed in DecimalType(38,0) (the
+    * ev_anomaly convention — DuckDB's side sums in int128 via the
+    * VARCHAR route, so both engines are overflow-proof even where
+    * total_users × span_us approaches 2⁶³) and the mean is one double
+    * division over that exact sum. One user-keyed shuffle for the lag
+    * window, one type-keyed aggregate. */
   val interArrival = QueryDef("ev_inter_arrival",
     (s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -43,8 +45,8 @@ object Events {
         .withColumn("gap_us", expr("unix_micros(ts) - unix_micros(prev_ts)"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
-          (sum(col("gap_us")).cast("double") / count(lit(1)))
-            .as("mean_gap_us"),
+          (sum(col("gap_us").cast("decimal(38,0)")).cast("double") /
+            count(lit(1))).as("mean_gap_us"),
           min(col("gap_us")).as("min_gap_us"),
           max(col("gap_us")).as("max_gap_us"))
         .orderBy(col("event_type"))
