@@ -59,6 +59,73 @@ case class RollingHashMod(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 61-bit polynomial rolling hash: fold h = (h*131 + byte) mod 2⁶¹−1
+  * over the string's bytes. The wide twin of [[RollingHashMod]] for
+  * content-identity decisions where the ~30-bit hash's ~1e-9 per-key
+  * collision rate is material (e.g. `cdc_snapshot_diff` at 10¹² keys):
+  * a uniform 61-bit hash collides at ~4.3e-19 per compared pair.
+  *
+  * The Mersenne modulus makes the 128-bit step cheap without BigInteger:
+  * with h < 2⁶¹ and base 131, the product P = h·131 < 2⁶⁸ splits into
+  * hi·2⁶⁴ + lo (`Math.multiplyHigh` — exact for non-negative operands),
+  * and 2⁶⁴ ≡ 2³, 2⁶¹ ≡ 1 (mod M) give P ≡ 8·hi + (lo >>> 61) + (lo & M),
+  * a sum < 2⁶² reduced by at most two conditional subtractions. DuckDB
+  * replicates it exactly with HUGEINT arithmetic (`(h*131 + code) %
+  * 2305843009213693951` under a 128-bit fold) — same ASCII byte ==
+  * codepoint corpus guarantee as the 30-bit hash. */
+case class RollingHashMersenne61(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"roll_hash61 requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = RollingHashMersenne61.step(h, bytes(i))
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = graft.functions.RollingHashMersenne61.step($h, $bytes[$i]);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashMersenne61 {
+  val Mod61: Long = (1L << 61) - 1
+
+  /** (h*131 + (b & 0xff)) mod 2⁶¹−1, for 0 ≤ h < 2⁶¹. Called from
+    * generated code — must stay a static-shaped public method. */
+  def step(h: Long, b: Byte): Long = {
+    val lo = h * 131L
+    val hi = java.lang.Math.multiplyHigh(h, 131L)
+    var r = (hi << 3) + (lo >>> 61) + (lo & Mod61) + (b & 0xffL)
+    while (r >= Mod61) r -= Mod61
+    r
+  }
+}
+
 /** Natural log via `java.lang.Math.log` — NOT Spark's `ln`/`log`, which
   * call `StrictMath.log` (fdlibm). Measured on this platform across every
   * distinct frequency ratio in the three test corpora: `Math.log` is
@@ -94,6 +161,12 @@ object HashExpressions {
         require(exprs.length == 1,
           s"roll_hash expects exactly 1 argument, got ${exprs.length}")
         RollingHashMod(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "roll_hash61", exprs => {
+        require(exprs.length == 1,
+          s"roll_hash61 expects exactly 1 argument, got ${exprs.length}")
+        RollingHashMersenne61(exprs.head)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "math_ln", exprs => {

@@ -56,7 +56,7 @@ object Cdc {
           lit(null).cast("int").as("new_nationkey"),
           lit(null).cast("decimal(12,2)").as("new_bal")))
       val b2i = batch("1997-06-01", Tables.nation(s, d)
-        .select((col("n_nationkey").cast("bigint") + 900000L).as("c_custkey"),
+        .select((col("n_nationkey").cast("bigint") + 1000000000000L).as("c_custkey"),
           lit("I").as("op"), col("n_nationkey").as("new_nationkey"),
           lit("0.00").cast("decimal(12,2)").as("new_bal")))
       val b3 = batch("1998-06-01", base.filter(col("c_custkey") % 7 === 2)
@@ -92,7 +92,7 @@ object Cdc {
           CAST(NULL AS DECIMAL(12,2))
         FROM base WHERE c_custkey % 10 = 3
         UNION ALL
-        SELECT CAST(n_nationkey AS BIGINT) + 900000, '1997-06-01', 'I',
+        SELECT CAST(n_nationkey AS BIGINT) + 1000000000000, '1997-06-01', 'I',
           n_nationkey, CAST('0.00' AS DECIMAL(12,2))
         FROM nation
         UNION ALL
@@ -212,19 +212,18 @@ object Cdc {
     * Scale shape: two scans, one full-outer equi-join on the key (both
     * sides shuffle once; bucketed snapshots make it shuffle-free like
     * `cdc_merge`), one tiny aggregation. The content hash is
-    * `roll_hash` of the canonical column rendering — the engine-wide
-    * mod-1e9+7 convention, identical in DuckDB.
+    * `roll_hash61` of the canonical column rendering — the 61-bit
+    * Mersenne polynomial hash ([[graft.functions.RollingHashMersenne61]]),
+    * replicated exactly in DuckDB with a HUGEINT fold.
     *
-    * Collision bound: roll_hash is ~30 bits, so hash equality alone
-    * would misclassify a changed row as unchanged with ~1e-9
-    * probability per key — billions of changed keys at 100 TB means
-    * expected silent misses. Since the price columns cross the shuffle
-    * anyway (for the delta sum), the unchanged decision ALSO compares
-    * them exactly; the hash only has to cover the remaining tracked
-    * columns (here `prio`), narrowing silent misses to
-    * same-price-different-prio keys that additionally collide. A
-    * deployment tracking many non-numeric columns should widen the
-    * hash (e.g. xxhash64 per column) rather than carry the payload. */
+    * Collision bound: a uniform 61-bit hash misclassifies a changed row
+    * as unchanged with ~4.3e-19 probability per key. And since the
+    * price columns cross the shuffle anyway (for the delta sum), the
+    * unchanged decision ALSO compares them exactly; the hash only has
+    * to cover the remaining tracked columns (here `prio`), so a silent
+    * miss needs a same-price-different-prio key that ALSO collides —
+    * at 10¹² changed keys the expected miss count is ≤ 4.3e-7, i.e.
+    * "unchanged" is trustworthy at the 100 TB key scale. */
   val snapshotDiff = QueryDef("cdc_snapshot_diff",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
@@ -240,7 +239,7 @@ object Cdc {
             .otherwise(Num.dec(col("o_totalprice"))).as("price"),
           col("o_orderpriority").as("prio"))
       def h(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
-        expr("roll_hash(concat(CAST(price AS STRING), '|', prio))"))
+        expr("roll_hash61(concat(CAST(price AS STRING), '|', prio))"))
       h(oldSnap).select(col("k"), col("h").as("oh"), col("price").as("op"))
         .join(h(newSnap).select(col("k"), col("h").as("nh"),
           col("price").as("np")), Seq("k"), "full_outer")
@@ -261,16 +260,16 @@ object Cdc {
           CAST(o_totalprice AS DECIMAL(12,2)) AS price,
           o_orderpriority AS prio FROM orders),
       olds AS (SELECT k, price, prio,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
+          CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
             list_transform(string_split(CAST(price AS VARCHAR) || '|' || prio,
-              ''), c -> CAST(unicode(c) AS BIGINT))),
-            (h, c) -> (h*31+c) % 1000000007) AS h
+              ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (h, c) -> (h*131+c) % 2305843009213693951) AS BIGINT) AS h
         FROM o WHERE k % 10 <> 9),
       news AS (SELECT k, price, prio,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
+          CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
             list_transform(string_split(CAST(price AS VARCHAR) || '|' || prio,
-              ''), c -> CAST(unicode(c) AS BIGINT))),
-            (h, c) -> (h*31+c) % 1000000007) AS h
+              ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (h, c) -> (h*131+c) % 2305843009213693951) AS BIGINT) AS h
         FROM (SELECT k,
             CASE WHEN k % 7 = 0
               THEN price + CAST(10.0 AS DECIMAL(12,2)) ELSE price END AS price,
@@ -290,7 +289,7 @@ object Cdc {
   /** Deterministic CDC batch derived from the key space (no external
     * change feed in the test corpus): delete customers with
     * custkey % 10 == 3, credit +100.00 to those with custkey % 10 in
-    * (1, 5), and insert one new customer per nation (keys 900000+n).
+    * (1, 5), and insert one new customer per nation (keys 10^12+n, past any real custkey: c_custkey tops out at 150k·SF, reaching 10^12 only at SF ≈ 6.7M ≈ 10 EB).
     * Applied MERGE-style: one full outer join on the key, per-row
     * case analysis — unmatched-base rows pass through, matched rows
     * update or drop, unmatched-change rows insert. */
@@ -309,7 +308,7 @@ object Cdc {
           lit(null).cast("int").as("new_nationkey"),
           lit(null).cast("decimal(12,2)").as("new_bal"))
       val inserts = Tables.nation(s, d)
-        .select((col("n_nationkey").cast("bigint") + 900000L).as("c_custkey"),
+        .select((col("n_nationkey").cast("bigint") + 1000000000000L).as("c_custkey"),
           lit("I").as("op"), col("n_nationkey").as("new_nationkey"),
           lit("0.00").cast("decimal(12,2)").as("new_bal"))
       val changes = upserts.unionAll(deletes).unionAll(inserts)
@@ -331,7 +330,7 @@ object Cdc {
         UNION ALL
         SELECT c_custkey, 'D', NULL, NULL FROM base WHERE c_custkey % 10 = 3
         UNION ALL
-        SELECT CAST(n_nationkey AS BIGINT) + 900000, 'I', n_nationkey,
+        SELECT CAST(n_nationkey AS BIGINT) + 1000000000000, 'I', n_nationkey,
           CAST('0.00' AS DECIMAL(12,2))
         FROM nation)
       SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,

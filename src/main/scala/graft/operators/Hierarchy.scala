@@ -36,22 +36,25 @@ object Hierarchy {
         .withColumn("parent", when(col("node") === 0, 0L)
           .otherwise(((col("node") * 2654435761L) % 1000000007L)
             % col("node")))
-      // the pointer-jumping join on anc === a_node silently drops rows
-      // whose ancestor is absent, so a NON-EMPTY key space without node
-      // 0 (e.g. 1-based) would lose every resolved row — fail loudly
-      // instead (an empty corpus legitimately has no root and flows
-      // through to an empty result)
-      val Seq(nodes, roots) = par
-        .agg(count(lit(1)), count(when(col("node") === 0, 1)))
-        .head().toSeq.map(_.asInstanceOf[Long])
-      require(nodes == 0L || roots == 1L,
-        s"tree closure expects exactly one root with key 0; found $roots")
       var state = Iterative.cutLineage(
         par.filter(col("node") =!= 0)
           .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))
           .unionAll(par.filter(col("node") === 0)
             .select(col("node"), lit(0L).as("anc"), lit(0L).as("depth"))))
-      var unresolved = state.filter(col("anc") =!= 0).count()
+      // the pointer-jumping join on anc === a_node silently drops rows
+      // whose ancestor is absent, so a NON-EMPTY key space without node
+      // 0 (e.g. 1-based) would lose every resolved row — fail loudly
+      // instead (an empty corpus legitimately has no root and flows
+      // through to an empty result). Piggybacked on the loop's seed
+      // action: one pass over `state` yields the root count AND the
+      // initial unresolved count, instead of a separate customer scan.
+      val Seq(nodes, roots, unresolved0) = state
+        .agg(count(lit(1)), count(when(col("node") === 0, 1)),
+          count(when(col("anc") =!= 0, 1)))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      require(nodes == 0L || roots == 1L,
+        s"tree closure expects exactly one root with key 0; found $roots")
+      var unresolved = unresolved0
       while (unresolved > 0) {
         val ancSide = state
           .select(col("node").as("a_node"), col("anc").as("a_anc"),

@@ -113,16 +113,19 @@ object KCore {
         require(rounds <= m,
           s"k-core cascade exceeded $m rounds — unrolled oracle invalid")
       }
-      // cutLineage resets stats, so hint the frontier side explicitly —
-      // but only while it is genuinely small (round 1 can peel a large
-      // fraction of nodes; past the cap, fall back to shuffle joins and
-      // let AQE re-plan at runtime)
-      def hinted(df: DataFrame): DataFrame =
-        if (fCount <= BroadcastFrontierMax) broadcast(df) else df
+      // cutLineage resets stats, so hint the small side explicitly —
+      // but only while the relation being SHIPPED is genuinely small
+      // (round 1 can peel a large fraction of nodes; past the cap, fall
+      // back to shuffle joins and let AQE re-plan at runtime). The gate
+      // takes the hinted relation's own row bound: the frontier is
+      // fCount rows, but `crossed` can be (k−1)× that — every dying
+      // node has deg < k, so it touches at most k−1 distinct neighbors.
+      def hinted(df: DataFrame, rowBound: Long): DataFrame =
+        if (rowBound <= BroadcastFrontierMax) broadcast(df) else df
       // edges charged to u the round its v endpoint dies — exactly once,
       // because a node dies exactly once
       val lost = edges
-        .join(hinted(frontier.select(col("node").as("v"))), Seq("v"))
+        .join(hinted(frontier.select(col("node").as("v")), fCount), Seq("v"))
         .groupBy(col("u")).agg(count(lit(1)).as("d"))
         .select(col("u").as("node"), col("d"))
       val decNext = Iterative.cutLineage(
@@ -137,7 +140,7 @@ object KCore {
           (coalesce(col("prev"), lit(0L)) + col("d")).as("now"),
           coalesce(col("prev"), lit(0L)).as("prev"))
       frontier = Iterative.cutLineage(
-        baseDeg.join(hinted(crossed), Seq("node"))
+        baseDeg.join(hinted(crossed, fCount * (k - 1).max(1)), Seq("node"))
           .filter(col("deg") - col("now") < k && col("deg") - col("prev") >= k)
           .select("node"))
       dec = decNext

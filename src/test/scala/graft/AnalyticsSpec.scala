@@ -570,7 +570,7 @@ class AnalyticsSpec extends SparkSpec {
         Some((k, nat, bal.add(new java.math.BigDecimal("100.00"))
           .doubleValue()))
       else Some((k, nat, bal.doubleValue()))
-    } ++ nations.map(n => (n.toLong + 900000L, n, 0.0)))
+    } ++ nations.map(n => (n.toLong + 1000000000000L, n, 0.0)))
       .sortBy(_._1)
     val got = graft.operators.Cdc.timeTravel.fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq

@@ -42,7 +42,10 @@ class KCoreSpec extends SparkSpec {
   }
 
   test("catalog graph converges well inside the oracle's unrolled bound") {
-    Seq("sf0.001", "sf0.01").foreach { sfn =>
+    // sf0.1 included so the unrolled-oracle validity is machine-checked
+    // at every tier the driver ever verifies or benches, not argued from
+    // the smaller corpora's round counts
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sfn =>
       val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
       val out = KCore.kcoreOf(
         KCore.orderPartEdges(Tables.lineitem(spark, sf(sfn))), KCore.K,

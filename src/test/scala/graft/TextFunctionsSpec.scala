@@ -46,4 +46,35 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(sh == Seq("a b", "b c", "c d"))
   }
+
+  test("roll_hash61 matches a serial BigInt fold, interpreted AND codegen") {
+    import spark.implicits._
+    graft.functions.HashExpressions.register(spark)
+    val M = BigInt(graft.functions.RollingHashMersenne61.Mod61)
+    def serial(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(BigInt(0)) { (h, b) =>
+        (h * 131 + (b & 0xff)) % M
+      }.toLong
+    // adversarial inputs: long runs of 0xFF-ish high bytes push the
+    // intermediate h toward 2^61 so the multiplyHigh reduction's carry
+    // paths all fire; plus randoms and the empty string
+    val rnd = new scala.util.Random(61)
+    val inputs = Seq("", "a", "~" * 200, "5139.82|1-URGENT") ++
+      (1 to 50).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      (1 to 20).map(i => ("ÿ" * i) + "x") // 2-byte UTF-8, still bytes
+    val got = inputs.toDF("s")
+      .select(col("s"), expr("roll_hash61(s)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(got(s) == serial(s), s"input ${s.take(20)}…")
+    }
+    // interpreted path (nullSafeEval) agrees with codegen
+    inputs.foreach { s =>
+      val e = graft.functions.RollingHashMersenne61(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) == serial(s), s"eval path, input ${s.take(20)}…")
+    }
+  }
 }
