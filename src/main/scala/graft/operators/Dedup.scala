@@ -1037,6 +1037,38 @@ object Dedup {
     * min-id = Y's rep, best containment aggregated per X). The only
     * per-member term is the min-container id when the member IS X's
     * rep — covered by X's precomputed second-smallest member id. */
+  /** The directional prefix-filter candidate stage of [[containmentOf]],
+    * exposed so the cost model is measurable in isolation
+    * ([[graft.tools.ContainmentZipfSweep]] counts these against the
+    * all-pairs bound on a power-law corpus): given the class relation
+    * `(ts: sorted distinct tokens, rep: class id)`, emit every directed
+    * class pair (a_rep, b_rep) that survives the pigeonhole prefix
+    * filter — if C(A→B) ≥ τ, B shares one of A's ⌊(1−τ)·|A|⌋+1 rarest
+    * tokens (rarity = class frequency) — plus the size filter
+    * |B| ≥ ⌈τ·|A|⌉ that rides the join. A superset of all qualifying
+    * pairs by construction (exactness is never delegated to it). */
+  def containmentCandidates(classes: DataFrame, tau: Double): DataFrame = {
+    val ctok = classes.select(col("rep"), size(col("ts")).as("sz"),
+      explode(col("ts")).as("w"))
+    val freq = ctok.groupBy(col("w")).agg(count(lit(1)).as("fcnt"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("fcnt"), col("w"))
+    val pref = ctok.join(freq, "w")
+      .withColumn("rn", row_number().over(wnd))
+      .where(col("rn") <=
+        col("sz") - ceil(lit(tau) * col("sz").cast("double")) + 1)
+      .select(col("rep").as("a_rep"), col("sz").as("a_sz"), col("w"))
+    // size filter rides the candidate join: C(A→B) ≥ τ needs
+    // |B| ≥ |A∩B| ≥ τ·|A| — exactness-preserving, prunes before distinct
+    pref
+      .join(ctok.select(col("rep").as("b_rep"), col("sz").as("b_sz"),
+        col("w")), "w")
+      .where(col("a_rep") =!= col("b_rep") &&
+        col("b_sz") >= ceil(lit(tau) * col("a_sz").cast("double")))
+      .select(col("a_rep"), col("b_rep"))
+      .distinct()
+  }
+
   def containmentOf(docsIn: DataFrame, tau: Double): DataFrame = {
     graft.functions.HashExpressions.register(docsIn.sparkSession)
     val ts = docsIn
@@ -1060,26 +1092,7 @@ object Dedup {
     // same-class min-container when the contained member is the rep
     val min2 = members.filter(col("doc_id") =!= col("rep"))
       .groupBy(col("rep")).agg(min(col("doc_id")).as("min2"))
-    // directional prefix filter over the CLASS relation
-    val ctok = classes.select(col("rep"), size(col("ts")).as("sz"),
-      explode(col("ts")).as("w"))
-    val freq = ctok.groupBy(col("w")).agg(count(lit(1)).as("fcnt"))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rep")).orderBy(col("fcnt"), col("w"))
-    val pref = ctok.join(freq, "w")
-      .withColumn("rn", row_number().over(wnd))
-      .where(col("rn") <=
-        col("sz") - ceil(lit(tau) * col("sz").cast("double")) + 1)
-      .select(col("rep").as("a_rep"), col("sz").as("a_sz"), col("w"))
-    // size filter rides the candidate join: C(A→B) ≥ τ needs
-    // |B| ≥ |A∩B| ≥ τ·|A| — exactness-preserving, prunes before distinct
-    val cand = pref
-      .join(ctok.select(col("rep").as("b_rep"), col("sz").as("b_sz"),
-        col("w")), "w")
-      .where(col("a_rep") =!= col("b_rep") &&
-        col("b_sz") >= ceil(lit(tau) * col("a_sz").cast("double")))
-      .select(col("a_rep"), col("b_rep"))
-      .distinct()
+    val cand = containmentCandidates(classes, tau)
     // exact verify on class pairs, then per-contained-class rollup of
     // the cross-class containers
     val cross = cand
