@@ -17,7 +17,7 @@ import graft.functions.TextFunctions._
   */
 object Chunking {
 
-  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob, reassemble, cdcChunk)
+  def all: Seq[QueryDef] = Seq(chunk, bigramLogprob, trigramBackoff, reassemble, cdcChunk)
 
   /** Chunk size / stride (tokens). Stride < size → 10-token overlap, the
     * usual RAG setting. */
@@ -188,6 +188,163 @@ object Chunking {
   val cdcChunk = QueryDef("text_cdc_chunk",
     (s, d) => cdcChunkOf(Tables.documents(s, d)),
     Some(cdcOracleSql))
+
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007's large-LM
+    * recipe — no discounting, a fixed 0.4 penalty per backoff level):
+    * score every document's trigrams against counts trained on the
+    * corpus MINUS every 5th document, so held-out docs genuinely
+    * exercise all three levels (training on the full corpus would make
+    * every trigram its own evidence and the backoff dead code).
+    * Per trigram w₁w₂w₃:
+    * S = c₃(w₁w₂w₃)/c₂(w₁w₂) if the trigram was seen, else
+    * 0.4·c₂(w₂w₃)/c₁(w₂) if the bigram was, else
+    * 0.16·(c₁(w₃)+1)/(N+V) (add-one at the unigram floor so unseen
+    * words score finitely). Denominators are never 0 on the path that
+    * reaches them: a seen trigram's prefix bigram and a seen bigram's
+    * head unigram are in the same training docs.
+    *
+    * Scale + float discipline: the `text_bigram_logprob` layout one
+    * order up — n-gram instances shuffle keyed by compact rolling
+    * hashes; the three train-count relations are data-scaled so none
+    * is hinted (AQE broadcasts them only while genuinely small); the
+    * (N, V) totals are a broadcast 1-row witness. ln terms use
+    * `math_ln` and sum in position order via the sorted fold, and each
+    * ln argument is spelled with one fixed operation order
+    * ((0.4·c)/d — multiply THEN divide) so both engines round
+    * identically. */
+  val trigramBackoff = QueryDef("text_trigram_backoff",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val c3 = train.filter(size(col("t")) >= 3)
+        .select(explode(expr(shinglesSql("t", 3))).as("g"))
+        .groupBy(expr("roll_hash(g)").as("k3")).agg(count(lit(1)).as("c3"))
+      val c2 = train.filter(size(col("t")) >= 2)
+        .select(explode(expr(shinglesSql("t", 2))).as("g"))
+        .groupBy(expr("roll_hash(g)").as("k2")).agg(count(lit(1)).as("c2"))
+      val c1 = train
+        .select(explode(col("t")).as("w"))
+        .groupBy(expr("roll_hash(w)").as("k1")).agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v_uni"))
+      val inst = docs.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), posexplode(expr(shinglesSql("t", 3))))
+        .toDF("doc_id", "pos", "g")
+        .withColumn("ws", split(col("g"), " "))
+        .select(col("doc_id"), col("pos"),
+          expr("roll_hash(g)").as("h3"),
+          expr("roll_hash(concat(ws[0], ' ', ws[1]))").as("h12"),
+          expr("roll_hash(concat(ws[1], ' ', ws[2]))").as("h23"),
+          expr("roll_hash(ws[1])").as("hw2"),
+          expr("roll_hash(ws[2])").as("hw3"))
+      inst
+        .join(c3, col("h3") === col("k3"), "left")
+        .join(c2.select(col("k2").as("k12"), col("c2").as("c12")),
+          col("h12") === col("k12"), "left")
+        .join(c2.select(col("k2").as("k23"), col("c2").as("c23")),
+          col("h23") === col("k23"), "left")
+        .join(c1.select(col("k1").as("kw2"), col("c1").as("cw2")),
+          col("hw2") === col("kw2"), "left")
+        .join(c1.select(col("k1").as("kw3"), col("c1").as("cw3")),
+          col("hw3") === col("kw3"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          when(col("c3").isNotNull,
+            expr("math_ln(CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE))"))
+          .when(col("c23").isNotNull,
+            expr("math_ln((CAST(0.4 AS DOUBLE) * CAST(c23 AS DOUBLE)) " +
+              "/ CAST(cw2 AS DOUBLE))"))
+          .otherwise(
+            expr("math_ln((CAST(0.16 AS DOUBLE) * " +
+              "CAST(coalesce(cw3, 0L) + 1L AS DOUBLE)) " +
+              "/ CAST(n_tok + v_uni AS DOUBLE))")))
+        .withColumn("lvl",
+          when(col("c3").isNotNull, lit(3))
+            .when(col("c23").isNotNull, lit(2)).otherwise(lit(1)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          count(when(col("lvl") === 3, 1)).as("n_hit3"),
+          count(when(col("lvl") === 2, 1)).as("n_hit2"),
+          count(when(col("lvl") === 1, 1)).as("n_hit1"),
+          sort_array(collect_list(
+            struct(col("pos").as("p"), col("term").as("t")))).as("ts"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_hit3"),
+          col("n_hit2"), col("n_hit1"),
+          expr("aggregate(ts, 0d, (a, x) -> a + x.t)").as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tri AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(
+              t[j] || ' ' || t[j+1] || ' ' || t[j+2], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS k3, COUNT(*) AS c3
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS j FROM toks
+          WHERE doc_id % 5 <> 0 AND len(t) >= 3) GROUP BY k3),
+      big AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j] || ' ' || t[j+1], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS k2, COUNT(*) AS c2
+        FROM (SELECT t, unnest(range(1, len(t))) AS j FROM toks
+          WHERE doc_id % 5 <> 0 AND len(t) >= 2) GROUP BY k2),
+      uni AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(w, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS k1, COUNT(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 5 <> 0)
+        GROUP BY k1),
+      tot AS (SELECT SUM(c1) AS n_tok, COUNT(*) AS v_uni FROM uni),
+      inst AS (SELECT doc_id, j - 1 AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(
+              t[j] || ' ' || t[j+1] || ' ' || t[j+2], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS h3,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j] || ' ' || t[j+1], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS h12,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j+1] || ' ' || t[j+2], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS h23,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j+1], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS hw2,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t[j+2], ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h,c) -> (h*31+c) % 1000000007) AS hw3
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j
+          FROM toks WHERE len(t) >= 3)),
+      scored AS (SELECT doc_id, pos,
+          CASE WHEN c3 IS NOT NULL
+                 THEN ln(CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE))
+               WHEN c23 IS NOT NULL
+                 THEN ln((CAST(0.4 AS DOUBLE) * CAST(c23 AS DOUBLE))
+                   / CAST(cw2 AS DOUBLE))
+               ELSE ln((CAST(0.16 AS DOUBLE) *
+                   CAST(COALESCE(cw3, 0) + 1 AS DOUBLE))
+                   / CAST(n_tok + v_uni AS DOUBLE)) END AS term,
+          CASE WHEN c3 IS NOT NULL THEN 3
+               WHEN c23 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+        FROM inst
+        LEFT JOIN tri ON h3 = k3
+        LEFT JOIN (SELECT k2 AS k12, c2 AS c12 FROM big) b1 ON h12 = k12
+        LEFT JOIN (SELECT k2 AS k23, c2 AS c23 FROM big) b2 ON h23 = k23
+        LEFT JOIN (SELECT k1 AS kw2, c1 AS cw2 FROM uni) u1 ON hw2 = kw2
+        LEFT JOIN (SELECT k1 AS kw3, c1 AS cw3 FROM uni) u2 ON hw3 = kw3
+        CROSS JOIN tot)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+        COUNT(*) FILTER (WHERE lvl = 3) AS n_hit3,
+        COUNT(*) FILTER (WHERE lvl = 2) AS n_hit2,
+        COUNT(*) FILTER (WHERE lvl = 1) AS n_hit1,
+        list_sum(list(term ORDER BY pos)) AS score
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
   /** [[cdcChunk]]'s core over an arbitrary `(doc_id, text, ...)` frame —
     * the library entry point (and what the ChunkingSpec fixtures drive). */
