@@ -26,7 +26,7 @@ object Similarity {
 
   def all: Seq[QueryDef] =
     Seq(bruteForceTopK, annLsh, annIvf, annIvfTrained, quantizedTopK,
-      knnGraph, matryoshkaTopK, randomProjection)
+      knnGraph, matryoshkaTopK, randomProjection, binaryTopK)
 
   /** Johnson–Lindenstrauss random projection: 64 → 16 dimensions via a
     * deterministic ±1 sign matrix (Achlioptas' database-friendly
@@ -222,6 +222,92 @@ object Similarity {
   }
 
   private val dotExpr = "dot_f64(q_emb, embedding)"
+
+  /** Sign-bit packing of the 64-dim embedding into two 32-bit words
+    * (bitwise OR of disjoint shifts — never a signed add, and capping
+    * shifts at 31 keeps both engines' BIGINT semantics trivially
+    * identical; bit i of `lo`/`hi` = dim (i+1)/(i+33) strictly positive,
+    * zeros and negatives both 0 — the deterministic tie rule). */
+  private def signPackSql(embCol: String): (String, String) = {
+    def word(off: Int) =
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc | " +
+        s"IF(element_at($embCol, i + ${off + 1}) > CAST(0 AS FLOAT), " +
+        s"shiftleft(1L, i), 0L))"
+    (word(0), word(32))
+  }
+
+  /** Binary sign quantization + Hamming search — the 32×-compression
+    * end of the quantization family ([[quantizedTopK]] is the 4× int8
+    * point, [[matryoshkaTopK]] the truncation point, PQ the codebook
+    * point): each vector collapses to its 64 SIGN BITS packed in two
+    * BIGINT words, candidate scoring is `bit_count(xor)` — pure integer
+    * ALU work on 8 bytes/vector, the cheapest first-pass filter a
+    * vector store can run (and the one that turns a 100 TB float scan
+    * into a ~3 TB bit scan). Hamming distance on sign bits estimates
+    * angle (cos θ ≈ cos(π·h/64) for mean-centered data), so a
+    * 50-deep Hamming shortlist (exact-integer order, vec_id tie-break)
+    * feeds the same exact float re-rank as every other ANN entry;
+    * OperatorsSpec asserts recall@3 against brute force. Scale: pack is
+    * per-row codegen; the probe is a 5-row broadcast; shortlist is one
+    * query-partitioned WindowGroupLimit; re-rank touches 50 floats per
+    * query. */
+  val binaryTopK = QueryDef("sim_topk_binary",
+    (s, d) => {
+      val (loSql, hiSql) = signPackSql("embedding")
+      val e = withNorm(Tables.embeddings(s, d))
+        .withColumn("lo", expr(loSql)).withColumn("hi", expr(hiSql))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("hamming",
+          expr("cast(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) as bigint)"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val short = scored.withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= 50)
+        .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      short.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("vec_id"), col("hamming"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
+          (acc, i) -> acc | (CASE WHEN embedding[i + 1] > 0
+            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+            ELSE CAST(0 AS BIGINT) END)) AS lo,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
+          (acc, i) -> acc | (CASE WHEN embedding[i + 33] > 0
+            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+            ELSE CAST(0 AS BIGINT) END)) AS hi
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+          lo AS q_lo, hi AS q_hi
+        FROM e WHERE vec_id < 5),
+      scored AS (SELECT q.q_id, e.vec_id, e.embedding, e.nrm,
+          q.q_emb, q.q_nrm,
+          CAST(bit_count(xor(e.lo, q.q_lo)) +
+            bit_count(xor(e.hi, q.q_hi)) AS BIGINT) AS hamming
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      short AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY hamming, vec_id) AS srank
+          FROM scored) WHERE srank <= 50),
+      rer AS (SELECT q_id, vec_id, hamming,
+          list_sum(list_transform(range(1, len(q_emb)+1),
+            i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+            / (q_nrm * nrm) AS cosine
+        FROM short)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, hamming, cosine FROM (
+        SELECT q_id, vec_id, hamming, cosine, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM rer) WHERE rank <= 10 ORDER BY q_id, rank"""))
 
   /** Exact cosine top-10 for each of the first 5 vectors as queries. */
   val bruteForceTopK = QueryDef("sim_topk_bruteforce",

@@ -33,7 +33,7 @@ import graft.{QueryDef, Tables}
   * crawl beyond the scan itself. */
 object UrlCuration {
 
-  def all: Seq[QueryDef] = Seq(urlNormalize, urlDomainStats)
+  def all: Seq[QueryDef] = Seq(urlNormalize, urlDomainStats, urlDomainManifest)
 
   /** The deterministic messy-URL column (Spark side). */
   private def rawUrl: Column = {
@@ -205,4 +205,96 @@ object UrlCuration {
         CAST(chars AS DOUBLE) / CAST(total AS DOUBLE) AS p_uniform,
         sqrt(CAST(chars AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS w_temp
       FROM by_dom CROSS JOIN tot ORDER BY domain"""))
+
+  /** The DOMAIN-keyed train manifest — [[urlDomainStats]]' registrable
+    * domains joined into the `pipeline_mix_manifest` machinery as the
+    * sampling unit (the crawl-budget view: a SITE is the thing you cap,
+    * not a source label): per-domain temperature budget
+    * ⌊0.6·√tok_d·√max_tok⌋ (the `mix_temperature` α = 0.5 allocation —
+    * caps the largest domain at 60% of its supply, lets low-resource
+    * domains keep nearly everything), filled in the manifest's
+    * deterministic length-weighted priority order (the
+    * Efraimidis–Spirakis key with the portable rolling hash as the
+    * draw) via a per-domain running token sum.
+    *
+    * Numeric discipline is mixManifest's: budgets are ⌊0.6·√a·√b⌋ of
+    * exact integers (fixed IEEE tree), the priority is pure integer
+    * arithmetic, the fill is an exact BIGINT cumsum — no
+    * order-dependent float summation anywhere. The near-dup split is
+    * deliberately NOT re-composed here (it is mixManifest's own
+    * proven stage); this entry isolates the domain dimension.
+    *
+    * Scale: per-row URL parse → one domain-keyed aggregate (site-
+    * bounded) → broadcast 1-row max → one window per domain partition.
+    * The manifest shape a domain-capped 100 TB recipe emits unchanged. */
+  val urlDomainManifest = QueryDef("url_domain_manifest",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+        .withColumn("url", rawUrl)
+      val (_, _, _, _, domain) = normCols(col("url"))
+      val pool = docs.withColumn("domain", domain)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("pr", expr(
+          "((roll_hash(cast(doc_id as string)) % 2000) * 2000) " +
+            "div least(n_chars, cast(2000 as bigint))"))
+        .select(col("doc_id"), col("domain"), col("n_tokens"), col("pr"))
+      val byDom = pool.groupBy(col("domain"))
+        .agg(sum(col("n_tokens")).as("tok"))
+      val mx = byDom.agg(max(col("tok")).as("mx"))
+      val budgets = byDom.crossJoin(broadcast(mx))
+        .select(col("domain"),
+          floor(lit(0.6) * sqrt(col("tok").cast("double")) *
+            sqrt(col("mx").cast("double"))).as("budget_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("pr"), col("doc_id"))
+      pool
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .join(budgets, "domain")
+        .filter(col("cum_tokens") <= col("budget_tokens"))
+        .select(col("domain"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"), col("budget_tokens"))
+        .orderBy(col("domain"), col("cum_tokens"))
+    },
+    Some(s"""WITH raw AS (SELECT doc_id, n_chars, text, ($rawUrlSql) AS url
+          FROM documents),
+      parts AS (SELECT doc_id, n_chars, text,
+          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport
+        FROM raw),
+      hosts AS (SELECT doc_id, n_chars, text,
+          string_split(regexp_replace(regexp_replace(
+            CASE WHEN (scheme = 'https' AND hostport LIKE '%:443')
+                   OR (scheme = 'http' AND hostport LIKE '%:80')
+                 THEN regexp_replace(hostport, ':[0-9]+$$', '', 'g')
+                 ELSE hostport END,
+            '^www\\.', '', 'g'), ':[0-9]+$$', '', 'g'), '.') AS ls
+        FROM parts),
+      pool AS (SELECT doc_id,
+          ls[len(ls) - 1] || '.' || ls[len(ls)] AS domain,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (h,c) -> (h*31+c) % 1000000007) % 2000) * 2000)
+            // least(n_chars, 2000) AS pr
+        FROM hosts),
+      by_dom AS (SELECT domain, SUM(n_tokens) AS tok FROM pool GROUP BY 1),
+      mx AS (SELECT MAX(tok) AS mx FROM by_dom),
+      budgets AS (SELECT domain,
+          CAST(floor(0.6 * sqrt(CAST(tok AS DOUBLE)) *
+            sqrt(CAST(mx AS DOUBLE))) AS BIGINT) AS budget_tokens
+        FROM by_dom CROSS JOIN mx),
+      fill AS (SELECT domain, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY domain
+            ORDER BY pr, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM pool)
+      SELECT f.domain, f.doc_id, f.n_tokens, f.cum_tokens, b.budget_tokens
+      FROM fill f JOIN budgets b ON f.domain = b.domain
+      WHERE f.cum_tokens <= b.budget_tokens
+      ORDER BY f.domain, f.cum_tokens"""))
 }

@@ -24,6 +24,7 @@ object Registry {
       graft.operators.KCore.all ++ graft.operators.Hierarchy.all ++
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.UrlCuration.all ++ graft.operators.HtmlExtract.all ++
+      graft.operators.Winnowing.all ++ graft.operators.Bootstrap.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++

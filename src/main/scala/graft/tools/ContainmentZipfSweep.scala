@@ -31,7 +31,11 @@ import graft.operators.Dedup
   * first so datagen is excluded).
   *
   * Usage: sbt "runMain graft.tools.ContainmentZipfSweep [nDocs ...]"
-  * (defaults 60000 480000 — the sf0.1-documents scale and its 8× tier).
+  * (defaults 60000 150000 — 12× and 30× the sf0.1 documents table; the
+  * FIXED 200k vocabulary means candidate growth is superlinear in n —
+  * rare-token supply is vocabulary-bounded — so tiers beyond ~30× stop
+  * modelling real text, whose Heaps-law vocabulary growth replenishes
+  * rare tokens as the corpus grows).
   */
 object ContainmentZipfSweep {
 
@@ -61,7 +65,7 @@ object ContainmentZipfSweep {
 
   def main(args: Array[String]): Unit = {
     val tiers = if (args.nonEmpty) args.toSeq.map(_.toLong)
-      else Seq(60000L, 480000L)
+      else Seq(60000L, 150000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -99,7 +99,15 @@ object ScaleSmoke {
         "text_cdc_chunk", "sim_topk_matryoshka", "ev_interpolate_linear",
         "source_schema_evolution", "curate_cluster_balanced",
         "ev_pit_features", "cdc_snapshot_diff", "stat_ks_test",
-        "retrieval_mmr_rerank")
+        "retrieval_mmr_rerank",
+        // round-11 additions: backoff LM scoring (three hash-keyed count
+        // joins), the URL string projections + domain-keyed manifest,
+        // HTML extraction (scan-bound explode + doc rollup), winnowing
+        // (doc-partitioned window + cull-bounded pair join), and the
+        // Poisson bootstrap (64-way row-local fan-out + 64-group agg)
+        "text_trigram_backoff", "url_normalize", "url_domain_stats",
+        "url_domain_manifest", "text_extract_main", "dedup_winnowing",
+        "stat_bootstrap_ci")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

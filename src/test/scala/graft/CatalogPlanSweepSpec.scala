@@ -149,6 +149,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // cross join (`vec_id < 5` key filter) and the derived probe set
     "eval_mrr" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_quantized" -> Seq("agg[-]<-[embeddings]"),
+    // 5-query probe set (`vec_id < 5` key filter) — the bruteforce shape
+    // with two packed sign words riding along
+    "sim_topk_binary" -> Seq("agg[-]<-[embeddings]"),
     "sim_topk_matryoshka" -> Seq("agg[-]<-[embeddings]"),
     // k-row seed-centroid broadcast (`vec_id < 8` key filter)
     "curate_cluster_balanced" -> Seq("agg[-]<-[embeddings]"),

@@ -91,6 +91,44 @@ class OperatorsSpec extends SparkSpec {
     info(f"IVF recall@3 = ${(bf3 & hit).size.toDouble / bf3.size}%.2f")
   }
 
+  test("binary sign quantization: pack parity, Hamming algebra, recall floor") {
+    val bin = Similarity.binaryTopK.fn(spark, d).collect()
+    assert(bin.nonEmpty)
+    // serial pack of every embedding: bit i of lo/hi = dim i+1/i+33 > 0
+    val packs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect().map { r =>
+        val e = r.getSeq[Float](1)
+        var lo = 0L; var hi = 0L
+        (0 until 32).foreach { i =>
+          if (e(i) > 0f) lo |= (1L << i)
+          if (e(i + 32) > 0f) hi |= (1L << i)
+        }
+        r.getLong(0) -> ((lo, hi))
+      }.toMap
+    // every reported hamming equals the serial pack distance
+    bin.foreach { r =>
+      val (qlo, qhi) = packs(r.getLong(0))
+      val (vlo, vhi) = packs(r.getLong(2))
+      val want = java.lang.Long.bitCount(qlo ^ vlo) +
+        java.lang.Long.bitCount(qhi ^ vhi)
+      assert(r.getLong(3) == want.toLong,
+        s"hamming of (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    bin.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    val bf3 = Similarity.bruteForce(
+        Tables.embeddings(spark, d), (0L until 5L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = bin.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf3 & hit).size.toDouble / bf3.size
+    info(f"binary recall@3 = $recall%.2f")
+    // 1 bit/dim on weak-neighbor synthetic vectors with a 50-deep
+    // shortlist: the ANN floor, not the int8 near-exact floor
+    assert(recall >= 0.6, f"binary recall@3 $recall%.2f below 0.6")
+  }
+
   test("int8-quantized top-k is near-exact: recall@3 vs float brute force >= 0.8") {
     val qz = Similarity.quantizedTopK.fn(spark, d).collect()
     assert(qz.nonEmpty)

@@ -122,6 +122,47 @@ class UrlTrigramSpec extends SparkSpec {
     assert(raws.exists(_.endsWith("#sec2")) || raws.exists(_.contains("#sec2")))
   }
 
+  test("url_domain_manifest matches a serial budget-fill model") {
+    val d = sf("sf0.001")
+    val doms = SparkEntry.queries("url_normalize")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pool = Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val nTok = r.getString(2).split(" ", -1).length.toLong
+        val pr = (rh(id.toString) % 2000L * 2000L) /
+          math.min(r.getLong(1), 2000L)
+        (id, doms(id), nTok, pr)
+      }
+    val byDom = pool.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val mx = byDom.values.max
+    val budget = byDom.map { case (k, tok) =>
+      k -> math.floor(0.6 * Math.sqrt(tok.toDouble) *
+        Math.sqrt(mx.toDouble)).toLong
+    }
+    val model = pool.groupBy(_._2).toSeq.flatMap { case (dom, xs) =>
+      var cum = 0L
+      xs.sortBy(x => (x._4, x._1)).flatMap { x =>
+        cum += x._3
+        if (cum <= budget(dom)) Some((dom, x._1, x._3, cum, budget(dom)))
+        else None
+      }
+    }.sortBy(t => (t._1, t._4))
+    val got = SparkEntry.queries("url_domain_manifest")(spark, d).collect()
+    assert(got.length == model.length && got.nonEmpty)
+    got.zip(model).foreach { case (g, (dom, id, nt, cum, b)) =>
+      assert(g.getString(0) == dom && g.getLong(1) == id &&
+        g.getLong(2) == nt && g.getLong(3) == cum && g.getLong(4) == b,
+        s"row for doc $id")
+    }
+    // budgets genuinely bite: at least one domain is capped below its
+    // supply, and at least one keeps everything (the α=0.5 shape)
+    val keptTok = model.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+    assert(byDom.exists { case (k, tok) => keptTok.getOrElse(k, 0L) < tok })
+    assert(byDom.exists { case (k, tok) => keptTok.getOrElse(k, 0L) == tok })
+  }
+
   test("url_domain_stats agrees with url_normalize's domains and mix algebra") {
     val d = sf("sf0.001")
     val byDom = SparkEntry.queries("url_normalize")(spark, d).collect()
