@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** k-anonymity release (Sweeney) over the documents table — the privacy
+  * gate a dataset release runs before quasi-identifiers ship: every
+  * released row must be indistinguishable from ≥ k−1 others on its
+  * quasi-identifier tuple. Spelled as LOCAL recoding over a fixed
+  * generalization hierarchy: each doc releases the FINEST level whose
+  * population group reaches k —
+  *
+  *   level 0: (lang, source, length-bucket)   — full quasi-id
+  *   level 1: (lang, source, *)               — drop the bucket
+  *   level 2: (lang, *, *)                    — language only
+  *   level 3: (*, *, *)                       — fully suppressed
+  *
+  * Group sizes at every level are computed over the WHOLE population
+  * (global counts + local recoding — the standard simplification; a
+  * Mondrian-style partitioner would re-count per cut). Level 3 always
+  * satisfies any k ≤ corpus size, so the CASE chain is total.
+  *
+  * Scale shape: three hash aggregations (each quasi-id-cardinality-
+  * sized, map-side combinable) joined back to the scan — the finest
+  * relation is the largest and it is (lang × source × bucket)-bounded,
+  * never corpus-scaled; everything else is per-row CASE work. At
+  * 100 TB this is three broadcast-sized dimension joins riding one
+  * scan. */
+object Anonymity {
+
+  def all: Seq[QueryDef] = Seq(kAnonymity)
+
+  val K = 8
+
+  /** Core over an arbitrary `(doc_id, lang, source, bkt)` frame — what
+    * the spec's suppression fixture drives (the corpus never reaches
+    * level 3: every language clears k on its own). */
+  def kAnonymityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val g0 = docs.groupBy(col("lang"), col("source"), col("bkt"))
+        .agg(count(lit(1)).as("n0"))
+      val g1 = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n1"))
+      val g2 = docs.groupBy(col("lang")).agg(count(lit(1)).as("n2"))
+      val tot = docs.agg(count(lit(1)).as("n3"))
+      docs
+        .join(g0, Seq("lang", "source", "bkt"))
+        .join(g1, Seq("lang", "source"))
+        .join(g2, Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lvl",
+          when(col("n0") >= K, lit(0)).when(col("n1") >= K, lit(1))
+            .when(col("n2") >= K, lit(2)).otherwise(lit(3)))
+        .select(col("doc_id"), col("lvl"),
+          when(col("lvl") <= 2, col("lang")).otherwise(lit("*"))
+            .as("q_lang"),
+          when(col("lvl") <= 1, col("source")).otherwise(lit("*"))
+            .as("q_source"),
+          when(col("lvl") === 0, col("bkt").cast("string")).otherwise(lit("*"))
+            .as("q_bkt"),
+          when(col("lvl") === 0, col("n0")).when(col("lvl") === 1, col("n1"))
+            .when(col("lvl") === 2, col("n2")).otherwise(col("n3"))
+            .as("grp_n"))
+        .orderBy(col("doc_id"))
+  }
+
+  val kAnonymity = QueryDef("curate_k_anonymity",
+    (s, d) => kAnonymityOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 100L).cast("long").as("bkt"))),
+    Some(s"""WITH docs AS (SELECT doc_id, lang, source,
+          CAST(n_chars // 100 AS BIGINT) AS bkt FROM documents),
+      g0 AS (SELECT lang, source, bkt, COUNT(*) AS n0 FROM docs
+        GROUP BY 1, 2, 3),
+      g1 AS (SELECT lang, source, COUNT(*) AS n1 FROM docs GROUP BY 1, 2),
+      g2 AS (SELECT lang, COUNT(*) AS n2 FROM docs GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n3 FROM docs),
+      lv AS (SELECT d.doc_id, d.lang, d.source, d.bkt, n0, n1, n2, n3,
+          CASE WHEN n0 >= $K THEN 0 WHEN n1 >= $K THEN 1
+               WHEN n2 >= $K THEN 2 ELSE 3 END AS lvl
+        FROM docs d
+        JOIN g0 ON g0.lang = d.lang AND g0.source = d.source
+          AND g0.bkt = d.bkt
+        JOIN g1 ON g1.lang = d.lang AND g1.source = d.source
+        JOIN g2 ON g2.lang = d.lang
+        CROSS JOIN tot)
+      SELECT doc_id, lvl,
+        CASE WHEN lvl <= 2 THEN lang ELSE '*' END AS q_lang,
+        CASE WHEN lvl <= 1 THEN source ELSE '*' END AS q_source,
+        CASE WHEN lvl = 0 THEN CAST(bkt AS VARCHAR) ELSE '*' END AS q_bkt,
+        CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN n1
+             WHEN lvl = 2 THEN n2 ELSE n3 END AS BIGINT) AS grp_n
+      FROM lv ORDER BY doc_id"""))
+}

@@ -25,6 +25,7 @@ object Registry {
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.UrlCuration.all ++ graft.operators.HtmlExtract.all ++
       graft.operators.Winnowing.all ++ graft.operators.Bootstrap.all ++
+      graft.operators.Anonymity.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++

@@ -107,7 +107,7 @@ object ScaleSmoke {
         // Poisson bootstrap (64-way row-local fan-out + 64-group agg)
         "text_trigram_backoff", "url_normalize", "url_domain_stats",
         "url_domain_manifest", "text_extract_main", "dedup_winnowing",
-        "stat_bootstrap_ci")
+        "stat_bootstrap_ci", "sim_topk_binary", "curate_k_anonymity")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

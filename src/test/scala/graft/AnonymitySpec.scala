@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Anonymity
+
+/** Serial-model + suppression-fixture specs for the k-anonymity gate. */
+class AnonymitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate_k_anonymity matches a serial generalization-hierarchy model") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3) / 100L))
+    val n0 = docs.groupBy(x => (x._2, x._3, x._4)).map { case (k, xs) => k -> xs.length }
+    val n1 = docs.groupBy(x => (x._2, x._3)).map { case (k, xs) => k -> xs.length }
+    val n2 = docs.groupBy(_._2).map { case (k, xs) => k -> xs.length }
+    val n3 = docs.length
+    val K = Anonymity.K
+    val got = SparkEntry.queries("curate_k_anonymity")(spark, d).collect()
+    assert(got.length == docs.length && got.nonEmpty)
+    val byId = docs.map(x => x._1 -> x).toMap
+    got.foreach { r =>
+      val (id, lang, src, bkt) = byId(r.getLong(0))
+      val (lvl, gn) =
+        if (n0((lang, src, bkt)) >= K) (0, n0((lang, src, bkt)))
+        else if (n1((lang, src)) >= K) (1, n1((lang, src)))
+        else if (n2(lang) >= K) (2, n2(lang))
+        else (3, n3)
+      assert(r.getInt(1) == lvl, s"doc $id level")
+      assert(r.getString(2) == (if (lvl <= 2) lang else "*"))
+      assert(r.getString(3) == (if (lvl <= 1) src else "*"))
+      assert(r.getString(4) == (if (lvl == 0) bkt.toString else "*"))
+      assert(r.getLong(5) == gn.toLong, s"doc $id group size")
+      // the k-anonymity contract: every non-suppressed release sits in a
+      // population group of at least K
+      if (lvl < 3) assert(r.getLong(5) >= K)
+    }
+    // the corpus exercises generalization (some docs do NOT release the
+    // full tuple) while most docs release something
+    assert(got.exists(_.getInt(1) > 0))
+  }
+
+  test("a singleton quasi-identifier is suppressed, not leaked") {
+    // 9 docs of one (lang, source, bkt) cell — they clear K=8 at level 0;
+    // one doc with a unique lang — nothing short of '*' protects it
+    val rows = (0L until 9L).map(i => (i, "en", "web", 3L)) :+
+      ((99L, "xx", "rare", 7L))
+    val got = Anonymity.kAnonymityOf(
+      rows.toDF("doc_id", "lang", "source", "bkt")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))).toMap
+    (0L until 9L).foreach { i =>
+      assert(got(i) == ((0, "en", "web", "3", 9L)), s"doc $i")
+    }
+    assert(got(99L) == ((3, "*", "*", "*", 10L)), "singleton not suppressed")
+  }
+}
