@@ -17,7 +17,7 @@ import graft.{QueryDef, Tables}
   */
 object Eval {
 
-  def all: Seq[QueryDef] = Seq(ndcg, mrr)
+  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc)
 
   private val K = 10  // evaluate @10
   private val NQ = 5  // query vectors (vec_id < 5, the brute-force set)
@@ -234,4 +234,82 @@ object Eval {
           AS recall_at_10
       FROM j GROUP BY q_id ORDER BY q_id"""
     })
+
+  /** ROC AUC of one quality signal ranking another — does the hashed
+    * linear scorer family's CONTINUOUS score actually separate the
+    * docs a simple binary rule calls good? Here: the heuristic
+    * `text_quality` blend as the ranking score, label = long document
+    * (n_tokens ≥ 50, the corpus median split). AUC is the probability a random positive
+    * outranks a random negative — exactly the Mann–Whitney U statistic
+    * normalized, so the whole computation stays integer-exact: with
+    * per-value counts and cumulative counts `cum`, twice the midrank
+    * is the INTEGER 2·cum − c + 1, twice the positive rank-sum is
+    * Σ ca·(2·cum − c + 1) in DECIMAL(38,0), and
+    * AUC = (2R₁ − n₊(n₊+1)) / (2·n₊·n₋) is ONE IEEE division.
+    *
+    * The score column is reused from the oracle-proven `text_quality`
+    * PLAN (the survivorship convention — the two entries cannot
+    * drift); scores are high-cardinality, so the cumulative counts run
+    * on the [[Quantiles]] two-level machinery: per-value counts
+    * bucketed by score, the only serial window over the ~#buckets
+    * offset relation, per-value cumsums bucket-partitioned. The oracle
+    * deliberately spells the SINGLE-level window over all distinct
+    * scores, so hash equality proves the bucketed reduction (the
+    * q56_skyline convention). */
+  val auc = QueryDef("eval_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val scored = graft.operators.TextAnalysis.quality.fn(s, d)
+        .select(col("quality").as("v"),
+          when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
+      val counts = scored.groupBy(col("v"))
+        .agg(sum(col("pos")).as("ca"),
+          sum(lit(1L) - col("pos")).as("cb"),
+          count(lit(1)).as("c"))
+      val b = counts.withColumn("bkt", floor(col("v") / lit(0.01)).cast("long"))
+      val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff",
+          coalesce(sum(col("bc")).over(
+            // serial by construction over the ~100-row bucket relation
+            // (allowlisted in CatalogPlanSweepSpec)
+            W.orderBy(col("bkt"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val cum = b.join(broadcast(bofs), "bkt")
+        .withColumn("cum",
+          col("boff") + sum(col("c")).over(
+            W.partitionBy(col("bkt")).orderBy(col("v"))
+              .rowsBetween(W.unboundedPreceding, 0)))
+      cum.agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+          sum(col("ca").cast("decimal(38,0)") *
+            (lit(2L) * col("cum") - col("c") + lit(1L))).as("r1t"))
+        .select(col("n_pos"), col("n_neg"),
+          // one-class/empty corpora yield NULL, not a zero division
+          when(col("n_pos") > 0L && col("n_neg") > 0L,
+            (col("r1t") - col("n_pos").cast("decimal(38,0)") *
+              (col("n_pos") + lit(1L))).cast("double") /
+              (lit(2L).cast("decimal(38,0)") * col("n_pos") * col("n_neg"))
+                .cast("double")).as("auc"))
+    },
+    Some(s"""WITH scored AS (SELECT quality AS v,
+        CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos
+        FROM (${graft.operators.TextAnalysis.quality.oracle.get}) tq),
+      counts AS (SELECT v, CAST(SUM(pos) AS BIGINT) AS ca,
+        CAST(SUM(1 - pos) AS BIGINT) AS cb, COUNT(*) AS c
+        FROM scored GROUP BY 1),
+      cum AS (SELECT v, ca, cb, c,
+        CAST(SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM counts),
+      agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+        CAST(SUM(cb) AS BIGINT) AS n_neg,
+        SUM(CAST(ca AS DECIMAL(38,0)) * (2 * cum - c + 1)) AS r1t
+        FROM cum)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(r1t - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE) /
+            CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DOUBLE)
+        END AS auc
+      FROM agg"""))
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** User-journey analytics over the events stream — the product-analytics
+  * trio a clickstream warehouse runs daily on top of the sessionize /
+  * funnel / attribution machinery ([[Events]]):
+  *
+  *  - `ev_path_trigrams`  — what users DO: the most common 3-step
+  *    event-type sequences (the Sankey/flow diagram's edge weights);
+  *  - `ev_bot_flags`      — who isn't human: per-user burstiness
+  *    profiles with an integer-exact flag rule (the pre-curation bot
+  *    filter a crawl/telemetry pipeline applies before any counting);
+  *  - `ev_funnel_latency` — how long conversion takes: exact median /
+  *    P90 seconds from first view to first purchase, by the
+  *    [[Quantiles]] two-level selection (no global sort).
+  *
+  * All three ride the same per-user (ts, event_id)-ordered O(1)-frame
+  * window shape as [[Events]]' inter-arrival profile — the frame never
+  * buffers a user's history, so a 100 TB clickstream costs one
+  * user-keyed shuffle per entry and nothing data-scaled thereafter:
+  * trigram space is |types|³-bounded, the bot profile is one row per
+  * user, and the latency relation is one row per converted user feeding
+  * a selection whose only serial window is the ~#buckets offset
+  * relation. */
+object Journeys {
+
+  def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency)
+
+  /** Top-20 3-step event-type paths across all users — the flow-diagram
+    * aggregate. Two O(1) `lead` frames per user (never a buffered
+    * history), then a hash aggregation whose key space is bounded by
+    * |event types|³ (125 here) regardless of corpus size; top-20 plans
+    * as TakeOrderedAndProject. Count ties break lexicographically on
+    * the path so the dump is deterministic. */
+  val pathTrigrams = QueryDef("ev_path_trigrams",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("step1"))
+        .withColumn("step2", lead(col("step1"), 1).over(w))
+        .withColumn("step3", lead(col("step1"), 2).over(w))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    },
+    Some("""WITH p AS (SELECT
+        event_type AS step1,
+        lead(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS step2,
+        lead(event_type, 2) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS step3
+        FROM events)
+      SELECT step1, step2, step3, COUNT(*) AS n
+      FROM p WHERE step3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, step1, step2, step3 LIMIT 20"""))
+
+  /** Burst-gap threshold: a "fast" inter-event gap is ≤ 1 hour. On the
+    * corpus's diurnal human traffic (median gap ≈ 7 h) this lands well
+    * under the first quartile, so the fast FRACTION separates bursty
+    * accounts instead of flagging everyone. */
+  val FastGapUs = 3600L * 1000000L
+
+  /** Minimum gap count before a user is profiled — rate rules on a
+    * handful of events are noise. */
+  val MinGaps = 20L
+
+  /** Per-user burstiness profile + bot flag — the automation screen run
+    * before any engagement metric is trusted: users whose inter-event
+    * gaps are ≤ 1 h for at least 1/8 of their (≥ [[MinGaps]]) gaps are
+    * flagged. The decision `8·n_fast ≥ n_gaps` is a pure BIGINT
+    * compare (no float threshold to drift cross-engine); `fast_frac`
+    * is the one IEEE division, emitted for dashboards but never used
+    * in the flag. One lag window per user + one user-keyed aggregation
+    * — the [[Events]] inter-arrival shape with a per-user rollup. */
+  val botFlags = QueryDef("ev_bot_flags",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us",
+          expr("unix_micros(ts) - unix_micros(prev_ts)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("gap_us").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+          sum(when(col("gap_us") <= FastGapUs, 1L).otherwise(0L))
+            .as("n_fast"))
+        .filter(col("n_gaps") >= MinGaps)
+        .select(col("user_id"), col("n_events"), col("n_gaps"), col("n_fast"),
+          (col("n_fast").cast("double") / col("n_gaps").cast("double"))
+            .as("fast_frac"),
+          when(col("n_fast") * 8L >= col("n_gaps"), 1L).otherwise(0L)
+            .as("is_bot"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH g AS (SELECT user_id,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events),
+      prof AS (SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_gaps,
+        CAST(SUM(CASE WHEN gap_us <= $FastGapUs THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_fast
+        FROM g GROUP BY 1)
+      SELECT user_id, n_events, n_gaps, n_fast,
+        CAST(n_fast AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS fast_frac,
+        CAST(CASE WHEN n_fast * 8 >= n_gaps THEN 1 ELSE 0 END AS BIGINT)
+          AS is_bot
+      FROM prof WHERE n_gaps >= $MinGaps ORDER BY user_id"""))
+
+  /** Exact conversion-latency distribution — median and P90 micro-
+    * seconds from a user's FIRST view to their FIRST purchase (strictly
+    * after it), over converted users only. The funnel entry counts who
+    * converts; this measures how long it takes — the other axis every
+    * funnel dashboard plots.
+    *
+    * Latencies are exact BIGINT microsecond differences of two per-user
+    * `min` timestamps (one user-keyed aggregation). The order
+    * statistics come from [[Quantiles.valueAtRanks]]'s two-level prefix
+    * sum — discrete ranks floor((n−1)/2) and floor(0.9·(n−1)), no
+    * interpolation, no global sort; the oracle spells the same ranks
+    * via ROW_NUMBER. Converted-user count rides along from the same
+    * relation. */
+  val funnelLatency = QueryDef("ev_funnel_latency",
+    (s, d) => {
+      val lats = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+        .filter(col("fp") > col("fv"))
+        .select((expr("unix_micros(fp)") - expr("unix_micros(fv)")).as("v"))
+      val ranks = graft.operators.Quantiles.valueAtRanks(lats, "v", 1e10,
+        Seq("med_latency_us" ->
+            floor((col("n") - 1).cast("double") / 2),
+          "p90_latency_us" ->
+            floor(lit(0.9) * (col("n") - 1).cast("double"))))
+      ranks.crossJoin(broadcast(lats.agg(count(lit(1)).as("n_converted"))))
+        .select(col("n_converted"),
+          // v is BIGINT micros; emit DOUBLE (exact ≤ 2^53) to match the
+          // oracle's selection columns
+          col("med_latency_us").cast("double").as("med_latency_us"),
+          col("p90_latency_us").cast("double").as("p90_latency_us"))
+    },
+    Some("""WITH f AS (SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY 1),
+      lats AS (SELECT epoch_us(fp) - epoch_us(fv) AS v
+        FROM f WHERE fp > fv),
+      nr AS (SELECT COUNT(*) AS n FROM lats),
+      o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx FROM lats),
+      med AS (SELECT CAST(MAX(v) AS DOUBLE) AS med_latency_us
+        FROM o CROSS JOIN nr
+        WHERE idx = CAST(FLOOR(CAST(n - 1 AS DOUBLE) / 2) AS BIGINT)),
+      p90 AS (SELECT CAST(MAX(v) AS DOUBLE) AS p90_latency_us
+        FROM o CROSS JOIN nr
+        WHERE idx = CAST(FLOOR(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT))
+      SELECT n AS n_converted, med_latency_us, p90_latency_us
+      FROM nr CROSS JOIN med CROSS JOIN p90"""))
+}

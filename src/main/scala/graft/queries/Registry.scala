@@ -17,7 +17,7 @@ object Registry {
       graft.operators.Similarity.all ++ graft.operators.Clustering.all ++
       graft.operators.Semantic.all ++ graft.operators.Retrieval.all ++
       graft.operators.Spectral.all ++ graft.operators.Eval.all ++
-      graft.operators.Events.all ++
+      graft.operators.Events.all ++ graft.operators.Journeys.all ++
       graft.operators.PageRank.all ++ graft.operators.LabelProp.all ++
       graft.operators.Mis.all ++
       graft.operators.Triangles.all ++ graft.operators.Basket.all ++
@@ -25,9 +25,10 @@ object Registry {
       graft.operators.Mixture.all ++ graft.operators.Profiling.all ++
       graft.operators.UrlCuration.all ++ graft.operators.HtmlExtract.all ++
       graft.operators.Winnowing.all ++ graft.operators.Bootstrap.all ++
-      graft.operators.Anonymity.all ++
+      graft.operators.Anonymity.all ++ graft.operators.Coreset.all ++
       graft.operators.Chunking.all ++ graft.operators.Cdc.all ++
       graft.operators.Multimodal.all ++ graft.operators.AsOfJoin.all ++
       StreamingQueries.all ++
-      Statistics.all ++ graft.sources.Sinks.all
+      Statistics.all ++ graft.operators.Association.all ++
+      graft.sources.Sinks.all
 }

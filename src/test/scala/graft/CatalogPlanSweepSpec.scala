@@ -95,7 +95,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_gini",
     // rank window over the LIMIT-100 top-words relation
     // (TakeOrderedAndProject first — bounded at any corpus size)
-    "text_zipf_fit")
+    "text_zipf_fit",
+    // conversion-latency order statistics via valueAtRanks: serial
+    // window only on the ~#buckets offset relation (stat_mad machinery)
+    "ev_funnel_latency",
+    // AUC midranks via the same two-level prefix sum: serial window
+    // crosses only the bucket-offset relation; per-value cumulative
+    // counts are bucket-partitioned
+    "eval_auc")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,

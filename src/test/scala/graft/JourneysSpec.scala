@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Serial-model specs for the user-journey entries: each query's result
+  * re-derived from a collected copy of the events table in plain Scala
+  * (per-user timelines sorted by (ts, event_id), the queries' window
+  * order). */
+class JourneysSpec extends SparkSpec {
+
+  private lazy val timelines: Map[Long, Seq[(Long, String)]] =
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3)).map(r => (r._2, r._4)).toSeq
+      }
+
+  test("ev_path_trigrams matches a serial per-user sequence model") {
+    val counts = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    timelines.values.foreach { tl =>
+      tl.sliding(3).foreach {
+        case Seq(a, b, c) =>
+          val k = (a._2, b._2, c._2)
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        case _ =>
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val got = graft.operators.Journeys.pathTrigrams
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
+  test("ev_bot_flags matches a serial gap-profile model") {
+    import graft.operators.Journeys.{FastGapUs, MinGaps}
+    val expected = timelines.toSeq.flatMap { case (u, tl) =>
+      val gaps = tl.map(_._1).sliding(2).collect {
+        case Seq(a, b) => b - a
+      }.toSeq
+      val nFast = gaps.count(_ <= FastGapUs).toLong
+      if (gaps.length >= MinGaps)
+        Some((u, tl.length.toLong, gaps.length.toLong, nFast,
+          nFast.toDouble / gaps.length.toDouble,
+          if (nFast * 8 >= gaps.length) 1L else 0L))
+      else None
+    }.sortBy(_._1)
+    val got = graft.operators.Journeys.botFlags
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the flag rule must be exactly the integer compare, not the float
+    got.foreach { case (_, _, nGaps, nFast, _, bot) =>
+      assert(bot == (if (nFast * 8 >= nGaps) 1L else 0L))
+    }
+  }
+
+  test("ev_funnel_latency matches a serial first-view/first-purchase model") {
+    val lats = timelines.values.flatMap { tl =>
+      val fv = tl.collectFirst { case (us, "view") => us }
+      val fp = tl.collectFirst { case (us, "purchase") => us }
+      (fv, fp) match {
+        case (Some(v), Some(p)) if p > v => Some(p - v)
+        case _ => None
+      }
+    }.toSeq.sorted
+    // first event per type via collectFirst on the time-sorted timeline
+    // == min(ts) per type; strict fp > fv matches the query filter
+    assert(lats.nonEmpty, "fixture must contain converted users")
+    val med = lats((lats.length - 1) / 2).toDouble
+    val p90 = lats(math.floor(0.9 * (lats.length - 1)).toInt).toDouble
+    val row = graft.operators.Journeys.funnelLatency
+      .fn(spark, sf("sf0.001")).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == lats.length.toLong)
+    assert(row(0).getDouble(1) == med)
+    assert(row(0).getDouble(2) == p90)
+    assert(med <= p90)
+  }
+}
