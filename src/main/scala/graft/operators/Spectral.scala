@@ -39,7 +39,7 @@ object Spectral {
   val QScale = 1000L   // float quantization: q = floor(x*1000 + 0.5)
   val VScale = 10000L  // renormalize so max|v| ≈ 10^4 each round
 
-  def all: Seq[QueryDef] = Seq(powerIteration)
+  def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate)
 
   val powerIteration = QueryDef("emb_power_iteration",
     (s, d) => {
@@ -90,6 +90,120 @@ object Spectral {
         v0 AS (SELECT j, CAST($VScale AS BIGINT) AS v FROM dims),
         $rounds
         SELECT CAST(j AS BIGINT) AS j, v FROM v$Rounds ORDER BY j"""
+    },
+    bench = true)
+
+  /** The quantized exploded relation shared by both spectral entries. */
+  private def qeOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale + 0.5d) AS BIGINT))")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("qv"))
+
+  /** One batch of power-iteration rounds: y = XᵀX·w per round, integer
+    * renormalization, and (for the deflated run) integer Gram–Schmidt
+    * against `orth` — w ← y′ − trunc((y′·v₁)·v₁ / (v₁·v₁)), with plain
+    * Scala Long `/` because BOTH it and DuckDB's `//` truncate toward
+    * zero on negatives (measured: `-7 // 2 = -3` in DuckDB — it is NOT
+    * a flooring division, which is why [[powerIteration]]'s scaling
+    * divides shifted-to-non-negative magnitudes). */
+  private def iterate(qe: org.apache.spark.sql.DataFrame, init: Array[Long],
+      orth: Option[Array[Long]]): Array[Long] = {
+    val s = qe.sparkSession
+    import s.implicits._
+    var v = init
+    for (_ <- 1 to Rounds) {
+      val vDf = v.zipWithIndex
+        .map { case (w, i) => ((i + 1).toLong, w) }.toSeq.toDF("j", "v")
+      val sr = qe.join(broadcast(vDf), "j")
+        .groupBy(col("vec_id")).agg(sum(col("qv") * col("v")).as("sv"))
+      val y = qe.join(sr, "vec_id")
+        .groupBy(col("j")).agg(sum(col("qv") * col("sv")).as("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val sc = math.max(
+        y.map(p => math.abs(p._2)).maxOption.getOrElse(0L) / VScale, 1L)
+      var w = y.map { case (_, yj) =>
+        (if (yj < 0) -1L else 1L) * (math.abs(yj) / sc)
+      }
+      orth.foreach { v1 =>
+        val o = w.zip(v1).map { case (a, b) => a * b }.sum
+        val n1 = math.max(v1.map(x => x * x).sum, 1L)
+        w = w.zip(v1).map { case (a, b) => a - (o * b) / n1 }
+      }
+      v = w
+    }
+    v
+  }
+
+  /** Second principal direction by DEFLATED power iteration — the
+    * anisotropy diagnostic's second axis (whitening, 2-D spectral
+    * maps, and the "is the corpus one blob or two" question all need
+    * more than the top direction). Same superstep shape as
+    * [[powerIteration]]: v₁ is re-derived first (3 rounds), then a
+    * second start vector (alternating ±VScale — deterministically
+    * non-parallel to the all-ones start) iterates with an integer
+    * Gram–Schmidt step against v₁ after each renormalization, so the
+    * iterate converges toward the second eigenvector instead of
+    * collapsing back onto the first.
+    *
+    * Exactness: everything stays in the BIGINT discipline — the
+    * projection coefficient o = y′·v₁ and norm v₁·v₁ are exact 64-term
+    * integer sums (bounds: |y′| ≤ 2·10⁴ ⇒ o ≤ 2.6·10¹⁰,
+    * o·v₁_j ≤ 5.2·10¹⁴ ≪ 2⁶³), and the division TRUNCATES toward zero
+    * in both engines (Scala Long `/` and DuckDB `//` agree on
+    * negatives; Python-style flooring would not).
+    *
+    * Scale: 6 corpus scans (3 per direction) + 64-long driver state per
+    * round; deflation itself is driver arithmetic on two 64-vectors.
+    * SpectralSpec asserts near-orthogonality (quantization-limited) and
+    * that v₂ captures LESS variance than v₁ (Rayleigh ordering). */
+  val powerDeflate = QueryDef("emb_power_deflate",
+    (s, d) => {
+      val qe = qeOf(s, d)
+      import s.implicits._
+      val v1 = iterate(qe, Array.fill(Dim)(VScale), None)
+      val w0 = Array.tabulate(Dim)(i =>
+        if ((i + 1) % 2 == 1) VScale else -VScale)
+      val v2 = iterate(qe, w0, Some(v1))
+      v2.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) }.toSeq
+        .toDF("j", "v").orderBy(col("j"))
+    },
+    Some {
+      def roundCtes(prefix: String, vPrefix: String, orth: Option[String]) =
+        (1 to Rounds).map { k =>
+          val base = s"""${prefix}s$k AS (SELECT vec_id, SUM(qv * v) AS sv
+            FROM qe JOIN $vPrefix${k - 1} USING (j) GROUP BY vec_id),
+          ${prefix}y$k AS (SELECT j, CAST(SUM(qv * sv) AS BIGINT) AS y
+            FROM qe JOIN ${prefix}s$k USING (vec_id) GROUP BY j),
+          ${prefix}n$k AS (SELECT GREATEST(MAX(ABS(y)) // $VScale, 1) AS sc
+            FROM ${prefix}y$k),
+          ${prefix}u$k AS (SELECT j,
+            CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END) * (ABS(y) // sc) AS BIGINT) AS v
+            FROM ${prefix}y$k CROSS JOIN ${prefix}n$k)"""
+          orth match {
+            case None => base + s""",
+          $vPrefix$k AS (SELECT j, v FROM ${prefix}u$k)"""
+            case Some(o1) => base + s""",
+          ${prefix}o$k AS (SELECT CAST(SUM(u.v * o1.v) AS BIGINT) AS o,
+            GREATEST(CAST(SUM(o1.v * o1.v) AS BIGINT), 1) AS n1
+            FROM ${prefix}u$k u JOIN $o1 o1 USING (j)),
+          $vPrefix$k AS (SELECT u.j, u.v - (o * o1.v) // n1 AS v
+            FROM ${prefix}u$k u JOIN $o1 o1 USING (j)
+            CROSS JOIN ${prefix}o$k)"""
+          }
+        }.mkString(",\n")
+      s"""WITH dims AS (SELECT unnest(range(1, ${Dim + 1})) AS j),
+        qe AS (SELECT vec_id, j,
+          CAST(floor(CAST(embedding[j] AS DOUBLE) * $QScale + 0.5) AS BIGINT) AS qv
+          FROM embeddings CROSS JOIN dims),
+        v0 AS (SELECT j, CAST($VScale AS BIGINT) AS v FROM dims),
+        ${roundCtes("", "v", None)},
+        w0 AS (SELECT j, CAST(CASE WHEN j % 2 = 1 THEN $VScale
+          ELSE -$VScale END AS BIGINT) AS v FROM dims),
+        ${roundCtes("d", "w", Some(s"v$Rounds"))}
+        SELECT CAST(j AS BIGINT) AS j, v FROM w$Rounds ORDER BY j"""
     },
     bench = true)
 }

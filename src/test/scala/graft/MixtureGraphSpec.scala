@@ -124,6 +124,63 @@ class MixtureGraphSpec extends SparkSpec {
       "distributed integer power iteration must replay bit-exactly")
   }
 
+  test("deflated power iteration: bit-exact replay, near-orthogonal to v1, Rayleigh ordered") {
+    import graft.operators.Spectral
+    val X: Array[Array[Long]] = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * Spectral.QScale + 0.5).toLong))
+    def step(v: Array[Long]): Array[Long] = {
+      val y = Array.fill(Spectral.Dim)(0L)
+      X.foreach { row =>
+        var sv = 0L
+        var j = 0
+        while (j < Spectral.Dim) { sv += row(j) * v(j); j += 1 }
+        j = 0
+        while (j < Spectral.Dim) { y(j) += row(j) * sv; j += 1 }
+      }
+      val sc = math.max(y.map(math.abs).max / Spectral.VScale, 1L)
+      y.map(yj => (if (yj < 0) -1L else 1L) * (math.abs(yj) / sc))
+    }
+    def rayleigh(v: Array[Long]): Double = {
+      val num = X.map { row =>
+        val s = row.indices.map(j => row(j).toDouble * v(j)).sum
+        s * s
+      }.sum
+      num / v.map(x => x.toDouble * x).sum
+    }
+    var v1 = Array.fill(Spectral.Dim)(Spectral.VScale)
+    for (_ <- 1 to Spectral.Rounds) v1 = step(v1)
+    var w = Array.tabulate(Spectral.Dim)(i =>
+      if ((i + 1) % 2 == 1) Spectral.VScale else -Spectral.VScale)
+    for (_ <- 1 to Spectral.Rounds) {
+      val u = step(w)
+      val o = u.zip(v1).map { case (a, b) => a * b }.sum
+      val n1 = math.max(v1.map(x => x * x).sum, 1L)
+      // truncating division — the engine/oracle-shared rounding
+      w = u.zip(v1).map { case (a, b) => a - (o * b) / n1 }
+    }
+    val engine = Spectral.powerDeflate.fn(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(engine.map(_._1).sameElements(1L to Spectral.Dim.toLong))
+    assert(engine.map(_._2).sameElements(w),
+      "deflated integer power iteration must replay bit-exactly")
+    // near-orthogonality (quantization-limited, not exact)
+    val dotD = w.zip(v1).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val cos = math.abs(dotD) /
+      (math.sqrt(w.map(x => x.toDouble * x).sum) *
+        math.sqrt(v1.map(x => x.toDouble * x).sum))
+    assert(cos < 0.05, s"v2 not orthogonal to v1: |cos| = $cos")
+    // the synthetic embeddings' covariance spectrum is near-flat
+    // (Marchenko–Pastur: λ1 ≈ λ2), so after 3 rounds the two Rayleigh
+    // quotients are only guaranteed to be COMPARABLE, not ordered —
+    // assert the deflated direction lands in the same top-of-spectrum
+    // band rather than a strict ordering the spectrum cannot support
+    assert(rayleigh(w) <= rayleigh(v1) * 1.05,
+      "Rayleigh of the deflated direction left the top-spectrum band")
+    assert(rayleigh(w) > 0.0)
+  }
+
   test("edit_dist: textbook values, edge cases, and parity with builtin levenshtein on corpus prefixes") {
     import graft.functions.EditDistanceAscii.distance
     def d(a: String, b: String) = distance(a.getBytes, b.getBytes)
