@@ -28,9 +28,12 @@ import graft.{QueryDef, Tables}
   * scan. */
 object Anonymity {
 
-  def all: Seq[QueryDef] = Seq(kAnonymity)
+  def all: Seq[QueryDef] = Seq(kAnonymity, lDiversity)
 
   val K = 8
+
+  /** Distinct-l-diversity floor for [[lDiversity]]. */
+  val L = 6
 
   /** Core over an arbitrary `(doc_id, lang, source, bkt)` frame — what
     * the spec's suppression fixture drives (the corpus never reaches
@@ -91,4 +94,38 @@ object Anonymity {
         CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN n1
              WHEN lvl = 2 THEN n2 ELSE n3 END AS BIGINT) AS grp_n
       FROM lv ORDER BY doc_id"""))
+
+  /** Distinct l-diversity audit (Machanavajjhala et al.) — the gate
+    * k-anonymity alone cannot close: a group can hold k
+    * indistinguishable rows that all share ONE sensitive value, so
+    * membership still discloses it (the homogeneity attack). Here the
+    * quasi-identifier is (lang, length-bucket) and `source` plays the
+    * sensitive attribute: a release group is safe only when it is both
+    * k-anonymous (n ≥ [[K]]) AND l-diverse (≥ [[L]] DISTINCT sources —
+    * the distinct-l criterion; entropy-l would need an order-dependent
+    * float sum and buys little at audit granularity).
+    *
+    * Output is the per-group audit table (the artifact a release
+    * review reads): group size, distinct sensitive values, and the two
+    * integer pass flags. One hash aggregation with a distinct count —
+    * quasi-id-cardinality-bounded output, count-distinct partial-
+    * aggregated corpus-side; nothing data-scaled past the scan. */
+  val lDiversity = QueryDef("curate_l_diversity",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), (col("n_chars") / 100L).cast("long").as("bkt"),
+        col("source"))
+      .groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("source")).as("n_sensitive"))
+      .select(col("lang"), col("bkt"), col("n"), col("n_sensitive"),
+        when(col("n") >= K, 1L).otherwise(0L).as("k_ok"),
+        when(col("n_sensitive") >= L, 1L).otherwise(0L).as("l_ok"))
+      .orderBy(col("lang"), col("bkt")),
+    Some(s"""SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+        COUNT(*) AS n,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
+        CAST(CASE WHEN COUNT(*) >= $K THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+        CAST(CASE WHEN COUNT(DISTINCT source) >= $L THEN 1 ELSE 0 END
+          AS BIGINT) AS l_ok
+      FROM documents GROUP BY 1, 2 ORDER BY lang, bkt"""))
 }

@@ -35,20 +35,27 @@ object Journeys {
     * |event types|³ (125 here) regardless of corpus size; top-20 plans
     * as TakeOrderedAndProject. Count ties break lexicographically on
     * the path so the dump is deterministic. */
+  /** The per-user trigram expansion shared by the batch entry and the
+    * streaming twin's parity test: one row per 3-consecutive-event
+    * window, keyed by user. */
+  def trigramsOf(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .select(col("user_id"), col("step1"), col("step2"), col("step3"))
+  }
+
   val pathTrigrams = QueryDef("ev_path_trigrams",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("step1"))
-        .withColumn("step2", lead(col("step1"), 1).over(w))
-        .withColumn("step3", lead(col("step1"), 2).over(w))
-        .filter(col("step3").isNotNull)
-        .groupBy(col("step1"), col("step2"), col("step3"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
-        .limit(20)
-    },
+    (s, d) => trigramsOf(Tables.events(s, d))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20),
     Some("""WITH p AS (SELECT
         event_type AS step1,
         lead(event_type, 1) OVER (PARTITION BY user_id

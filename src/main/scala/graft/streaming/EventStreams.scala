@@ -231,6 +231,45 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class PathState(t1: Option[String], t2: Option[String])
+  case class TrigramRow(user_id: Long, step1: String, step2: String,
+      step3: String)
+
+  /** Streaming twin of `ev_path_trigrams`' per-user sequence expansion —
+    * journey mining as stateful stream processing: the per-user state is
+    * the LAST TWO event types (two Options — O(1), vs the batch twin's
+    * two lead frames over stored history), and every arriving event with
+    * two predecessors emits one trigram row. Within a microbatch, rows
+    * process in (ts, event_id) order — the batch window's order — so for
+    * in-order arrival the union of microbatch outputs equals the batch
+    * `Journeys.trigramsOf` relation exactly (StreamingSpec proves parity
+    * across a split, including the trigram that straddles it). The
+    * top-20 rollup downstream is the same |types|³-bounded aggregation
+    * either way. */
+  def pathTrigrams(events: Dataset[EvId]): Dataset[TrigramRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, evs: Iterator[EvId],
+        state: GroupState[PathState]): Iterator[TrigramRow] = {
+      var st = state.getOption.getOrElse(PathState(None, None))
+      val out = scala.collection.mutable.ListBuffer.empty[TrigramRow]
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        (st.t1, st.t2) match {
+          case (Some(a), Some(b)) => out += TrigramRow(user, a, b, e.event_type)
+          case _ =>
+        }
+        st = PathState(st.t2, Some(e.event_type))
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class MinuteCount(event_type: String, m: Timestamp, cnt: Long)
   case class CusumState(p: Long, minP: Long)
   case class CusumRow(event_type: String, m: Timestamp, cnt: Long,

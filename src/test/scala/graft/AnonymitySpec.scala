@@ -56,4 +56,30 @@ class AnonymitySpec extends SparkSpec {
     }
     assert(got(99L) == ((3, "*", "*", "*", 10L)), "singleton not suppressed")
   }
+
+  test("curate_l_diversity matches a serial model and separates k-ok-but-l-poor groups") {
+    val d = sf("sf0.001")
+    val rows = Tables.documents(spark, d)
+      .select(col("lang"), (col("n_chars") / 100L).cast("long"),
+        col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((lang, bkt), xs) =>
+        val n = xs.length.toLong
+        val ls = xs.map(_._3).distinct.length.toLong
+        (lang, bkt, n, ls,
+          if (n >= Anonymity.K) 1L else 0L,
+          if (ls >= Anonymity.L) 1L else 0L)
+      }.sortBy(t => (t._1, t._2))
+    val got = Anonymity.lDiversity.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the homogeneity-attack case must exist in the fixture: at least
+    // one group passes k-anonymity yet fails the diversity floor, and
+    // at least one passes both — otherwise the l criterion adds nothing
+    assert(got.exists(g => g._5 == 1L && g._6 == 0L),
+      "no k-anonymous but l-poor group in the fixture")
+    assert(got.exists(g => g._5 == 1L && g._6 == 1L))
+  }
 }

@@ -318,4 +318,39 @@ class StreamingSpec extends SparkSpec {
     val first = alarms.indexOf(true)
     assert(first >= 6 && alarms.drop(first).forall(identity))
   }
+
+  test("streaming path trigrams == batch trigram expansion across a microbatch split") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.EvId
+    val all = Seq(
+      EvId(100L, ts(10), 1L, "view", Some(0.0)),
+      EvId(101L, ts(20), 1L, "click", Some(0.0)),
+      EvId(102L, ts(20), 1L, "view", Some(0.0)),  // same-instant: id order
+      EvId(103L, ts(25), 2L, "view", Some(0.0)),  // user 2: too short
+      // batch split falls here — the last-two state must carry so the
+      // straddling trigram (click, view, purchase) is still emitted
+      EvId(104L, ts(30), 1L, "purchase", Some(5.0)),
+      EvId(105L, ts(35), 2L, "click", Some(0.0)),
+      EvId(106L, ts(40), 1L, "signup", Some(0.0)))
+    val mem = MemoryStream[EvId]
+    val q = graft.streaming.EventStreams.pathTrigrams(mem.toDS())
+      .writeStream.format("memory").queryName("trigram_rows")
+      .outputMode("append").start()
+    mem.addData(all.take(4): _*); q.processAllAvailable()
+    mem.addData(all.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trigram_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sorted.toSeq
+    val batch = graft.operators.Journeys.trigramsOf(
+        all.toDF().select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).sorted.toSeq
+    assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    // the cross-split trigram exists, and user 2 (only 2 events) emits none
+    assert(streamed.contains((1L, "click", "view", "purchase")))
+    assert(!streamed.exists(_._1 == 2L))
+  }
 }
