@@ -17,10 +17,12 @@ import graft.{QueryDef, Tables}
   * `sim_topk_quantized` rounding), and every subsequent operation — dot
   * products, per-dimension sums, the max-abs renormalization — is
   * integer arithmetic, so sums are associative and any partitioning or
-  * engine produces identical bits. Renormalization divides |y| (shifted
-  * to non-negative before the integer division, since Spark `div`
-  * truncates toward zero while DuckDB `//` floors — they agree only on
-  * non-negatives) so that max|v| returns to ~10^4 each round; bounds:
+  * engine produces identical bits. Renormalization divides |y| shifted
+  * to non-negative before the integer division (belt-and-suspenders;
+  * measured r11: DuckDB `//` TRUNCATES toward zero like Scala `/` —
+  * `-7 // 2 = -3` — so they agree on negatives too, which the deflated
+  * twin's Gram–Schmidt division relies on) so that max|v| returns to
+  * ~10^4 each round; bounds:
   * |q|≤500, |v|≤2·10^4, dim 64 ⇒ |s_r| ≤ 6.4·10^8, and at 10^6 rows
   * |y_j| ≤ 3.2·10^17 < 2^63 — no overflow headroom games at bench scale.
   *
@@ -39,7 +41,7 @@ object Spectral {
   val QScale = 1000L   // float quantization: q = floor(x*1000 + 0.5)
   val VScale = 10000L  // renormalize so max|v| ≈ 10^4 each round
 
-  def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate)
+  def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate, spectralOutliers)
 
   val powerIteration = QueryDef("emb_power_iteration",
     (s, d) => {
@@ -171,7 +173,24 @@ object Spectral {
         .toDF("j", "v").orderBy(col("j"))
     },
     Some {
-      def roundCtes(prefix: String, vPrefix: String, orth: Option[String]) =
+      s"""WITH dims AS (SELECT unnest(range(1, ${Dim + 1})) AS j),
+        qe AS (SELECT vec_id, j,
+          CAST(floor(CAST(embedding[j] AS DOUBLE) * $QScale + 0.5) AS BIGINT) AS qv
+          FROM embeddings CROSS JOIN dims),
+        v0 AS (SELECT j, CAST($VScale AS BIGINT) AS v FROM dims),
+        ${roundCtes("", "v", None)},
+        w0 AS (SELECT j, CAST(CASE WHEN j % 2 = 1 THEN $VScale
+          ELSE -$VScale END AS BIGINT) AS v FROM dims),
+        ${roundCtes("d", "w", Some(s"v$Rounds"))}
+        SELECT CAST(j AS BIGINT) AS j, v FROM w$Rounds ORDER BY j"""
+    },
+    bench = true)
+
+  /** DuckDB CTE chain for one batch of rounds — shared by the deflate
+    * and outlier oracles (generated from the same constants as the
+    * Spark loop, the ivfTrainSqlDuck convention). */
+  private def roundCtes(prefix: String, vPrefix: String,
+      orth: Option[String]): String =
         (1 to Rounds).map { k =>
           val base = s"""${prefix}s$k AS (SELECT vec_id, SUM(qv * v) AS sv
             FROM qe JOIN $vPrefix${k - 1} USING (j) GROUP BY vec_id),
@@ -194,16 +213,41 @@ object Spectral {
             CROSS JOIN ${prefix}o$k)"""
           }
         }.mkString(",\n")
+
+  /** Spectral outlier report — the consumer the spectral family exists
+    * for, made a first-class entry: the 10 vectors most extreme along
+    * the top principal direction (anisotropy outliers — the rows
+    * whitening clips and curation inspects first). v₁ is re-derived by
+    * the same 3 integer rounds; each vector's projection is the exact
+    * BIGINT dot Σ_j q_j·v₁_j (one broadcast join + hash agg over the
+    * quantized relation — map-side combinable, nothing data-scaled but
+    * the scan), ranked by |proj| with vec_id ties, top-10 as
+    * TakeOrderedAndProject. Oracle reuses the shared round-CTE
+    * generator, so the training spelling cannot drift from
+    * [[powerIteration]]'s. */
+  val spectralOutliers = QueryDef("emb_spectral_outliers",
+    (s, d) => {
+      val qe = qeOf(s, d)
+      import s.implicits._
+      val v1 = iterate(qe, Array.fill(Dim)(VScale), None)
+      val vDf = broadcast(v1.zipWithIndex
+        .map { case (w, i) => ((i + 1).toLong, w) }.toSeq.toDF("j", "v"))
+      qe.join(vDf, "j")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qv") * col("v")).as("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(10)
+    },
+    Some {
       s"""WITH dims AS (SELECT unnest(range(1, ${Dim + 1})) AS j),
         qe AS (SELECT vec_id, j,
           CAST(floor(CAST(embedding[j] AS DOUBLE) * $QScale + 0.5) AS BIGINT) AS qv
           FROM embeddings CROSS JOIN dims),
         v0 AS (SELECT j, CAST($VScale AS BIGINT) AS v FROM dims),
         ${roundCtes("", "v", None)},
-        w0 AS (SELECT j, CAST(CASE WHEN j % 2 = 1 THEN $VScale
-          ELSE -$VScale END AS BIGINT) AS v FROM dims),
-        ${roundCtes("d", "w", Some(s"v$Rounds"))}
-        SELECT CAST(j AS BIGINT) AS j, v FROM w$Rounds ORDER BY j"""
+        pr AS (SELECT vec_id, CAST(SUM(qv * v) AS BIGINT) AS proj
+          FROM qe JOIN v$Rounds USING (j) GROUP BY vec_id)
+        SELECT vec_id, proj FROM pr ORDER BY ABS(proj) DESC, vec_id LIMIT 10"""
     },
     bench = true)
 }

@@ -179,6 +179,20 @@ class MixtureGraphSpec extends SparkSpec {
     assert(rayleigh(w) <= rayleigh(v1) * 1.05,
       "Rayleigh of the deflated direction left the top-spectrum band")
     assert(rayleigh(w) > 0.0)
+    // the outlier report is the serial top-10 |projection| onto v1
+    // (fresh id-paired collect — X above is unordered, fine for sums)
+    val projs = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).toArray.map(x =>
+          math.floor(x.toDouble * Spectral.QScale + 0.5).toLong)
+        r.getLong(0) -> q.indices.map(j => q(j) * v1(j)).sum
+      }
+    val want = projs.sortBy { case (id, p) => (-math.abs(p), id) }.take(10)
+      .toSeq
+    val gotOut = Spectral.spectralOutliers.fn(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotOut == want, "spectral outliers must replay serially")
   }
 
   test("edit_dist: textbook values, edge cases, and parity with builtin levenshtein on corpus prefixes") {
