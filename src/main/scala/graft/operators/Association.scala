@@ -24,7 +24,7 @@ import graft.{QueryDef, Tables}
   * not the corpus. */
 object Association {
 
-  def all: Seq[QueryDef] = Seq(mutualInfo, kendallTau)
+  def all: Seq[QueryDef] = Seq(mutualInfo, kendallTau, cramersV)
 
   /** Per-cell mutual-information decomposition of lang × source:
     * pmi = ln(o·N/(r·c)) and the cell's MI contribution (o/N)·pmi.
@@ -130,5 +130,73 @@ object Association {
         CAST(nc - nd AS DOUBLE) /
           sqrt(CAST(CAST(n_pairs - tie_x AS DECIMAL(38,0)) *
             (n_pairs - tie_y) AS DOUBLE)) AS tau_b
+      FROM agg"""))
+
+  /** Cramér's V — the one-number EFFECT SIZE for the lang × source
+    * pair: χ² scales with N (any dependence becomes "significant" at
+    * 100 TB), V = √(χ²/(N·(min(R,C)−1))) ∈ [0,1] does not — the number
+    * a drift dashboard thresholds on. The per-cell terms are exactly
+    * `stat_chi2_independence`'s (same DECIMAL(38,0) products, one IEEE
+    * division each); the χ² TOTAL — a float sum — is an explicit LEFT
+    * FOLD over the (lang, source)-sorted cell list in both engines
+    * (sort_array + `aggregate` vs list(ORDER BY) + `list_reduce`, the
+    * eval_ndcg convention), never an order-free hash-agg float sum.
+    * The fold runs over the ≤|langs|·|sources|-row contingency
+    * relation — feature-bounded, not data-scaled. */
+  val cramersV = QueryDef("stat_cramers_v",
+    (s, d) => {
+      val obs = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rm = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cm = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      val cells = obs.join(rm, "lang").join(cm, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("dev",
+          (col("o").cast("decimal(38,0)") * col("n") -
+            col("r").cast("decimal(38,0)") * col("c")).cast("double"))
+        .withColumn("chi2_term",
+          col("dev") * col("dev") /
+            (col("n").cast("decimal(38,0)") * col("r") * col("c"))
+              .cast("double"))
+      cells.agg(
+          expr("""aggregate(sort_array(collect_list(
+              struct(lang, source, chi2_term))),
+            cast(0 as double), (acc, x) -> acc + x.chi2_term)""").as("chi2"),
+          max(col("n")).as("n"),
+          countDistinct(col("lang")).as("r_levels"),
+          countDistinct(col("source")).as("c_levels"))
+        .select(col("chi2"), col("n"), col("r_levels"), col("c_levels"),
+          // a 1-level factor has no association to measure → NULL
+          when(least(col("r_levels"), col("c_levels")) > 1L,
+            sqrt(col("chi2") /
+              (col("n").cast("decimal(38,0)") *
+                (least(col("r_levels"), col("c_levels")) - 1L))
+                .cast("double"))).as("cramers_v"))
+    },
+    Some("""WITH obs AS (SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rm AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY 1),
+      cm AS (SELECT source, SUM(o) AS c FROM obs GROUP BY 1),
+      tot AS (SELECT SUM(o) AS n FROM obs),
+      cells AS (SELECT obs.lang, obs.source, n,
+          CAST(CAST(o AS DECIMAL(38,0)) * n -
+            CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) AS dev,
+          CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE) AS denom
+        FROM obs JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN tot),
+      agg AS (SELECT
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(dev * dev / denom ORDER BY lang, source)),
+            (a, b) -> a + b) AS chi2,
+          CAST(MAX(n) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS r_levels,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS c_levels
+        FROM cells)
+      SELECT chi2, n, r_levels, c_levels,
+        CASE WHEN LEAST(r_levels, c_levels) > 1 THEN
+          sqrt(chi2 / CAST(CAST(n AS DECIMAL(38,0)) *
+            (LEAST(r_levels, c_levels) - 1) AS DOUBLE))
+        END AS cramers_v
       FROM agg"""))
 }

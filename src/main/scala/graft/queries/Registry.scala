@@ -18,6 +18,7 @@ object Registry {
       graft.operators.Semantic.all ++ graft.operators.Retrieval.all ++
       graft.operators.Spectral.all ++ graft.operators.Eval.all ++
       graft.operators.Events.all ++ graft.operators.Journeys.all ++
+      graft.operators.SessionFunnel.all ++
       graft.operators.PageRank.all ++ graft.operators.LabelProp.all ++
       graft.operators.Mis.all ++
       graft.operators.Triangles.all ++ graft.operators.Basket.all ++

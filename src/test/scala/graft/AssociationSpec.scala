@@ -96,4 +96,69 @@ class AssociationSpec extends SparkSpec {
     // genuinely rank long docs above short ones
     assert(auc > 0.6)
   }
+
+  test("stat_cramers_v matches a bit-exact serial fold and sits in [0,1]") {
+    val d = sf("sf0.001")
+    val rows = Tables.documents(spark, d)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    val o = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rm = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cm = rows.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    // the query's exact tree, folded in (lang, source) order
+    val chi2 = o.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (acc, ((l, s), obs)) =>
+        val dev = (BigDecimal(obs) * BigDecimal(n) -
+          BigDecimal(rm(l)) * BigDecimal(cm(s))).toDouble
+        acc + dev * dev /
+          (BigDecimal(n) * BigDecimal(rm(l)) * BigDecimal(cm(s))).toDouble
+    }
+    val k = math.min(rm.size, cm.size).toLong
+    val v = math.sqrt(chi2 / (BigDecimal(n) * BigDecimal(k - 1)).toDouble)
+    val row = graft.operators.Association.cramersV.fn(spark, d).collect()
+    assert(row.length == 1)
+    assert(row(0).getDouble(0) == chi2)
+    assert((row(0).getLong(1), row(0).getLong(2), row(0).getLong(3)) ==
+      ((n, rm.size.toLong, cm.size.toLong)))
+    assert(row(0).getDouble(4) == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("ev_session_funnel matches a serial sessionize+funnel model") {
+    val d = sf("sf0.001")
+    val evs = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    var nSess, nView, nConv = 0L
+    evs.groupBy(_._1).values.foreach { rows =>
+      val tl = rows.sortBy(r => (r._2, r._3)).toSeq
+      // split on >1800 s gaps (epoch-second difference, the query's cast)
+      val sessions = scala.collection.mutable.ListBuffer(
+        scala.collection.mutable.ListBuffer(tl.head))
+      tl.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b._2 / 1000000L - a._2 / 1000000L > 1800L)
+            sessions += scala.collection.mutable.ListBuffer(b)
+          else sessions.last += b
+        case _ =>
+      }
+      sessions.foreach { sess =>
+        nSess += 1
+        val fv = sess.collectFirst { case (_, us, _, "view") => us }
+        val fp = sess.collectFirst { case (_, us, _, "purchase") => us }
+        if (fv.isDefined) nView += 1
+        if (fv.isDefined && fp.isDefined && fp.get > fv.get) nConv += 1
+      }
+    }
+    val row = graft.operators.SessionFunnel.sessionFunnel.fn(spark, d).collect()
+    assert(row.length == 1)
+    assert((row(0).getLong(0), row(0).getLong(1), row(0).getLong(2)) ==
+      ((nSess, nView, nConv)))
+    assert(row(0).getDouble(3) == nConv.toDouble / nView.toDouble)
+    // the fixture must exercise all three states: sessions without a
+    // view, viewed-but-unconverted sessions, and converted sessions
+    assert(nConv > 0 && nView > nConv && nSess > nView)
+  }
 }
