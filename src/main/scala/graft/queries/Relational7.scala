@@ -10,7 +10,30 @@ import graft.{QueryDef, Tables}
   * and the skyline operator family. */
 object Relational7 {
 
-  def all: Seq[QueryDef] = Seq(bloomPruneJoin, skyline, recursiveDepth)
+  def all: Seq[QueryDef] = Seq(bloomPruneJoin, skyline, recursiveDepth,
+    lateralTopk)
+
+  /** LATERAL correlated derived table — the remaining ANSI join-surface
+    * spelling (top-N-per-group as a correlated subquery instead of a
+    * window): for each order priority, its two highest-value orders.
+    * The sql_text_surface discipline — ONE statement, char-identical in
+    * both engines (Spark 4 decorrelates the LIMIT-bounded lateral into
+    * a window/join plan; DuckDB executes it natively — two engines, two
+    * strategies, hash-equal). The group domain is the 5-row DISTINCT
+    * priority relation, so the lateral fan-out is bounded by the group
+    * count at any corpus size; `q8_top_orders`-style windows remain the
+    * idiomatic spelling — this is the SQL-compatibility path. */
+  val lateralTopk = {
+    val sqlText = """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_orderpriority = p.o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY p.o_orderpriority, t.o_totalprice DESC, t.o_orderkey"""
+    QueryDef("sql_lateral_topk",
+      (s, d) => { Tables.registerAll(s, d); s.sql(sqlText) },
+      Some(sqlText))
+  }
 
   /** Native recursive-SQL surface: the SAME `WITH RECURSIVE` text runs
     * through Spark 4.x's recursive-CTE executor and DuckDB — the
