@@ -17,7 +17,7 @@ import graft.{QueryDef, Tables}
   */
 object Eval {
 
-  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc)
+  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion)
 
   private val K = 10  // evaluate @10
   private val NQ = 5  // query vectors (vec_id < 5, the brute-force set)
@@ -312,4 +312,34 @@ object Eval {
             CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DOUBLE)
         END AS auc
       FROM agg"""))
+
+  /** Confusion matrix of the corpus-profile language-ID classifier
+    * against the ground-truth `lang` column — the per-class evaluation
+    * the scalar accuracy number hides (WHICH languages the signature-
+    * word heuristic confuses, the actionable cell for profile tuning).
+    * The prediction relation is the oracle-proven `text_langid` PLAN
+    * reused verbatim (the eval_auc / survivorship convention), joined
+    * back to truth and rolled up to (true_lang, pred_lang) counts with
+    * per-row hit flags — the |langs|²-bounded relation a per-class
+    * precision/recall dashboard derives from directly. Integer counts
+    * end to end; no float anywhere. */
+  val langidConfusion = QueryDef("eval_langid_confusion",
+    (s, d) => {
+      val pred = graft.operators.TextAnalysis.langid.fn(s, d)
+        .select(col("doc_id"), col("pred_lang"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some(s"""WITH pred AS (SELECT doc_id, pred_lang
+        FROM (${graft.operators.TextAnalysis.langid.oracle.get}) lp)
+      SELECT d.lang, p.pred_lang, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
 }

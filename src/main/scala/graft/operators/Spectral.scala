@@ -41,7 +41,8 @@ object Spectral {
   val QScale = 1000L   // float quantization: q = floor(x*1000 + 0.5)
   val VScale = 10000L  // renormalize so max|v| ≈ 10^4 each round
 
-  def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate, spectralOutliers)
+  def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate, spectralOutliers,
+    spectralMap)
 
   val powerIteration = QueryDef("emb_power_iteration",
     (s, d) => {
@@ -248,6 +249,51 @@ object Spectral {
         pr AS (SELECT vec_id, CAST(SUM(qv * v) AS BIGINT) AS proj
           FROM qe JOIN v$Rounds USING (j) GROUP BY vec_id)
         SELECT vec_id, proj FROM pr ORDER BY ABS(proj) DESC, vec_id LIMIT 10"""
+    },
+    bench = true)
+
+  /** 2-D spectral map — every vector's exact integer coordinates along
+    * the top two principal directions (v₁ from [[powerIteration]]'s
+    * rounds, v₂ from [[powerDeflate]]'s deflated rounds): the
+    * projection pass behind embedding-space scatter plots, coarse 2-D
+    * binning, and whitening's first two columns. Both coordinates are
+    * exact BIGINT dots of the quantized relation (c_k = Σ_j q_j·v_k_j),
+    * computed in ONE broadcast join + hash agg — the two direction
+    * vectors ride the same 64-row broadcast, so the corpus is scanned
+    * once for the map (plus the 6 training scans). Per-vector output,
+    * vec_id-ordered. */
+  val spectralMap = QueryDef("emb_spectral_map",
+    (s, d) => {
+      val qe = qeOf(s, d)
+      import s.implicits._
+      val v1 = iterate(qe, Array.fill(Dim)(VScale), None)
+      val w0 = Array.tabulate(Dim)(i =>
+        if ((i + 1) % 2 == 1) VScale else -VScale)
+      val v2 = iterate(qe, w0, Some(v1))
+      val vDf = broadcast(v1.zip(v2).zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }.toSeq
+        .toDF("j", "v1", "v2"))
+      qe.join(vDf, "j")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qv") * col("v1")).as("c1"),
+          sum(col("qv") * col("v2")).as("c2"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      s"""WITH dims AS (SELECT unnest(range(1, ${Dim + 1})) AS j),
+        qe AS (SELECT vec_id, j,
+          CAST(floor(CAST(embedding[j] AS DOUBLE) * $QScale + 0.5) AS BIGINT) AS qv
+          FROM embeddings CROSS JOIN dims),
+        v0 AS (SELECT j, CAST($VScale AS BIGINT) AS v FROM dims),
+        ${roundCtes("", "v", None)},
+        w0 AS (SELECT j, CAST(CASE WHEN j % 2 = 1 THEN $VScale
+          ELSE -$VScale END AS BIGINT) AS v FROM dims),
+        ${roundCtes("d", "w", Some(s"v$Rounds"))},
+        dirs AS (SELECT a.j, a.v AS v1, b.v AS v2
+          FROM v$Rounds a JOIN w$Rounds b USING (j))
+        SELECT vec_id, CAST(SUM(qv * v1) AS BIGINT) AS c1,
+          CAST(SUM(qv * v2) AS BIGINT) AS c2
+        FROM qe JOIN dirs USING (j) GROUP BY vec_id ORDER BY vec_id"""
     },
     bench = true)
 }

@@ -645,6 +645,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == lab)
     // propagation actually happened (labels coalesced below node count)
     assert(got.values.toSet.size < n)
+
+    // modularity of the SAME assignment: serial per-community cells,
+    // q_term = (L_c*M - D_c^2)/M^2 — one exact division each
+    val m = edges.size.toLong
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val cells = lab.groupBy(_._2).toSeq.map { case (c, members) =>
+      val nodes = members.keys.toSet
+      val internal = edges.count(e =>
+        lab(e._1) == c && lab(e._2) == c).toLong
+      val dsum = nodes.toSeq.map(deg(_)).sum
+      val q = (BigDecimal(internal) * BigDecimal(m) -
+        BigDecimal(dsum) * BigDecimal(dsum)).toDouble /
+        (BigDecimal(m) * BigDecimal(m)).toDouble
+      (c, nodes.size.toLong, internal, dsum, q)
+    }.sortBy(_._1)
+    val gotMod = graft.operators.LabelProp.modularity.fn(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(gotMod == cells, "modularity cells must replay serially")
+    // the ring+skip graph is expander-like (the mod-7 skip edges destroy
+    // locality), so the HONEST modularity of any assignment is ≈ 0 —
+    // the metric must report that the coalesced LPA labels carry no
+    // community signal (measured: −0.013), not a spurious positive
+    val q = cells.map(_._5).sum
+    assert(math.abs(q) < 0.05, s"expander modularity should be ~0, got $q")
   }
 
   test("stat_mann_whitney: bit-exact vs a serial midrank model; U_a + U_b == n_a*n_b") {

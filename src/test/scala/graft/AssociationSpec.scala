@@ -161,4 +161,27 @@ class AssociationSpec extends SparkSpec {
     // view, viewed-but-unconverted sessions, and converted sessions
     assert(nConv > 0 && nView > nConv && nSess > nView)
   }
+
+  test("eval_langid_confusion matches a serial join of prediction and truth") {
+    val d = sf("sf0.001")
+    val pred = graft.operators.TextAnalysis.langid.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = truth.groupBy(t => (t._2, pred(t._1))).toSeq
+      .map { case ((l, p), xs) =>
+        (l, p, xs.length.toLong, if (l == p) xs.length.toLong else 0L)
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Eval.langidConfusion.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // every document lands in exactly one cell, and the heuristic beats
+    // chance by a wide margin on the synthetic multilingual corpus
+    val total = got.map(_._3).sum
+    assert(total == truth.length.toLong)
+    val acc = got.map(_._4).sum.toDouble / total.toDouble
+    assert(acc > 0.2, s"langid accuracy $acc")
+  }
 }

@@ -188,6 +188,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stat_gini" -> Seq("agg[bkt]<-[orders]"),
     "stat_equidepth_histogram" -> Seq("agg[bkt]<-[lineitem]"),
     "stat_rank_normalize" -> Seq("agg[bkt]<-[lineitem]"),
+    // AUC midrank machinery: same Quantiles bucket-offset relation —
+    // ~(score range / 0.01) buckets over the [0, ~1.05] quality score
+    "eval_auc" -> Seq("agg[bkt]<-[documents]"),
+    // conversion-latency selection: bucket offsets over the 1e10-µs-wide
+    // latency buckets (range-bounded by the corpus time span)
+    "ev_funnel_latency" -> Seq("agg[bkt]<-[events]"),
     "stat_weighted_median" -> Seq("agg[bkt]<-[lineitem]", "agg[-]<-[lineitem]"),
     // grouped twin: offsets are (groups × buckets)-bounded, totals
     // groups-bounded (returnflag cardinality 3)
@@ -200,6 +206,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // (the topmost agg the walk sees is the lang×w count feeding the
     // rank window); langs = distinct of that profile
     "text_langid" -> Seq("agg[lang,w]<-[documents]",
+      "agg[sig_lang]<-[documents]", "agg[-]<-[]"),
+    // the confusion-matrix eval reuses text_langid's plan verbatim —
+    // same rank-≤10 signature profile and ISO-bounded language set
+    "eval_langid_confusion" -> Seq("agg[lang,w]<-[documents]",
       "agg[sig_lang]<-[documents]", "agg[-]<-[]"))
 
   test("every BroadcastExchange in every catalog plan is bounded by construction or by review") {

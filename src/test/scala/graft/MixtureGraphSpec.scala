@@ -193,6 +193,25 @@ class MixtureGraphSpec extends SparkSpec {
     val gotOut = Spectral.spectralOutliers.fn(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotOut == want, "spectral outliers must replay serially")
+    // and the 2-D map is the exact per-vector (v1, v2) projection pair
+    val gotMap = Spectral.spectralMap.fn(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c1ById = projs.toMap
+    assert(gotMap.length == projs.length)
+    gotMap.foreach { case (id, c1, _) =>
+      assert(c1 == c1ById(id), s"vec $id c1 projection mismatch")
+    }
+    // c2 column checked against a fresh serial projection onto w
+    val c2Serial = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).toArray.map(x =>
+          math.floor(x.toDouble * Spectral.QScale + 0.5).toLong)
+        r.getLong(0) -> q.indices.map(j => q(j) * w(j)).sum
+      }.toMap
+    gotMap.foreach { case (id, _, c2) =>
+      assert(c2 == c2Serial(id), s"vec $id c2 projection mismatch")
+    }
   }
 
   test("edit_dist: textbook values, edge cases, and parity with builtin levenshtein on corpus prefixes") {
