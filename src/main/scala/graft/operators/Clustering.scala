@@ -18,7 +18,87 @@ import graft.{QueryDef, Tables}
   */
 object Clustering {
 
-  def all: Seq[QueryDef] = Seq(kmeansAssign, silhouette)
+  def all: Seq[QueryDef] = Seq(kmeansAssign, silhouette, driftPsi)
+
+  /** Embedding-distribution drift monitor — `profile_drift`'s PSI
+    * discipline applied to the EMBEDDING space: quantize both snapshots
+    * onto the same k=8 coarse cells (the [[kmeansAssign]] kernel — the
+    * IVF coarse quantizer doubling as a histogram), then one add-1-
+    * smoothed PSI term per cell. This is how a feature-store watches
+    * "did the encoder or the corpus shift" without pairwise anything:
+    * a cell whose occupancy moves carries the alert, and the cells are
+    * the SAME broadcast centroids for both sides by construction.
+    * Snapshots here are the even/odd vec_id halves (a null split — PSI
+    * ≈ 0, the calibration the spec pins; a production deployment feeds
+    * yesterday/today). All counts integer-exact; p's are single
+    * divisions; the log is the bit-parity `math_ln`; terms emitted as
+    * rows (k-bounded), never float-summed by the engine. */
+  val driftPsi = QueryDef("emb_drift_psi",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      graft.functions.HashExpressions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("dot_f64(embedding, embedding)").as("xx"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("xx").as("cc"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cid"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("d2",
+          col("xx") - lit(2.0) * expr("dot_f64(embedding, cvec)") + col("cc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val counts = assigned.groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_old"),
+          sum(when(col("vec_id") % 2 === 0, 0L).otherwise(1L)).as("c_new"))
+      val totals = counts.agg(sum(col("c_old")).as("n_old"),
+        sum(col("c_new")).as("n_new"), count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p_old",
+          expr("CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE)"))
+        .withColumn("p_new",
+          expr("CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)"))
+        .withColumn("psi_term",
+          (col("p_old") - col("p_new")) * expr("math_ln(p_old / p_new)"))
+        .select(col("cell"), col("c_old"), col("c_new"), col("p_old"),
+          col("p_new"), col("psi_term"))
+        .orderBy(col("cell"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+        list_sum(list_transform(range(1, len(embedding)+1),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+          AS xx
+        FROM embeddings),
+      seeds AS (SELECT vec_id AS cid, embedding AS cvec, xx AS cc
+        FROM e WHERE vec_id < 8),
+      dist AS (SELECT x.vec_id, s.cid,
+          x.xx - 2 * list_sum(list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(s.cvec[i] AS DOUBLE)))
+            + s.cc AS d2
+        FROM e x CROSS JOIN seeds s),
+      assigned AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1),
+      counts AS (SELECT cell,
+          CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS c_old,
+          CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+            AS c_new
+        FROM assigned GROUP BY 1),
+      totals AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+        CAST(SUM(c_new) AS BIGINT) AS n_new, COUNT(*) AS k FROM counts)
+      SELECT cell, c_old, c_new,
+        CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE) AS p_old,
+        CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE) AS p_new,
+        (CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE) -
+         CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)) *
+          ln((CAST(c_old + 1 AS DOUBLE) / CAST(n_old + k AS DOUBLE)) /
+             (CAST(c_new + 1 AS DOUBLE) / CAST(n_new + k AS DOUBLE)))
+          AS psi_term
+      FROM counts CROSS JOIN totals ORDER BY cell"""))
 
   /** Simplified (centroid-based) silhouette per vector — the cluster
     * QUALITY measure beside [[kmeansAssign]]'s assignment: a = squared

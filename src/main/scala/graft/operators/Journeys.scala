@@ -27,7 +27,42 @@ import graft.{QueryDef, Tables}
   * relation. */
 object Journeys {
 
-  def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency)
+  def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency,
+    retentionTriangle)
+
+  /** Full cohort-retention triangle — the matrix behind every retention
+    * heatmap (`ev_retention` reports only the D1/D7 cuts): users
+    * cohorted by FIRST active day, one row per (cohort day, day
+    * offset) with the distinct users still active then. Plan: collapse
+    * events to distinct (user, day) — the big reduction — then one
+    * user-keyed min for the cohort day, one join back, one hash agg;
+    * the output is calendar²-bounded (≤ 30×30 here) at any corpus
+    * size. Integer counts; retention RATES are one division away and
+    * left to the reader (the per-cell convention). */
+  val retentionTriangle = QueryDef("ev_retention_triangle",
+    (s, d) => {
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val cohorts = userDays.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      userDays.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+        date_trunc('day', ts) AS day FROM events),
+      cohorts AS (SELECT user_id, MIN(day) AS cohort_day
+        FROM ud GROUP BY 1)
+      SELECT c.cohort_day,
+        CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT)
+          AS offset_days,
+        CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users
+      FROM ud JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, offset_days"""))
 
   /** Top-20 3-step event-type paths across all users — the flow-diagram
     * aggregate. Two O(1) `lead` frames per user (never a buffered

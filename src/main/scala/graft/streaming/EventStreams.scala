@@ -231,6 +231,49 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class BotState(lastUs: Option[Long], nEvents: Long, nGaps: Long,
+      nFast: Long)
+  case class BotProfileRow(user_id: Long, n_events: Long, n_gaps: Long,
+      n_fast: Long)
+
+  /** Streaming twin of `ev_bot_flags`' per-user gap profile — the bot
+    * screen as stateful stream processing: state is FOUR longs per user
+    * (last event micros + three counters), each microbatch emits the
+    * user's UPDATED cumulative profile row. A gap that straddles a
+    * microbatch boundary still counts (the carried `lastUs` pairs with
+    * the next batch's first event — StreamingSpec pins it), so for
+    * in-order arrival the LAST emitted row per user equals the batch
+    * window's profile exactly. The ≤1 h fast-gap rule and the 8×
+    * integer flag decision live downstream, identical to the batch
+    * entry's. */
+  def botProfile(events: Dataset[EvId],
+      fastGapUs: Long = graft.operators.Journeys.FastGapUs)
+      : Dataset[BotProfileRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, evs: Iterator[EvId],
+        state: GroupState[BotState]): Iterator[BotProfileRow] = {
+      var st = state.getOption.getOrElse(BotState(None, 0L, 0L, 0L))
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        // full-precision micros (unix_micros parity — getTime truncates
+        // to millis, which would misjudge threshold-straddling gaps)
+        val inst = e.ts.toInstant
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        val gap = st.lastUs.map(us - _)
+        st = BotState(Some(us), st.nEvents + 1,
+          st.nGaps + (if (gap.isDefined) 1L else 0L),
+          st.nFast + (if (gap.exists(_ <= fastGapUs)) 1L else 0L))
+      }
+      state.update(st)
+      Iterator.single(BotProfileRow(user, st.nEvents, st.nGaps, st.nFast))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class PathState(t1: Option[String], t2: Option[String])
   case class TrigramRow(user_id: Long, step1: String, step2: String,
       step3: String)

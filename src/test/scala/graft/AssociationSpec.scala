@@ -162,6 +162,24 @@ class AssociationSpec extends SparkSpec {
     assert(nConv > 0 && nView > nConv && nSess > nView)
   }
 
+  test("emb_drift_psi: null split is calibrated near zero; cells match the assignment") {
+    val d = sf("sf0.001")
+    // cells must partition the corpus across the same k=8 assignment
+    // the kmeans entry computes
+    val assign = graft.operators.Clustering.kmeansAssign.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantCounts = assign.groupBy(_._2).map { case (c, xs) =>
+      c -> (xs.count(_._1 % 2 == 0).toLong, xs.count(_._1 % 2 != 0).toLong)
+    }
+    val got = graft.operators.Clustering.driftPsi.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.map(g => g._1 -> ((g._2, g._3))).toMap == wantCounts)
+    // even/odd vec_id is a null split: total PSI must sit well under the
+    // 0.1 "no shift" dashboard threshold (each term tiny)
+    val psi = got.map(_._4).sum
+    assert(psi >= 0.0 && psi < 0.1, s"null-split PSI $psi")
+  }
+
   test("eval_langid_confusion matches a serial join of prediction and truth") {
     val d = sf("sf0.001")
     val pred = graft.operators.TextAnalysis.langid.fn(spark, d).collect()

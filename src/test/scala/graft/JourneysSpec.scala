@@ -63,6 +63,30 @@ class JourneysSpec extends SparkSpec {
     }
   }
 
+  test("ev_retention_triangle matches a serial cohort model") {
+    val userDays = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val cohort = userDays.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    val dayMs = 86400000L
+    val expected = userDays
+      .groupBy(t => (cohort(t._1), (t._2 - cohort(t._1)) / dayMs))
+      .map { case ((c, off), xs) => (c, off, xs.map(_._1).distinct.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Journeys.retentionTriangle
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // triangle invariants: offset-0 cell of each cohort counts the whole
+    // cohort, and no cell exceeds it
+    val c0 = got.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    got.foreach { case (c, _, n) => assert(n <= c0(c)) }
+    assert(got.exists(_._2 > 0L), "no retention beyond day 0 in fixture")
+  }
+
   test("ev_funnel_latency matches a serial first-view/first-purchase model") {
     val lats = timelines.values.flatMap { tl =>
       val fv = tl.collectFirst { case (us, "view") => us }

@@ -353,4 +353,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((1L, "click", "view", "purchase")))
     assert(!streamed.exists(_._1 == 2L))
   }
+
+  test("streaming bot profile == batch gap counters across a microbatch split") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.EvId
+    // user 1: gaps 10 min (fast), 50 min (fast), 90 min (slow) — the
+    // 50-min gap STRADDLES the microbatch split and must still count
+    val all = Seq(
+      EvId(100L, ts(0), 1L, "view", Some(0.0)),
+      EvId(101L, ts(10), 1L, "click", Some(0.0)),
+      EvId(102L, ts(5), 2L, "view", Some(0.0)),
+      // split here
+      EvId(103L, ts(60), 1L, "view", Some(0.0)),
+      EvId(104L, ts(150), 1L, "purchase", Some(1.0)),
+      EvId(105L, ts(65), 2L, "click", Some(0.0)))
+    val mem = MemoryStream[EvId]
+    val q = graft.streaming.EventStreams.botProfile(mem.toDS())
+      .writeStream.format("memory").queryName("bot_rows")
+      .outputMode("append").start()
+    mem.addData(all.take(3): _*); q.processAllAvailable()
+    mem.addData(all.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    // LAST emitted row per user (cumulative profile) == a serial fold
+    val rows = spark.table("bot_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val last = rows.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.maxBy(_._2) // n_events grows monotonically per user
+    }
+    // user 1: 4 events, 3 gaps, 2 fast (10 min, 50 min; 90 min slow)
+    assert(last(1L) == ((1L, 4L, 3L, 2L)))
+    // user 2: 2 events, 1 gap (60 min, boundary-exact -> fast)
+    assert(last(2L) == ((2L, 2L, 1L, 1L)))
+    // cross-batch carry is visible: after batch 1 user 1 had 1 gap only
+    assert(rows.contains((1L, 2L, 1L, 1L)))
+  }
 }
