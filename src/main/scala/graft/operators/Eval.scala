@@ -17,7 +17,7 @@ import graft.{QueryDef, Tables}
   */
 object Eval {
 
-  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion)
+  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall)
 
   private val K = 10  // evaluate @10
   private val NQ = 5  // query vectors (vec_id < 5, the brute-force set)
@@ -342,4 +342,50 @@ object Eval {
           AS BIGINT) AS n_correct
       FROM documents d JOIN pred p USING (doc_id)
       GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
+
+  /** Banding-recall certification of the MinHash-LSH dedup index —
+    * the eval that decides whether 4×4 banding is enough: the LSH
+    * pair set (`dedup_minhash_lsh`'s PLAN, reused) against the exact
+    * all-pairs Jaccard yardstick (`dedup_ngram_jaccard`'s plan) on the
+    * yardstick's bounded doc_id < 1000 prefix. Precision is 1.0 BY
+    * CONSTRUCTION (the LSH path exactly verifies Jaccard ≥ 0.5 on its
+    * candidates) — emitting it makes the gate self-auditing; recall
+    * < 1 counts true pairs whose 16-minhash signature never agreed on
+    * a full band. Integer pair counts, two one-row divisions.
+    * bench=false: contains the declared quadratic yardstick. */
+  val dedupRecall = QueryDef("eval_dedup_recall",
+    (s, d) => {
+      val exact = graft.operators.Dedup.ngramJaccard.fn(s, d)
+        .select(col("a"), col("b"))
+      val lsh = graft.operators.Dedup.minhashLsh.fn(s, d)
+        .filter(col("b") < 1000L)
+        .select(col("a"), col("b"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nC = exact.join(lsh, Seq("a", "b")).agg(count(lit(1)).as("n_common"))
+      nE.crossJoin(broadcast(nL)).crossJoin(broadcast(nC))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          when(col("n_exact") > 0L,
+            col("n_common").cast("double") / col("n_exact").cast("double"))
+            .as("recall"),
+          when(col("n_lsh") > 0L,
+            col("n_common").cast("double") / col("n_lsh").cast("double"))
+            .as("precision"))
+    },
+    Some(s"""WITH exact_pairs AS (SELECT a, b
+        FROM (${graft.operators.Dedup.ngramJaccard.oracle.get}) ep),
+      lsh_pairs AS (SELECT a, b
+        FROM (${graft.operators.Dedup.minhashLsh.oracle.get}) lp
+        WHERE b < 1000),
+      ne AS (SELECT COUNT(*) AS n_exact FROM exact_pairs),
+      nl AS (SELECT COUNT(*) AS n_lsh FROM lsh_pairs),
+      nc AS (SELECT COUNT(*) AS n_common
+        FROM exact_pairs JOIN lsh_pairs USING (a, b))
+      SELECT n_exact, n_lsh, n_common,
+        CASE WHEN n_exact > 0 THEN
+          CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall,
+        CASE WHEN n_lsh > 0 THEN
+          CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS precision
+      FROM ne CROSS JOIN nl CROSS JOIN nc"""),
+    bench = false)
 }

@@ -28,7 +28,102 @@ import graft.{QueryDef, Tables}
 object Journeys {
 
   def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency,
-    retentionTriangle)
+    retentionTriangle, activityHeatmap, lorenzUsers)
+
+  /** Day-of-week × hour-of-day activity heatmap — the traffic-shape
+    * dashboard (when are users active; feeds the seasonal-anomaly
+    * baseline's intuition). DOW is computed PORTABLY as
+    * (epoch_day + 4) mod 7 (epoch day 0 = Thursday ⇒ Sunday = 0) —
+    * engines disagree on `dayofweek` numbering, integer arithmetic
+    * does not. One hash agg to the 7×24-bounded grid with count +
+    * distinct users per cell. */
+  val activityHeatmap = QueryDef("ev_activity_heatmap",
+    (s, d) => Tables.events(s, d)
+      .select(
+        ((floor(expr("unix_seconds(ts)").cast("double") / 86400.0)
+          .cast("long") + 4L) % 7L).as("dow"),
+        hour(col("ts")).cast("long").as("hod"),
+        col("user_id"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow"), col("hod")),
+    Some("""SELECT
+        (CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 86400.0) AS BIGINT) + 4) % 7
+          AS dow,
+        CAST(hour(ts) AS BIGINT) AS hod,
+        COUNT(*) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY dow, hod"""))
+
+  /** Revenue-concentration deciles (the Lorenz-curve table behind "the
+    * top 10% of users drive X% of revenue") — per-user purchase spend,
+    * users cut into ten value-edge buckets via ONE
+    * [[Quantiles.valueAtRanks]] pass (nine exact decile edges, the
+    * `stat_equidepth_histogram` convention: bucket = #edges strictly
+    * below the user's spend, so ties land deterministically and the
+    * buckets adapt to skew), then exact decimal spend sums per decile
+    * and ONE IEEE division for each share. The only serial window is
+    * the ~#buckets offset relation inside the selection; everything
+    * else is the user-keyed rollup. */
+  val lorenzUsers = QueryDef("ev_lorenz_users",
+    (s, d) => {
+      val spend = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("spend"))
+        // decimal ≤2dp sums are exactly representable as doubles here;
+        // the selection machinery runs on the double image
+        .withColumn("v", col("spend").cast("double"))
+      val edges = graft.operators.Quantiles.valueAtRanks(
+        spend.select(col("v")), "v", 100.0,
+        (1 to 9).map(k => s"e$k" ->
+          floor(lit(k / 10.0) * (col("n") - 1).cast("double"))))
+      val tot = spend.agg(count(lit(1)).as("n_total"),
+        sum(col("spend")).as("spend_total"))
+      spend.crossJoin(broadcast(edges)).crossJoin(broadcast(tot))
+        .withColumn("decile",
+          (1 to 9).map(k => when(col("v") > col(s"e$k"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("spend")).as("decile_spend"),
+          first(col("spend_total")).as("st"))
+        .select(col("decile"), col("n_users"),
+          col("decile_spend").cast("double").as("decile_spend"),
+          (col("decile_spend").cast("double") / col("st").cast("double"))
+            .as("spend_share"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH spend AS (SELECT user_id,
+          SUM(CAST(value AS DECIMAL(12,2))) AS spend,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      nr AS (SELECT COUNT(*) AS n FROM spend),
+      o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx FROM spend),
+      edges AS (SELECT
+          MAX(CASE WHEN idx = CAST(FLOOR(0.1 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e1,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.2 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e2,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.3 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e3,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.4 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e4,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e5,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.6 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e6,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.7 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e7,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.8 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e8,
+          MAX(CASE WHEN idx = CAST(FLOOR(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) THEN v END) AS e9
+        FROM o CROSS JOIN nr),
+      tot AS (SELECT COUNT(*) AS n_total, SUM(spend) AS st FROM spend)
+      SELECT
+        CAST(CASE WHEN v > e1 THEN 1 ELSE 0 END + CASE WHEN v > e2 THEN 1 ELSE 0 END +
+         CASE WHEN v > e3 THEN 1 ELSE 0 END + CASE WHEN v > e4 THEN 1 ELSE 0 END +
+         CASE WHEN v > e5 THEN 1 ELSE 0 END + CASE WHEN v > e6 THEN 1 ELSE 0 END +
+         CASE WHEN v > e7 THEN 1 ELSE 0 END + CASE WHEN v > e8 THEN 1 ELSE 0 END +
+         CASE WHEN v > e9 THEN 1 ELSE 0 END AS BIGINT) AS decile,
+        COUNT(*) AS n_users,
+        CAST(SUM(spend) AS DOUBLE) AS decile_spend,
+        CAST(SUM(spend) AS DOUBLE) / CAST(st AS DOUBLE) AS spend_share
+      FROM spend CROSS JOIN edges CROSS JOIN tot
+      GROUP BY 1, st ORDER BY decile"""))
 
   /** Full cohort-retention triangle — the matrix behind every retention
     * heatmap (`ev_retention` reports only the D1/D7 cuts): users

@@ -162,6 +162,26 @@ class AssociationSpec extends SparkSpec {
     assert(nConv > 0 && nView > nConv && nSess > nView)
   }
 
+  test("eval_dedup_recall cross-checks its own pair sets; LSH verify gives precision 1") {
+    val d = sf("sf0.001")
+    val exact = graft.operators.Dedup.ngramJaccard.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Dedup.minhashLsh.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 < 1000L).toSet
+    val row = graft.operators.Eval.dedupRecall.fn(spark, d).collect()
+    assert(row.length == 1)
+    val (ne, nl, nc) = (row(0).getLong(0), row(0).getLong(1), row(0).getLong(2))
+    assert((ne, nl, nc) ==
+      ((exact.size.toLong, lsh.size.toLong, (exact & lsh).size.toLong)))
+    assert(row(0).getDouble(3) == nc.toDouble / ne.toDouble)
+    // exact verification after banding ⇒ every LSH pair is a true pair
+    assert(row(0).getDouble(4) == 1.0, "LSH pair set must have precision 1")
+    assert(lsh.subsetOf(exact))
+    // banding at 16 hashes / 4×4 must catch most ≥0.5-Jaccard pairs here
+    assert(row(0).getDouble(3) >= 0.5, s"banding recall ${row(0).getDouble(3)}")
+  }
+
   test("emb_drift_psi: null split is calibrated near zero; cells match the assignment") {
     val d = sf("sf0.001")
     // cells must partition the corpus across the same k=8 assignment

@@ -51,7 +51,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "emb_ivfpq_stored") // file writes
 
   private val quadraticYardsticks = Set(
-    "dedup_ngram_jaccard", "dedup_embedding_cosine")
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    // the banding-recall eval CONTAINS the bounded ngram yardstick plan
+    "eval_dedup_recall")
 
   /** Entries whose unpartitioned windows are serial BY CONSTRUCTION:
     * `Quantiles.valueAtRanks` bucket offsets (stat_mad chains two
@@ -102,7 +104,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // AUC midranks via the same two-level prefix sum: serial window
     // crosses only the bucket-offset relation; per-value cumulative
     // counts are bucket-partitioned
-    "eval_auc")
+    "eval_auc",
+    // Lorenz deciles: the only serial window is valueAtRanks' bucket
+    // offsets over the per-user-spend bucket relation
+    "ev_lorenz_users")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
@@ -122,6 +127,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "emb_silhouette" -> Seq("agg[-]<-[embeddings]"),
     // same K-seed centroid broadcast for the SemDeDup assignment step
     "dedup_semantic" -> Seq("agg[-]<-[embeddings]"),
+    // same K-seed centroid broadcast quantizing both drift snapshots
+    "emb_drift_psi" -> Seq("agg[-]<-[embeddings]"),
     // 4×8-entry PQ codebook and the 32-row query-ADC table: both bounded
     // by `vec_id < 8` / `vec_id = 0` key filters over the seed prefix
     "emb_pq_topk" -> Seq("agg[-]<-[embeddings]"),
@@ -194,6 +201,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // conversion-latency selection: bucket offsets over the 1e10-µs-wide
     // latency buckets (range-bounded by the corpus time span)
     "ev_funnel_latency" -> Seq("agg[bkt]<-[events]"),
+    // Lorenz deciles: valueAtRanks bucket offsets over per-user spend
+    // (value-range bounded at width 100)
+    "ev_lorenz_users" -> Seq("agg[bkt]<-[events]"),
     "stat_weighted_median" -> Seq("agg[bkt]<-[lineitem]", "agg[-]<-[lineitem]"),
     // grouped twin: offsets are (groups × buckets)-bounded, totals
     // groups-bounded (returnflag cardinality 3)

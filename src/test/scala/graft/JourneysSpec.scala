@@ -87,6 +87,64 @@ class JourneysSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L), "no retention beyond day 0 in fixture")
   }
 
+  test("ev_activity_heatmap matches a serial UTC clock model") {
+    val evs = Tables.events(spark, sf("sf0.001"))
+      .select(expr("unix_seconds(ts)").as("s"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy { case (s, _) =>
+      ((s / 86400L + 4L) % 7L,
+        java.time.Instant.ofEpochSecond(s)
+          .atZone(java.time.ZoneOffset.UTC).getHour.toLong)
+    }.map { case ((dow, hod), xs) =>
+      (dow, hod, xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Journeys.activityHeatmap
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == evs.length.toLong)
+    got.foreach { case (dow, hod, _, _) =>
+      assert(dow >= 0 && dow < 7 && hod >= 0 && hod < 24)
+    }
+  }
+
+  test("ev_lorenz_users matches a serial decile model and concentrates spend") {
+    // keep exact decimals for sums (double folds would drift ulps vs the
+    // query's sum-in-decimal-then-cast-once); the v image is one cast
+    val spends = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("spend"))
+      .collect().map(r => BigDecimal(r.getDecimal(1)))
+    val vs = spends.map(_.toDouble)
+    val sorted = vs.sorted
+    val n = sorted.length
+    val edges = (1 to 9).map(k =>
+      sorted(math.floor(k / 10.0 * (n - 1)).toInt))
+    val total = spends.sum
+    val expected = spends.groupBy(s => edges.count(s.toDouble > _).toLong)
+      .toSeq
+      .map { case (dec, xs) =>
+        (dec, xs.length.toLong, xs.sum.toDouble,
+          xs.sum.toDouble / total.toDouble)
+      }.sortBy(_._1)
+    val got = graft.operators.Journeys.lorenzUsers
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    // spends are exact 2-dp decimals whose sums stay ≪ 2^53 — the double
+    // images must match exactly too
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._3 == e._3 && g._4 == e._4)
+    }
+    // concentration reads correctly: the top decile out-spends the bottom
+    val byDec = got.map(t => t._1 -> t._4).toMap
+    assert(byDec(9L) > byDec.getOrElse(0L, 0.0))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("ev_funnel_latency matches a serial first-view/first-purchase model") {
     val lats = timelines.values.flatMap { tl =>
       val fv = tl.collectFirst { case (us, "view") => us }
