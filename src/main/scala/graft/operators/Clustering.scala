@@ -18,7 +18,49 @@ import graft.{QueryDef, Tables}
   */
 object Clustering {
 
-  def all: Seq[QueryDef] = Seq(kmeansAssign, silhouette, driftPsi)
+  def all: Seq[QueryDef] = Seq(kmeansAssign, silhouette, driftPsi,
+    normHistogram)
+
+  /** Embedding-norm histogram — the cheapest encoder-health diagnostic
+    * (norm collapse, norm drift after a re-embed, and un-normalized
+    * outliers all show up here before any similarity math does): 20
+    * equi-width buckets over ‖x‖, the `stat_histogram` convention —
+    * bucket formula spelled with the SAME operation order in both
+    * engines (subtract, scale by 20, divide, floor; min/max from one
+    * global aggregate), norms from the in-order `dot_f64` fold under
+    * an IEEE-exact sqrt. One scan + one 20-group hash agg. */
+  val normHistogram = QueryDef("emb_norm_histogram",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(expr("sqrt(dot_f64(embedding, embedding))").as("v"))
+      val mm = e.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      e.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(lit(19L), floor((col("v") - col("mn")) * 20.0 /
+            greatest(col("mx") - col("mn"), lit(1e-12))).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(first(col("mn")).as("mn"), first(col("mx")).as("mx"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"),
+          (col("mn") + col("bucket").cast("double") *
+            (col("mx") - col("mn")) / 20.0).as("lo"),
+          col("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH e AS (SELECT sqrt(list_sum(list_transform(
+          range(1, len(embedding)+1),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+          AS v
+        FROM embeddings),
+      mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM e),
+      b AS (SELECT LEAST(19, CAST(FLOOR((v - mn) * 20.0 /
+          GREATEST(mx - mn, 1e-12)) AS BIGINT)) AS bucket, mn, mx
+        FROM e CROSS JOIN mm)
+      SELECT bucket, mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0 AS lo,
+        COUNT(*) AS n
+      FROM b GROUP BY bucket, mn, mx ORDER BY bucket"""))
 
   /** Embedding-distribution drift monitor — `profile_drift`'s PSI
     * discipline applied to the EMBEDDING space: quantize both snapshots

@@ -28,7 +28,84 @@ import graft.{QueryDef, Tables}
 object Journeys {
 
   def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency,
-    retentionTriangle, activityHeatmap, lorenzUsers)
+    retentionTriangle, activityHeatmap, lorenzUsers, newVsReturning,
+    sessionDepthHist)
+
+  /** New-vs-returning daily active users — the growth dashboard's core
+    * split: per calendar day, how many active users are seeing their
+    * FIRST day vs coming back. The first-seen trick
+    * (`ev_cumulative_users`' machinery): collapse to distinct
+    * (user, day), one user-keyed min for the first day, then one
+    * calendar-bounded hash agg where new = (day == first_day). Integer
+    * counts; the returning share is ONE division. */
+  val newVsReturning = QueryDef("ev_new_vs_returning",
+    (s, d) => {
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val firstDay = userDays.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      userDays.join(firstDay, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          ((col("n_active") - col("n_new")).cast("double") /
+            col("n_active").cast("double")).as("returning_frac"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+        date_trunc('day', ts) AS day FROM events),
+      fd AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+      SELECT day, COUNT(*) AS n_active,
+        CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_returning,
+        CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS returning_frac
+      FROM ud JOIN fd USING (user_id)
+      GROUP BY day ORDER BY day"""))
+
+  /** Session-depth distribution — how many events a gap-session holds
+    * (the engagement histogram behind "bounce rate"): the sessionize
+    * recipe's two O(1) frames assign session ids, one (user, session)
+    * count, then a histogram over the per-session event counts —
+    * depth-bounded output (max events per session), never data-scaled
+    * past the session rollup. A 1-event session IS a bounce; the
+    * bounce share falls out of the first row. */
+  val sessionDepthHist = QueryDef("ev_session_depth_hist",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("depth"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("depth"))
+    },
+    Some("""WITH marked AS (SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+          THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      per_session AS (SELECT user_id, session_id, COUNT(*) AS depth
+        FROM sess GROUP BY 1, 2)
+      SELECT depth, COUNT(*) AS n_sessions
+      FROM per_session GROUP BY 1 ORDER BY depth"""))
 
   /** Day-of-week × hour-of-day activity heatmap — the traffic-shape
     * dashboard (when are users active; feeds the seasonal-anomaly

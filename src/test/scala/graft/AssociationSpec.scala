@@ -200,6 +200,29 @@ class AssociationSpec extends SparkSpec {
     assert(psi >= 0.0 && psi < 0.1, s"null-split PSI $psi")
   }
 
+  test("emb_norm_histogram matches a bit-exact serial bucket model") {
+    val d = sf("sf0.001")
+    val norms = Tables.embeddings(spark, d)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+    val (mn, mx) = (norms.min, norms.max)
+    val expected = norms
+      .groupBy(v => math.min(19L,
+        math.floor((v - mn) * 20.0 / math.max(mx - mn, 1e-12)).toLong))
+      .toSeq.map { case (b, xs) =>
+        (b, mn + b.toDouble * (mx - mn) / 20.0, xs.length.toLong)
+      }.sortBy(_._1)
+    val got = graft.operators.Clustering.normHistogram.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == norms.length.toLong)
+  }
+
   test("eval_langid_confusion matches a serial join of prediction and truth") {
     val d = sf("sf0.001")
     val pred = graft.operators.TextAnalysis.langid.fn(spark, d).collect()

@@ -145,6 +145,61 @@ class JourneysSpec extends SparkSpec {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
   }
 
+  test("ev_new_vs_returning matches a serial first-seen model") {
+    val userDays = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val first = userDays.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    val expected = userDays.groupBy(_._2).toSeq.map { case (day, xs) =>
+      val nNew = xs.count(t => first(t._1) == day).toLong
+      val act = xs.length.toLong
+      (day, act, nNew, act - nNew, (act - nNew).toDouble / act.toDouble)
+    }.sortBy(_._1)
+    val got = graft.operators.Journeys.newVsReturning
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // every user is new exactly once; the first calendar day is all-new
+    assert(got.map(_._3).sum == first.size.toLong)
+    assert(got.head._4 == 0L)
+  }
+
+  test("ev_session_depth_hist matches a serial session-split model") {
+    val evs = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val depths = scala.collection.mutable.ListBuffer.empty[Long]
+    evs.groupBy(_._1).values.foreach { rows =>
+      val tl = rows.sortBy(r => (r._2, r._3))
+      var depth = 0L
+      var prev = Long.MinValue
+      tl.foreach { case (_, us, _) =>
+        if (prev != Long.MinValue && us / 1000000L - prev / 1000000L <= 1800L)
+          depth += 1
+        else {
+          if (depth > 0) depths += depth
+          depth = 1
+        }
+        prev = us
+      }
+      depths += depth
+    }
+    val expected = depths.groupBy(identity).toSeq
+      .map { case (d, xs) => (d, xs.length.toLong) }.sortBy(_._1)
+    val got = graft.operators.Journeys.sessionDepthHist
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // histogram totals: sessions sum to the serial session count and
+    // depth-weighted sessions sum to the event count
+    assert(got.map(t => t._1 * t._2).sum == evs.length.toLong)
+  }
+
   test("ev_funnel_latency matches a serial first-view/first-purchase model") {
     val lats = timelines.values.flatMap { tl =>
       val fv = tl.collectFirst { case (us, "view") => us }
