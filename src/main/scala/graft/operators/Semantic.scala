@@ -161,17 +161,33 @@ object Semantic {
     * are driver state in any k-means — the documented BPE-argmax
     * precedent).
     *
+    * Training reads the [[Similarity.trainingSample]] — the
+    * `Similarity.TrainSampleN` vectors with the smallest multiplicative
+    * hash of vec_id
+    * — not the corpus, so every per-(m, cid, pos) fold buffer below is
+    * bounded by the sample size at any corpus scale (the round-11
+    * verdict's data-scaled-buffer fix; FAISS trains PQ codebooks on a
+    * bounded sample for the same reason). The full corpus is only ever
+    * ENCODED against the trained book — a streaming broadcast-join pass.
+    *
     * Determinism, mirrored CTE-for-CTE in [[pqTrainSqlDuck]]:
-    * init = subvectors of vec_id < K; assignment = min squared-L2
-    * (‖x‖² − 2·x·c + ‖c‖², ties on cid); means fold each (m, cid, pos)
-    * value list in vec_id order; emptied cells keep their previous
-    * centroid. */
+    * init = subvectors of the K smallest sample vec_ids; assignment =
+    * min squared-L2 (‖x‖² − 2·x·c + ‖c‖², ties on cid); means fold each
+    * (m, cid, pos) value list in vec_id order; emptied cells keep their
+    * previous centroid. */
   def trainPqCodebooks(e0: DataFrame, rounds: Int): Seq[(Int, Long, Seq[Double])] = {
     val s = e0.sparkSession
     graft.functions.VectorFunctions.register(s)
     import s.implicits._
-    val subs = subvectors(e0)
-    var book: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < PqK)
+    // bounded sample, materialized once so the `rounds` assignment passes
+    // don't re-run the top-n per round
+    val samp = Similarity.trainingSample(e0, Similarity.TrainSampleN)
+      .localCheckpoint()
+    val subs = subvectors(samp)
+    val seedIds = samp.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(PqK).collect().map(_.getLong(0)).toSeq
+    var book: Seq[(Int, Long, Seq[Double])] = subs
+      .filter(col("vec_id").isin(seedIds: _*))
       .select(col("m"), col("vec_id"), col("sub")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       .sortBy(t => (t._1, t._2)).toSeq
@@ -217,8 +233,13 @@ object Semantic {
         FROM embeddings, (SELECT unnest(range($PqM)) AS m)),
       subsq AS (SELECT vec_id, m, sub,
         list_sum(list_transform(sub, v -> v * v)) AS xx FROM subsx),
-      b0 AS (SELECT m, vec_id AS cid, sub AS cvec FROM subsx
-        WHERE vec_id < $PqK)"""
+      ${Similarity.sampleSqlDuck(Similarity.TrainSampleN)},
+      sampsub AS (SELECT s.vec_id, s.m, s.sub, s.xx FROM subsq s
+        JOIN __sids USING (vec_id)),
+      __seed AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY vec_id) AS rk FROM __sids) WHERE rk <= $PqK),
+      b0 AS (SELECT m, vec_id AS cid, sub AS cvec FROM sampsub
+        JOIN __seed USING (vec_id))"""
     for (r <- 0 until rounds) {
       sb ++= s""",
       n$r AS (SELECT m, cid, cvec,
@@ -229,7 +250,7 @@ object Semantic {
               s.xx - 2 * list_sum(list_transform(range(1, len(s.sub)+1),
                 i -> s.sub[i] * b.cvec[i])) + b.cc,
               b.cid) AS rn
-          FROM subsq s JOIN n$r b ON s.m = b.m) WHERE rn = 1),
+          FROM sampsub s JOIN n$r b ON s.m = b.m) WHERE rn = 1),
       s$r AS (SELECT m, cid, i,
           list_sum(list(x ORDER BY vec_id)) / count(*) AS mn
           FROM (SELECT m, cid, vec_id, unnest(sub) AS x,

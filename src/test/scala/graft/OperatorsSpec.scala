@@ -205,9 +205,11 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("trained IVF: Lloyd moves centroids, scores stay exact, recall measured") {
-    // centroids genuinely move off their seed vectors
-    val seeds = Tables.embeddings(spark, d)
-      .filter(col("vec_id") < Similarity.IvfK)
+    // centroids genuinely move off their seed vectors — seeds are the
+    // IvfK smallest vec_ids WITHIN the bounded training sample
+    val seeds = Similarity.trainingSample(
+        Tables.embeddings(spark, d), Similarity.TrainSampleN)
+      .orderBy(col("vec_id")).limit(Similarity.IvfK)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     val trained = Similarity.trainCentroids(
@@ -240,9 +242,11 @@ class OperatorsSpec extends SparkSpec {
 
   test("trained PQ: codebooks move off seeds, re-rank scores exact, recall measured") {
     import graft.operators.Semantic
-    // sub-centroids genuinely move during Lloyd training
+    // sub-centroids genuinely move during Lloyd training — seeds are the
+    // PqK smallest vec_ids WITHIN the bounded training sample
     val e = Tables.embeddings(spark, d)
-    val seeds = e.filter(col("vec_id") < Semantic.PqK)
+    val seeds = Similarity.trainingSample(e, Similarity.TrainSampleN)
+      .orderBy(col("vec_id")).limit(Semantic.PqK)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     val book = Semantic.trainPqCodebooks(e, Semantic.PqRounds)
