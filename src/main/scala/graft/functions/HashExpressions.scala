@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen polynomial rolling hash: fold h = (h*31 + byte) mod
@@ -187,5 +188,57 @@ object HashExpressions {
             s"got ${exprs.length}")
         SortedIntersectCount(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "utf8_bytes", exprs => {
+        require(exprs.length == 1,
+          s"utf8_bytes expects exactly 1 argument, got ${exprs.length}")
+        Utf8Bytes(exprs.head)
+      }, "built-in")
   }
+}
+
+/** UTF-8 bytes of a string as ARRAY<INT> (unsigned, 0..255) — the
+  * byte-level BPE alphabet (`text_bpe_bytes`): every string decomposes
+  * into these 256 atoms, so no token is ever out-of-vocabulary (the GPT-2
+  * byte-fallback property). One pass over the string's bytes, native
+  * codegen (no sequence materialization, no lambda frames). The DuckDB
+  * mirror uses `unicode(c)` per character, equal to the byte on the ASCII
+  * corpus (the [[RollingHashMod]] convention); non-ASCII behavior —
+  * multi-byte code points decomposing into their UTF-8 bytes and
+  * round-tripping exactly — is pinned in ScalaTest (BpeSpec), not the
+  * oracle. */
+case class Utf8Bytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"utf8_bytes requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val vals = ctx.freshName("vals")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int[] $vals = new int[$bytes.length];
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $vals[$i] = $bytes[$i] & 0xff;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -37,7 +37,7 @@ import graft.{QueryDef, Tables}
   */
 object Bpe {
 
-  def all: Seq[QueryDef] = Seq(vocabQuery, encodeQuery)
+  def all: Seq[QueryDef] = Seq(vocabQuery, encodeQuery, bytesVocabQuery)
 
   /** Merge rounds to learn. Vocabulary-sized work per round; 10 rounds
     * keeps the unrolled oracle SQL readable. */
@@ -159,6 +159,112 @@ object Bpe {
     Some(oracleEncodeSql),
     bench = false)
 
+  // ---- byte-level BPE (GPT-2 style) ----
+
+  /** Initial BYTE-level word states: each word decomposes into its UTF-8
+    * bytes rendered as decimal atoms ("hey" → "␣␣104␣␣101␣␣121␣␣"), so
+    * the alphabet is exactly the 256 bytes and NO word is ever
+    * out-of-vocabulary — the GPT-2 byte-fallback property the
+    * character-level [[initialWords]] lacks (an unseen character there
+    * has no atom). Byte extraction is the native-codegen
+    * [[graft.functions.Utf8Bytes]] expression; merged atoms join byte
+    * ids with '_' ("104_101"), which keeps every atom UNAMBIGUOUSLY
+    * decodable (plain decimal concatenation would not be: "2112" could
+    * be 21|12 or 211|2) — that unambiguity is what the round-trip
+    * decode in BpeSpec relies on. */
+  private def initialByteWords(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("state",
+        concat(lit(Sep), array_join(
+          expr("transform(utf8_bytes(word), b -> CAST(b AS STRING))"), Sep),
+          lit(Sep)))
+      .localCheckpoint(false)
+  }
+
+  /** Byte-level merge: the merged atom is `a_b`, not `ab` (see
+    * [[initialByteWords]]); otherwise identical leftmost non-overlapping
+    * replace semantics. */
+  private def applyByteMerge(st: DataFrame, a: String, b: String): DataFrame =
+    st.withColumn("state",
+      call_function("replace", col("state"),
+        lit(s" $a$Sep$b "), lit(s" ${a}_$b ")))
+
+  /** Replay learned byte merges (for the encode path / round-trip spec). */
+  def applyByteMerges(st: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(st) { case (acc, (_, a, b, _)) => applyByteMerge(acc, a, b) }
+
+  /** The byte-level merge loop — [[learn]] with the byte init and the
+    * '_'-joined merge; same pair-count argmax supersteps. */
+  private def learnBytes(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    var states = initialByteWords(s, d)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to NumMerges) {
+      val top = pairCounts(states)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, c))
+        states = applyByteMerge(states, a, b)
+      }
+    }
+    merges.result()
+  }
+
+  private def learnBytesMemo(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    learned.synchronized {
+      val per = learned.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      per.getOrElseUpdate(s"bytes:$d", learnBytes(s, d))
+    }
+
+  /** Encode arbitrary (word) rows with learned byte merges — the serving
+    * path BpeSpec round-trips: init byte states, replay merges, split to
+    * token atoms. Public for the spec (arbitrary UTF-8 words, not just
+    * the corpus). */
+  def encodeByteWords(words: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    graft.functions.HashExpressions.register(words.sparkSession)
+    val init = words.withColumn("state",
+      concat(lit(Sep), array_join(
+        expr("transform(utf8_bytes(word), b -> CAST(b AS STRING))"), Sep),
+        lit(Sep)))
+    applyByteMerges(init, merges)
+      .select(col("word"), split(trim(col("state")), Sep).as("tokens"))
+  }
+
+  /** Decode a byte-BPE token sequence back to the string: atoms split on
+    * '_' into byte ids, bytes reassemble into UTF-8. Total for ANY input
+    * — the byte-fallback property. Driver-side (spec yardstick). */
+  def decodeByteTokens(tokens: Seq[String]): String = {
+    val bytes = tokens.flatMap(_.split("_").map(_.toInt.toByte))
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The learned byte-level merge table — `text_bpe_vocab`'s GPT-2-style
+    * twin (round-11 verdict item 4). Same superstep scale shape (one
+    * corpus scan, then vocabulary-sized argmax rounds); the oracle
+    * unrolls the same loop with byte ids from `unicode(c)` — equal to
+    * the UTF-8 byte on the ASCII corpus (the roll_hash convention);
+    * non-ASCII decomposition + round-trip identity is pinned in
+    * BpeSpec. */
+  val bytesVocabQuery = QueryDef("text_bpe_bytes",
+    (s, d) => {
+      val merges = learnBytesMemo(s, d)
+      import s.implicits._
+      merges.toDF("rank", "lhs", "rhs", "cnt").orderBy(col("rank"))
+    },
+    Some(oracleBytesVocabSql),
+    bench = false) // driver-loop rounds, like text_bpe_vocab
+
   // ---- generated DuckDB oracle: the same loop, unrolled ----
 
   /** words CTE + states_0. */
@@ -200,6 +306,50 @@ object Bpe {
       .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM best_$k")
       .mkString("\n      UNION ALL ")
     s"""WITH $sqlBase,
+    $rounds
+    SELECT rank, lhs, rhs, cnt FROM (
+      $unions) ORDER BY rank"""
+  }
+
+  /** Byte-level words CTE + states_0: byte ids from `unicode(c)` per
+    * character — equal to the UTF-8 byte on the ASCII corpus (documented
+    * caveat; see [[bytesVocabQuery]]). */
+  private def sqlBytesBase: String =
+    s"""words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    states_0 AS (
+      SELECT word, freq,
+        '$Sep' || array_to_string(list_transform(string_split(word, ''),
+          c -> CAST(unicode(c) AS VARCHAR)), '$Sep') || '$Sep' AS state
+      FROM words)"""
+
+  /** One unrolled byte-level round — [[sqlRound]] with the '_'-joined
+    * merged atom. */
+  private def sqlBytesRound(k: Int): String = {
+    val prev = s"states_${k - 1}"
+    s"""pairs_$k AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq) AS cnt
+      FROM (SELECT freq, string_split(trim(state), '$Sep') AS syms FROM $prev),
+        UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY 1, 2),
+    best_$k AS (
+      SELECT lhs, rhs, cnt FROM pairs_$k
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    states_$k AS (
+      SELECT s.word, s.freq,
+        COALESCE(replace(s.state, ' ' || b.lhs || '$Sep' || b.rhs || ' ',
+          ' ' || b.lhs || '_' || b.rhs || ' '), s.state) AS state
+      FROM $prev s LEFT JOIN best_$k b ON TRUE)"""
+  }
+
+  private def oracleBytesVocabSql: String = {
+    val rounds = (1 to NumMerges).map(sqlBytesRound).mkString(",\n    ")
+    val unions = (1 to NumMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM best_$k")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $sqlBytesBase,
     $rounds
     SELECT rank, lhs, rhs, cnt FROM (
       $unions) ORDER BY rank"""

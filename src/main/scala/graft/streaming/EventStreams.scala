@@ -146,6 +146,17 @@ object EventStreams {
 
   case class EvId(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Option[Double])
+
+  /** Full-precision microbatch processing order: epoch MICROS (the
+    * timestamp's stored precision) + event_id — the same total order the
+    * batch twins' `ORDER BY ts, event_id` windows use. Sorting by
+    * `getTime` (millis) instead would rest on a corpus-dependent
+    * "no per-user same-millisecond collisions" assumption (round-11
+    * advice); this removes it. */
+  private def evOrderUs(e: EvId): (Long, Long) = {
+    val inst = e.ts.toInstant
+    (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, e.event_id)
+  }
   case class PitState(lastClick: Option[Double], lastView: Option[Double])
   case class PitRow(event_id: Long, user_id: Long, label_ts: Timestamp,
       last_click: Option[Double], last_view: Option[Double])
@@ -215,7 +226,7 @@ object EventStreams {
         state: GroupState[TouchState]): Iterator[CreditRow] = {
       var st = state.getOption.getOrElse(TouchState(None))
       val out = scala.collection.mutable.ListBuffer.empty[CreditRow]
-      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      evs.toSeq.sortBy(evOrderUs).foreach { e =>
         if (e.event_type == "purchase")
           out += CreditRow(e.event_id, user, e.ts,
             st.lastTouch.getOrElse("none"), e.value)
@@ -255,9 +266,8 @@ object EventStreams {
     def fn(user: Long, evs: Iterator[EvId],
         state: GroupState[BotState]): Iterator[BotProfileRow] = {
       var st = state.getOption.getOrElse(BotState(None, 0L, 0L, 0L))
-      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        // full-precision micros (unix_micros parity — getTime truncates
-        // to millis, which would misjudge threshold-straddling gaps)
+      evs.toSeq.sortBy(evOrderUs).foreach { e =>
+        // full-precision micros (unix_micros parity with the batch twin)
         val inst = e.ts.toInstant
         val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
         val gap = st.lastUs.map(us - _)
@@ -297,7 +307,7 @@ object EventStreams {
         state: GroupState[PathState]): Iterator[TrigramRow] = {
       var st = state.getOption.getOrElse(PathState(None, None))
       val out = scala.collection.mutable.ListBuffer.empty[TrigramRow]
-      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      evs.toSeq.sortBy(evOrderUs).foreach { e =>
         (st.t1, st.t2) match {
           case (Some(a), Some(b)) => out += TrigramRow(user, a, b, e.event_type)
           case _ =>

@@ -80,4 +80,84 @@ class BpeSpec extends SparkSpec {
       assert(n <= words.map(_.length).sum, "encoding cannot exceed chars")
     }
   }
+
+  /** Independent byte-level reference: greedy BPE over UTF-8 byte atoms
+    * with the '_'-joined merged-atom rendering the operator uses. */
+  private def referenceByteBpe(
+      texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1))
+    var states: Map[String, Vector[String]] = words.keys.map { w =>
+      w -> w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toString).toVector
+    }.toMap
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to n) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      states.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + words(w)
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), c) = pc.toSeq.sortBy { case ((l, r), cnt) =>
+          (-cnt, l, r) }.head
+        merges += ((k, a, b, c))
+        states = states.view.mapValues { syms =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += s"${a}_$b"; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }.toMap
+      }
+    }
+    merges.result()
+  }
+
+  test("text_bpe_bytes matches an independent byte-level reference") {
+    val texts = Tables.documents(spark, d).select(col("text"))
+      .collect().map(_.getString(0)).toSeq
+    val expected = referenceByteBpe(texts, Bpe.NumMerges)
+    val got = Bpe.bytesVocabQuery.fn(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("byte-BPE round-trips arbitrary UTF-8 (byte fallback: nothing is OOV)") {
+    import spark.implicits._
+    val merges = Bpe.bytesVocabQuery.fn(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges.size == Bpe.NumMerges)
+    // none of these words can appear in the ASCII corpus — byte fallback
+    // must decompose multi-byte code points and round-trip them exactly
+    val exotic = Seq("naïve", "Übermaß", "日本語テキスト", "emoji🙂🚀", "żółć",
+      "הַצָּלָה", "mixedASCIIと日本語", "the", "a")
+    val out = Bpe.encodeByteWords(exotic.toDF("word"), merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    exotic.foreach { w =>
+      val toks = out(w)
+      assert(toks.nonEmpty)
+      assert(Bpe.decodeByteTokens(toks) == w, s"round-trip failed for $w")
+      // every atom decodes to valid byte ids (0..255)
+      toks.foreach(_.split("_").foreach { id =>
+        val v = id.toInt; assert(v >= 0 && v <= 255, s"bad byte id $id")
+      })
+    }
+    // corpus words actually compress: at least one merge applies somewhere
+    val corpusWords = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val encoded = Bpe.encodeByteWords(corpusWords, merges)
+      .select(col("word"), size(col("tokens")).as("n")).collect()
+    val compressed = encoded.count(r => r.getInt(1) < r.getString(0)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    assert(compressed > 0, "no corpus word compressed — merges inert")
+  }
 }

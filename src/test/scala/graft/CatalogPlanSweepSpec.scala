@@ -34,12 +34,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
 
   private val eagerOrWriting = Set(
     "text_bpe_vocab", "text_bpe_encode",      // driver merge loop
+    "text_bpe_bytes",                          // driver merge loop (bytes)
     "sssp_synthetic",                          // hybrid local solve
     "graph_kcore",                             // driver fixpoint loop
     "graph_mis",                               // driver fixpoint loop
     "graph_tree_closure",                      // driver doubling loop
     "emb_power_iteration",                     // superstep collects
     "sim_ann_ivf_trained",                     // Lloyd rounds
+    "text_quality_train",                      // GD superstep loop
     "text_heavy_hitters",                      // candidate pass collects
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
     "sink_compaction", "sink_partition_overwrite",

@@ -25,8 +25,8 @@ class CatalogSpec extends AnyFunSuite {
 
   test("catalog counts match the documented contract") {
     val all = graft.queries.Registry.all
-    assert(all.size == 263, s"catalog size ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 261,
+    assert(all.size == 265, s"catalog size ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 263,
       s"oracle-backed ${all.count(_.oracle.isDefined)}")
     assert(all.count(_.bench) == 244, s"bench ${all.count(_.bench)}")
     // the only rows-only entries are the two engine-specific sketches
