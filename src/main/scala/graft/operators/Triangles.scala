@@ -122,41 +122,62 @@ object Triangles {
       .distinct()
   }
 
-  /** Per-node degree over the simple undirected edge set. */
-  private def degreesOf(s: SparkSession): DataFrame = {
-    val simple = simpleEdges(s)
+  /** Deterministic POWER-LAW graph (the Barabási–Albert-class fixture the
+    * ring+skip synthetic cannot provide — round-11 verdict item 7): each
+    * node i contributes one ring edge (connectivity) and one
+    * "preferential" edge whose target is Zipf-distributed — dst =
+    * n div u_i − 1, where u_i is the multiplicative-hash permutation of i
+    * into [1, n] (the `trainingSample` hash: exact in both engines, a
+    * bijection below 2³¹−1). Since #{u : n div u = j+1} ≈ n/(j+1)², node
+    * j's in-degree falls off as 1/(j+1)² — a P(deg > d) ~ 1/d heavy tail
+    * with hub degree Θ(n/2), i.e. the degree skew real web/social graphs
+    * have and the degree-ordered orientation's O(√m) out-degree cap is
+    * designed for (PowerLawGraphSpec asserts the cap on this fixture;
+    * `graft.tools.PowerLawTier` measures the graph family at scale). */
+  def powerLawEdges(s: SparkSession, n: Long): DataFrame = {
+    val ids = s.range(0, n, 1, 32)
+    val ring = ids.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+    val pref = ids.select(col("id").as("src"),
+      expr(s"$n DIV ((pmod(pmod(id, 2147483647) * 1099087573, 2147483647)" +
+        s" % $n) + 1) - 1").as("dst"))
+    ring.unionAll(pref).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  /** Per-node degree over a simple undirected edge set. */
+  def degreesFor(simple: DataFrame): DataFrame =
     simple.select(col("a").as("v"))
       .unionAll(simple.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-  }
 
-  /** Per-node triangle participation counts, top 20 by (count desc, node).
-    * Rank = deg * 2^20 + id packs the (degree, id) total order into one
-    * BIGINT comparison (deg and id both ≪ 2^20). */
-  /** Per-node triangle participation counts via the degree-ordered
-    * orientation (every node's out-degree O(√m) — see the object doc). */
-  private def perNodeTriangles(s: SparkSession): DataFrame = {
-    val simple = simpleEdges(s)
-    val deg = degreesOf(s)
+  /** Per-node degree over the entry's fixed simple edge set. */
+  private def degreesOf(s: SparkSession): DataFrame =
+    degreesFor(simpleEdges(s))
+
+  /** The degree-ordered orientation of a simple undirected edge set:
+    * low (degree, id) rank → high, with the head's packed rank carried
+    * for wedge ordering. Out-degree is ≤ √(2m) on ANY graph — the bound
+    * PowerLawGraphSpec asserts on the heavy-tailed fixture. */
+  def orientedFor(simple: DataFrame): DataFrame = {
+    val deg = degreesFor(simple)
     val ranked = simple
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
       .select(col("a"), col("b"),
         (col("da") * 1048576L + col("a")).as("ra"),
         (col("db") * 1048576L + col("b")).as("rb"))
-    // orient low rank → high rank, carrying the head's rank for the
-    // wedge ordering below
-    val o = ranked.select(
+    ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
       when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
-    // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w.
-    // NOTE the oriented relation `o` appears three times in this plan
-    // (both wedge sides + the closing probe) and Catalyst recomputes
-    // the generator/degree subtree for each — free here (the graph is
-    // a deterministic `range` expression, no I/O), but on a real
-    // 100 TB edge table the first step is persisting/checkpointing `o`
-    // once, the same seam the power-iteration operator documents.
+  }
+
+  /** Per-node triangle participation over an arbitrary simple edge set —
+    * the degree-ordered enumeration, reusable by the power-law tier. */
+  def perNodeTrianglesFor(simple: DataFrame): DataFrame = {
+    val o = orientedFor(simple)
     val wedges = o.select(col("u"), col("v"), col("rv"))
       .join(o.select(col("u"), col("v").as("w"), col("rv").as("rw")), "u")
       .where(col("rv") < col("rw"))
@@ -165,6 +186,20 @@ object Triangles {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
   }
+
+  /** Per-node triangle participation counts, top 20 by (count desc, node).
+    * Rank = deg * 2^20 + id packs the (degree, id) total order into one
+    * BIGINT comparison (deg and id both ≪ 2^20). */
+  /** Per-node triangle participation counts via the degree-ordered
+    * orientation (every node's out-degree O(√m) — see the object doc). */
+  // NOTE the oriented relation appears three times in the triangle plan
+  // (both wedge sides + the closing probe) and Catalyst recomputes the
+  // generator/degree subtree for each — free here (the graph is a
+  // deterministic `range` expression, no I/O), but on a real 100 TB edge
+  // table the first step is persisting/checkpointing the orientation
+  // once, the same seam the power-iteration operator documents.
+  private def perNodeTriangles(s: SparkSession): DataFrame =
+    perNodeTrianglesFor(simpleEdges(s))
 
   val triangles = QueryDef("graph_triangles",
     (s, _) => perNodeTriangles(s)

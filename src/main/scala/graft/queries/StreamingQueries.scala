@@ -11,7 +11,8 @@ import graft.streaming.EventStreams
   * identical to date_trunc('hour'). */
 object StreamingQueries {
 
-  def all: Seq[QueryDef] = Seq(windowedCounts, streamDedup, streamPathTrigrams)
+  def all: Seq[QueryDef] = Seq(windowedCounts, streamDedup, streamPathTrigrams,
+    streamAttribution, streamLastTouch, streamHeavyHitters)
 
   /** The stateful-stream journey miner run over the batch table — the
     * SAME `flatMapGroupsWithState` transformation StreamingSpec drives
@@ -58,6 +59,100 @@ object StreamingQueries {
           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** The stream-stream interval-join attribution run over the batch
+    * table — the SAME `EventStreams.attributeToClicks` transformation
+    * StreamingSpec drives as two MemoryStreams executes here on static
+    * frames (`withWatermark` is a no-op in batch), so the oracle
+    * hash-checks the exact join the production streams run: every
+    * purchase against the same user's clicks from the preceding hour.
+    * Scale: an equi-join on user_id with a range residual — sort-merge
+    * on the user key, and in streaming mode the watermark + interval
+    * bound lets the state store discard both sides (the doc on the
+    * function). Ordered by all four columns; duplicate rows (two
+    * identical clicks) are interchangeable under the hash compare. */
+  val streamAttribution = QueryDef("stream_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      EventStreams.attributeToClicks(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy(col("user_id"), col("p_ts"), col("c_ts"),
+          col("value").asc_nulls_first)
+    },
+    Some("""SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts, p.value
+      FROM events p JOIN events c ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY p.user_id, p_ts, c_ts, p.value NULLS FIRST"""))
+
+  /** The stateful last-touch crediter run over the batch table — the
+    * SAME `flatMapGroupsWithState` transformation StreamingSpec proves
+    * across a microbatch split executes here in batch mode (one group
+    * call per user), so the oracle hash-checks the exact code path:
+    * every purchase emits one credit row against the latest view/click
+    * strictly before it in (ts-micros, event_id) order. The oracle
+    * spells the same relation as an IGNORE-NULLS last_value window —
+    * hash equality proves the O(1)-state stream machine against the
+    * window-shaped batch semantics. */
+  val streamLastTouch = QueryDef("stream_last_touch",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.EvId]
+      EventStreams.lastTouchCredit(ev).toDF()
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH o AS (SELECT event_id, user_id, ts, event_type, value,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        FROM events)
+      SELECT event_id, user_id, ts AS p_ts,
+        COALESCE(lt, 'none') AS touch_type, value
+      FROM o WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  /** The streaming Misra–Gries heavy-hitter path run over the batch
+    * token stream — `DocStreams.heavyHitterCandidates`' sharded
+    * `mapGroupsWithState` sketch (the code StreamingSpec feeds skewed
+    * microbatches) produces the candidate superset, then the exact
+    * recount + the global n/(K+1) threshold make the OUTPUT exact and
+    * order-independent: any token above the threshold provably survives
+    * its shard's MG counters (all its occurrences hash to one shard),
+    * and the recount discards every false candidate — so the entry is
+    * hash-checkable against a plain exact-SQL oracle even though the
+    * sketch content itself is arrival-order-dependent (the
+    * text_heavy_hitters convention, streaming edition). */
+  val streamHeavyHitters = QueryDef("stream_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "").as[String]
+      val k = graft.operators.HeavyHitters.K
+      val cand = graft.streaming.DocStreams.heavyHitterCandidates(toks)
+        .select(explode(col("candidates")).as("tok")).distinct()
+      val total = toks.toDF("tok").agg(count(lit(1)).as("n"))
+      toks.toDF("tok").join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * (k + 1) > col("n"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+      toks2 AS (SELECT tok FROM toks WHERE tok <> ''),
+      tot AS (SELECT COUNT(*) AS n FROM toks2)
+      SELECT tok, COUNT(*) AS cnt
+      FROM toks2 CROSS JOIN tot
+      GROUP BY tok
+      HAVING COUNT(*) * ${graft.operators.HeavyHitters.K + 1} > ANY_VALUE(n)
+      ORDER BY cnt DESC, tok"""))
 
   val windowedCounts = QueryDef("stream_windowed_counts",
     (s, d) => EventStreams.windowedCounts(Tables.events(s, d))

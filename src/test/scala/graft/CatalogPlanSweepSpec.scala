@@ -50,7 +50,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "dedup_incremental_stored",
     "components_incremental_stored",
     "dedup_substring_stored",
-    "emb_ivfpq_stored") // file writes
+    "emb_ivfpq_stored",
+    "emb_spectral_stored") // file writes
 
   private val quadraticYardsticks = Set(
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
@@ -123,6 +124,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * hints so AQE's runtime stats broadcast them only while they are
     * actually small.) */
   private val boundedBroadcastsByReview: Map[String, Seq[String]] = Map(
+    // Misra–Gries candidate relation: ≤ shards·K rows at ANY corpus size
+    // (each shard's GroupState holds at most K counters — the sketch
+    // never grows; StreamingSpec pins the state-size bound)
+    "stream_heavy_hitters" -> Seq("agg[tok]<-[documents]"),
     // K centroid seeds: `vec_id < K` key-range filter, K fixed
     "emb_kmeans_assign" -> Seq("agg[-]<-[embeddings]"),
     // same K-seed centroid broadcast, rank-2 instead of rank-1
