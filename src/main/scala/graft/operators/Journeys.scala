@@ -29,7 +29,109 @@ object Journeys {
 
   def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency,
     retentionTriangle, activityHeatmap, lorenzUsers, newVsReturning,
-    sessionDepthHist)
+    sessionDepthHist, survivalKm)
+
+  /** Follow-up horizon for [[survivalKm]] (days): conversions past it
+    * are administratively censored — the "7-day conversion" window. */
+  val KmHorizon = 7
+
+  /** Kaplan–Meier time-to-conversion — survival analysis with RIGHT
+    * CENSORING done properly (the retention family's missing member):
+    * Ŝ(t) = the probability a user remains UNCONVERTED t days after
+    * entry, under a fixed [[KmHorizon]]-day follow-up. `ev_funnel`
+    * counts who converts and `ev_funnel_latency` how fast the
+    * converters convert; both silently DROP the users observation cut
+    * short. KM is the estimator that uses them: a user whose first
+    * purchase lands within HORIZON days of their first event is an
+    * EVENT at that age; anyone else is CENSORED at
+    * min(HORIZON, last-seen age) — still at risk up to where
+    * observation stopped, never miscounted as "didn't convert"
+    * (administrative right-censoring, the textbook 7-day-conversion
+    * form; on the driver corpus both paths are live: sf0.01 has
+    * events at every age 0–7 plus 4 censored users, sf0.1 38).
+    *
+    * Shape: per age t, d_t events and c_t censorings from ONE
+    * user-keyed agg; risk set n_t = Σ_{u≥t}(d_u+c_u) as an exclusive
+    * cumsum over the age relation — ≤ HORIZON+1 rows BY CONSTRUCTION
+    * (the q42_moving_range serial-window class, allowlisted); and
+    * Ŝ(t) = Π_{u≤t}(n_u−d_u)/n_u with the cumulative product an
+    * explicit LEFT FOLD over the age-sorted ≤8-term list in BOTH
+    * engines (stat_cramers_v convention: sort_array+aggregate vs
+    * list(ORDER BY)+list_reduce — never an order-free float product),
+    * each factor ONE IEEE division of exact BIGINTs. Cost: one
+    * user-keyed shuffle, then nothing data-scaled at any corpus size. */
+  val survivalKm = QueryDef("ev_survival_km",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val h = lit(KmHorizon)
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("dl"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("fp"))
+      val isEvent = col("fp").isNotNull &&
+        datediff(col("fp"), col("d0")) <= h
+      val lab = perUser.select(
+        when(isEvent, datediff(col("fp"), col("d0")).cast("long"))
+          .otherwise(least(h.cast("long"),
+            datediff(col("dl"), col("d0")).cast("long"))).as("t"),
+        when(isEvent, 1L).otherwise(0L).as("ev"))
+      val ages = lab.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val tot = lab.agg(count(lit(1)).as("n_users"))
+      val cells = ages.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_users") -
+          coalesce(sum(col("d") + col("c")).over(
+            // exclusive cumsum over the ≤ HORIZON+1-row age relation —
+            // bounded by construction (allowlisted in the plan sweep)
+            W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("t"), col("d"), col("c"), col("n_risk"))
+      // hazard factors only at event ages; ≤ HORIZON+1 rows
+      val terms = cells.where(col("d") > 0L)
+        .select(col("t").as("t2"), col("d").as("d2"),
+          col("n_risk").as("n2"))
+      cells.join(broadcast(terms), col("t2") <= col("t"), "left")
+        .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+        .agg(expr("""aggregate(sort_array(collect_list(CASE WHEN t2 IS NULL
+            THEN NULL ELSE struct(t2,
+              cast(n2 - d2 as double) / cast(n2 as double) as f) END)),
+          cast(1.0 as double), (acc, x) -> acc * x.f)""").as("s_hat"))
+        .select(col("t"), col("n_risk"), col("d").as("d_events"),
+          col("c").as("c_censored"), col("s_hat"))
+        .orderBy(col("t"))
+    },
+    Some(s"""WITH per_user AS (SELECT user_id,
+        MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS dl,
+        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+          AS fp
+        FROM events GROUP BY user_id),
+      lab AS (SELECT CASE
+          WHEN fp IS NOT NULL AND datediff('day', d0, fp) <= $KmHorizon
+          THEN CAST(datediff('day', d0, fp) AS BIGINT)
+          ELSE LEAST($KmHorizon, CAST(datediff('day', d0, dl) AS BIGINT))
+          END AS t,
+        CASE WHEN fp IS NOT NULL AND datediff('day', d0, fp) <= $KmHorizon
+          THEN 1 ELSE 0 END AS ev
+        FROM per_user),
+      ages AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+          CAST(SUM(1 - ev) AS BIGINT) AS c FROM lab GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_users FROM lab),
+      cells AS (SELECT t, d, c,
+          n_users - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS n_risk
+        FROM ages CROSS JOIN tot),
+      km AS (SELECT a.t, a.d, a.c, a.n_risk,
+          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            COALESCE(list(CAST(b.n_risk - b.d AS DOUBLE) /
+                CAST(b.n_risk AS DOUBLE) ORDER BY b.t)
+              FILTER (WHERE b.t IS NOT NULL), [])),
+            (x, y) -> x * y) AS s_hat
+        FROM cells a LEFT JOIN cells b ON b.t <= a.t AND b.d > 0
+        GROUP BY a.t, a.d, a.c, a.n_risk)
+      SELECT t, n_risk, d AS d_events, c AS c_censored, s_hat
+      FROM km ORDER BY t"""))
 
   /** New-vs-returning daily active users — the growth dashboard's core
     * split: per calendar day, how many active users are seeing their

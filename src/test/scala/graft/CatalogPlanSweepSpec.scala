@@ -110,7 +110,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "eval_auc",
     // Lorenz deciles: the only serial window is valueAtRanks' bucket
     // offsets over the per-user-spend bucket relation
-    "ev_lorenz_users")
+    "ev_lorenz_users",
+    // KM risk-set cumsum over the age relation — ≤ KmHorizon+1 rows
+    // BY CONSTRUCTION (ages are clamped to the fixed follow-up window)
+    "ev_survival_km")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
@@ -128,6 +131,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // (each shard's GroupState holds at most K counters — the sketch
     // never grows; StreamingSpec pins the state-size bound)
     "stream_heavy_hitters" -> Seq("agg[tok]<-[documents]"),
+    // KM hazard factors: one row per EVENT age, ages clamped to the
+    // fixed KmHorizon-day follow-up → ≤ HORIZON+1 rows by construction
+    "ev_survival_km" -> Seq("agg[t]<-[events]"),
     // K centroid seeds: `vec_id < K` key-range filter, K fixed
     "emb_kmeans_assign" -> Seq("agg[-]<-[embeddings]"),
     // same K-seed centroid broadcast, rank-2 instead of rank-1
