@@ -22,7 +22,113 @@ object Events {
     Seq(hourly, sessionize, sessionizeNative, jsonProps, topMinute, sliding,
       rangeJoin, resample, resampleFat, anomaly, interpolate, ewma, cusum,
       attribution, rollingActive, transitions, twap, streak, cumulative,
-      seasonalAnomaly, interArrival)
+      seasonalAnomaly, interArrival, markovSteady)
+
+  /** Fixed-point scale and round count for [[markovSteady]] — shared by
+    * the Spark loop and the unrolled oracle. 16 rounds: the chain's
+    * spectral gap on any non-pathological event stream makes power
+    * iteration geometric; the spec's skewed fixture converges to the
+    * analytic stationary vector within truncation tolerance well
+    * before 16. */
+  val PiScale = 1000000L
+  val PiRounds = 16
+
+  /** Markov steady state of the event-type chain — where the observed
+    * user process spends its time asymptotically (the one-number-per-
+    * type summary next-action models and load forecasts read off
+    * [[transitions]]' matrix): π with πP = π, by [[PiRounds]] rounds of
+    * fixed-point power iteration.
+    *
+    * The data-scaled work is exactly the `ev_transition_matrix` plan
+    * (one user-keyed O(1)-frame window + a hash agg to ≤|types|² rows);
+    * everything after is bounded driver arithmetic on that matrix (the
+    * Lloyd-centroid convention — the collected state is |types|²,
+    * never corpus-scaled; in the plan sweep's eager skip set like the
+    * other superstep drivers, guarded by MarkovSteadySpec instead).
+    * The chain is restricted to the communicating part (states = types
+    * with outgoing transitions, edges into non-states dropped, row
+    * sums over the KEPT edges) so every row is stochastic by
+    * construction — no dangling-mass leak. Arithmetic is exact
+    * throughout: q_ij = trunc(n_ij·10⁶/n_i) (BigInt product — n_ij·10⁶
+    * is data-scaled; HUGEINT in the oracle), π'_j = Σ_i trunc(π_i·q_ij
+    * /10⁶) with all terms ≤ 10¹², truncating division identical in
+    * both engines; the only float is the final one-division readout.
+    * Truncation loses < |types| units/round (sum ≥ 10⁶ − R·|types|),
+    * deterministic and replayed exactly by the unrolled oracle. On the
+    * synthetic corpus π is near-uniform (the generator's transitions
+    * carry no preference — the honest reading, the graph_modularity
+    * convention); the spec's skewed fixture pins the non-trivial case
+    * against the analytic stationary vector. */
+  val markovSteady = QueryDef("ev_markov_steady",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = m.map(_._1).distinct.sorted
+      val inS = states.toSet
+      val kept = m.filter(e => inS(e._2))
+      val rowSum = kept.groupBy(_._1).map { case (f, es) =>
+        f -> es.map(_._3).sum
+      }
+      val q = kept.map { case (f, t, n) =>
+        (f, t, (BigInt(n) * PiScale / rowSum(f)).toLong)
+      }
+      var pi: Map[String, Long] =
+        if (states.isEmpty) Map.empty
+        else states.map(_ -> PiScale / states.length).toMap
+      for (_ <- 0 until PiRounds) {
+        val nx = scala.collection.mutable.Map.empty[String, Long]
+        q.foreach { case (f, t, qv) =>
+          nx(t) = nx.getOrElse(t, 0L) + pi.getOrElse(f, 0L) * qv / PiScale
+        }
+        pi = states.map(t => t -> nx.getOrElse(t, 0L)).toMap
+      }
+      states.map(t => (t, pi(t), pi(t).toDouble / PiScale.toDouble))
+        .toSeq.toDF("event_type", "pi_fixed", "pi")
+        .orderBy(col("event_type"))
+    },
+    Some(markovSteadySqlDuck))
+
+  /** The power-iteration loop above unrolled into CTEs (r1 → rR),
+    * generated from the same constants (the qtTrainSqlDuck convention). */
+  private def markovSteadySqlDuck: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS to_type
+        FROM events),
+      m AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT DISTINCT from_type AS t FROM m),
+      mk AS (SELECT m.from_type, m.to_type, m.n
+        FROM m JOIN s ON m.to_type = s.t),
+      rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rn
+        FROM mk GROUP BY 1),
+      q AS (SELECT mk.from_type, mk.to_type,
+          CAST(CAST(mk.n AS HUGEINT) * $PiScale // rs.rn AS BIGINT) AS q
+        FROM mk JOIN rs USING (from_type)),
+      r0 AS (SELECT t, CAST($PiScale // (SELECT COUNT(*) FROM s)
+        AS BIGINT) AS pi FROM s)"""
+    var prev = "r0"
+    for (r <- 1 to PiRounds) {
+      sb ++= s""",
+      r$r AS (SELECT q.to_type AS t,
+          CAST(SUM(p.pi * q.q // $PiScale) AS BIGINT) AS pi
+        FROM $prev p JOIN q ON q.from_type = p.t GROUP BY 1)"""
+      prev = s"r$r"
+    }
+    sb ++= s"""
+      SELECT s.t AS event_type, COALESCE(p.pi, 0) AS pi_fixed,
+        CAST(COALESCE(p.pi, 0) AS DOUBLE) / $PiScale.0 AS pi
+      FROM s LEFT JOIN $prev p ON s.t = p.t ORDER BY s.t"""
+    sb.toString
+  }
 
   /** Inter-arrival time profile per event type — the burstiness
     * statistic behind rate limiting, bot detection, and arrival-process

@@ -304,17 +304,21 @@ object TextScoring {
 
   /** Training constants for [[qualityTrain]], shared by the Spark loop and
     * the unrolled DuckDB oracle so the two spellings cannot drift.
-    * `QtRounds`/`QtEtaDen` picked by measurement: 12 rounds at step 1/3e5
-    * reach AUC 0.873 / accuracy-at-cut 0.830 on the sf0.01 corpus —
-    * within 1% of the exact least-squares ceiling (0.915 / 0.838) — while
-    * keeping the unrolled oracle tractable. `QtScale` is the fixed-point
-    * scale of the ±1 labels. The step denominator is corpus-calibrated
-    * (the gradient is a sum over documents, so at a different corpus
-    * scale a production run sets it ∝ N); it is a pinned constant here
-    * because the oracle must replay the identical arithmetic. */
+    * `QtRounds`/`QtEtaPerDoc` picked by measurement: 12 rounds at step
+    * 1/(N·600) reach AUC 0.873 / accuracy-at-cut 0.830 on the sf0.01
+    * corpus (N = 500 docs → denominator 3·10⁵) — within 1% of the exact
+    * least-squares ceiling (0.915 / 0.838) — while keeping the unrolled
+    * oracle tractable. `QtScale` is the fixed-point scale of the ±1
+    * labels. The step denominator is N·QtEtaPerDoc — PER-DOC calibrated,
+    * not a pinned total: the gradient is a sum over documents (∝ N), so
+    * a constant denominator makes the effective step grow with the
+    * corpus and GD DIVERGE — measured, not hypothetical: the round-12
+    * 8× tier overflowed Long through exactly that divergence. η ∝ 1/N
+    * keeps η·λmax(XᵀX) constant (XᵀX also ∝ N), so the trainer is
+    * scale-free; both engines compute N with the same COUNT. */
   val QtRounds = 12
   val QtScale = 1000000L
-  val QtEtaDen = 300000L
+  val QtEtaPerDoc = 600L
   val QtBuckets = 4096
   private val QtLabelCut = "0.68" // corpus-median split of the quality blend
 
@@ -336,12 +340,16 @@ object TextScoring {
     *     is a drop-in replacement for its scrambled weight table);
     *   - targets y·S with S = 10⁶ (labels ±1 in fixed point);
     *   - superstep r: scores s_d = Σ_b c_db·w_b (one broadcast join of
-    *     the ≤4096-row weight relation + a doc-keyed agg), gradient
-    *     g_b = Σ_d c_db·(s_d − y_d·S) (join back + a bucket-keyed agg,
-    *     ≤4096 groups), update w_b ← w_b − trunc(g_b / 3·10⁵) — integer
-    *     division truncating toward zero in BOTH engines (Java `/` and
-    *     DuckDB `//` both truncate); weights are ≤4096 longs of driver
-    *     state, the Lloyd-centroid convention.
+    *     the ≤4096-row weight relation + a doc-keyed agg; every factor
+    *     per-DOC bounded, so the sum fits a long at any corpus size),
+    *     gradient g_b = Σ_d c_db·(s_d − y_d·S) accumulated in
+    *     DECIMAL(38,0) / HUGEINT — the gradient sum is DATA-SCALED
+    *     (∝ N docs), the one quantity here a long cannot hold at 100 TB
+    *     — then update w_b ← w_b − trunc(g_b / (N·600)) — integer
+    *     division truncating toward zero in BOTH engines (Scala BigInt
+    *     `/` and DuckDB `//` both truncate), quotient back to per-doc
+    *     scale (long-safe); weights are ≤4096 longs of driver state,
+    *     the Lloyd-centroid convention.
     *
     * GD learns the RANKING; the intercept is fit afterward as the exact
     * accuracy-optimal cut over the distinct-score relation (candidates =
@@ -383,15 +391,22 @@ object TextScoring {
         .join(broadcast(wdf(w)), Seq("b"), "left")
         .groupBy(col("doc_id"))
         .agg(sum(col("c") * coalesce(col("wt"), lit(0L))).as("sc"))
+      // per-doc step: η = 1/(N·QtEtaPerDoc), N from the SAME relation the
+      // oracle counts (one long of driver state)
+      val etaDen = BigInt(math.max(1L, lab.count() * QtEtaPerDoc))
       var w = Map.empty[Long, Long]
       for (_ <- 0 until QtRounds) {
         val grad = bx
           .join(scores(w), "doc_id").join(lab, "doc_id")
           .groupBy(col("b"))
-          .agg(sum(col("c") * (col("sc") - col("y") * lit(QtScale))).as("g"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          // per-term long-safe (all factors per-doc bounded); the SUM is
+          // data-scaled → exact decimal accumulator
+          .agg(sum((col("c") * (col("sc") - col("y") * lit(QtScale)))
+            .cast("decimal(38,0)")).as("g"))
+          .collect()
+          .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
         w = grad.foldLeft(w) { case (acc, (b, g)) =>
-          acc.updated(b, acc.getOrElse(b, 0L) - g / QtEtaDen)
+          acc.updated(b, acc.getOrElse(b, 0L) - (g / etaDen).toLong)
         }
       }
       val fs = scores(w)
@@ -465,7 +480,9 @@ object TextScoring {
               / len(string_split(text,' '))) * 0.4
           + least(1.0, len(string_split(text,' ')) / 100.0) * 0.3
             >= $QtLabelCut
-        THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents)"""
+        THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents),
+      nd AS MATERIALIZED (SELECT GREATEST(1, COUNT(*) * $QtEtaPerDoc)
+        AS ed FROM documents)"""
     var prev = ""
     for (r <- 1 to QtRounds) {
       if (r == 1)
@@ -478,16 +495,18 @@ object TextScoring {
         FROM bx LEFT JOIN $prev w ON bx.b = w.b GROUP BY 1)"""
       sb ++= s""",
       g$r AS MATERIALIZED (SELECT bx.b,
-          CAST(SUM(bx.c * (s$r.sc - lab.y * $QtScale)) AS BIGINT) AS g
+          CAST(SUM(bx.c * (s$r.sc - lab.y * $QtScale)) AS HUGEINT) AS g
         FROM bx JOIN s$r ON bx.doc_id = s$r.doc_id
         JOIN lab ON bx.doc_id = lab.doc_id GROUP BY 1)"""
       if (r == 1)
         sb ++= s""",
-      w1 AS MATERIALIZED (SELECT b, -(g // $QtEtaDen) AS wt FROM g1)"""
+      w1 AS MATERIALIZED (SELECT b,
+        -CAST(g // (SELECT ed FROM nd) AS BIGINT) AS wt FROM g1)"""
       else
         sb ++= s""",
       w$r AS MATERIALIZED (SELECT COALESCE(w.b, g.b) AS b,
-          COALESCE(w.wt, 0) - (g.g // $QtEtaDen) AS wt
+          COALESCE(w.wt, 0)
+            - CAST(g.g // (SELECT ed FROM nd) AS BIGINT) AS wt
         FROM $prev w FULL JOIN g$r g ON w.b = g.b)"""
       prev = s"w$r"
     }

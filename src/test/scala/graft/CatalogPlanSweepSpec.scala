@@ -40,6 +40,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "graph_mis",                               // driver fixpoint loop
     "graph_tree_closure",                      // driver doubling loop
     "emb_power_iteration",                     // superstep collects
+    "ev_markov_steady",                        // driver chain iteration
+                                               // (≤|types|² state)
     "sim_ann_ivf_trained",                     // Lloyd rounds
     "text_quality_train",                      // GD superstep loop
     "text_heavy_hitters",                      // candidate pass collects

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `ev_markov_steady` — the eager-superstep guard the plan sweep skips
+  * (its fn collects the ≤|types|² transition matrix and iterates on the
+  * driver, the Lloyd convention):
+  *
+  *  1. a SKEWED two-state fixture with an analytically known stationary
+  *    vector — P = [[3/4, 1/4], [1/2, 1/2]] has π = (2/3, 1/3) — pins
+  *    the non-trivial case the near-uniform driver corpus cannot (the
+  *    graph_modularity honesty convention);
+  *  2. mass-conservation and truncation bounds on the driver corpus.
+  */
+class MarkovSteadySpec extends SparkSpec {
+
+  import graft.operators.Events.{PiScale, PiRounds}
+
+  /** One user's event sequence at hourly steps on one day. */
+  private def seqDir(types: Seq[String]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_markov_fixture").toString
+    val sess = spark
+    import sess.implicits._
+    types.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-05 ${i}%02d:00:00"),
+        1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("skewed two-state chain converges to the analytic stationary vector") {
+    // A=click, B=view; the Eulerian walk B B B A A A A B A yields
+    // transitions BB BB BA AA AA AA AB BA → AA=3 AB=1 BA=2 BB=2, i.e.
+    // P = [[3/4, 1/4], [1/2, 1/2]] whose stationary vector is (2/3, 1/3)
+    val walk = Seq("view", "view", "view", "click", "click", "click",
+      "click", "view", "click")
+    val got = graft.operators.Events.markovSteady
+      .fn(spark, seqDir(walk)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("click", "view"))
+    val (a, b) = (got("click"), got("view"))
+    // analytic: π_A = 2/3, π_B = 1/3 — fixed-point iteration reaches it
+    // within truncation noise (each round loses < |S| units per state)
+    assert(math.abs(a - 2 * PiScale / 3) <= 200L, s"pi_A=$a")
+    assert(math.abs(b - PiScale / 3) <= 200L, s"pi_B=$b")
+    // mass conservation up to truncation (≤ |S|²+|S| = 6 units/round)
+    assert(a + b <= PiScale && a + b >= PiScale - PiRounds * 6)
+  }
+
+  test("driver corpus: stochastic mass conserved, all states present") {
+    val got = graft.operators.Events.markovSteady
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val total = got.map(_._2).sum
+    // per round: < |S| truncations per state (each losing < 1 unit)
+    // plus the multiplicative q-row quantization (row q-sums ≥
+    // PiScale − |S|) → loss ≤ |S|² + |S| per round
+    val s = got.length.toLong
+    assert(total <= PiScale &&
+      total >= PiScale - PiRounds.toLong * (s * s + s),
+      s"mass $total")
+    got.foreach { case (t, pf, p) =>
+      assert(pf >= 0L)
+      assert(p == pf.toDouble / PiScale.toDouble, s"$t readout drift")
+    }
+  }
+}

@@ -43,18 +43,21 @@ class QualityTrainSpec extends SparkSpec {
     val byDoc = bx.groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
 
+    // N = label-relation count (one row per document), the entry's rule
+    val etaDen = BigInt(
+      math.max(1L, lab.size.toLong * TextScoring.QtEtaPerDoc))
     var w = Map.empty[Long, Long]
     for (_ <- 0 until TextScoring.QtRounds) {
-      val g = scala.collection.mutable.Map.empty[Long, Long]
+      val g = scala.collection.mutable.Map.empty[Long, BigInt]
       byDoc.foreach { case (doc, feats) =>
         val s = feats.map { case (b, c) => c * w.getOrElse(b, 0L) }.sum
         val r = s - lab(doc) * TextScoring.QtScale
         feats.foreach { case (b, c) =>
-          g(b) = g.getOrElse(b, 0L) + c * r
+          g(b) = g.getOrElse(b, BigInt(0)) + BigInt(c * r)
         }
       }
       w = g.foldLeft(w) { case (acc, (b, gg)) =>
-        acc.updated(b, acc.getOrElse(b, 0L) - gg / TextScoring.QtEtaDen)
+        acc.updated(b, acc.getOrElse(b, 0L) - (gg / etaDen).toLong)
       }
     }
     val scores = byDoc.map { case (doc, feats) =>
