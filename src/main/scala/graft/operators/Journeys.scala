@@ -29,7 +29,66 @@ object Journeys {
 
   def all: Seq[QueryDef] = Seq(pathTrigrams, botFlags, funnelLatency,
     retentionTriangle, activityHeatmap, lorenzUsers, newVsReturning,
-    sessionDepthHist, survivalKm)
+    sessionDepthHist, survivalKm, cohortLtv)
+
+  /** Cohort LTV triangle — `ev_retention_triangle`'s revenue twin (the
+    * other half of every growth dashboard: WHO comes back is the count
+    * triangle, what they're WORTH is this one): per (first-seen-day
+    * cohort, age-in-days) purchase revenue, plus the running
+    * LTV-per-user curve finance discounts against. Revenue sums ride
+    * DECIMAL(12,2) end to end (the Num money convention — the
+    * cumulative window is an exact decimal sum, so summation order
+    * never matters) and per-user normalization is ONE IEEE division at
+    * the end. Shape: one user-keyed agg for cohorts, one
+    * (cohort × age) hash agg for the triangle, and a cumulative window
+    * PARTITIONED by cohort whose frame is calendar-bounded (≤ #days
+    * rows per cohort) — one shuffle each, nothing data-scaled past the
+    * purchase rollup at any corpus size. */
+  val cohortLtv = QueryDef("ev_cohort_ltv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = Tables.events(s, d)
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val sizes = cohorts.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(date_trunc("day", col("ts")), col("cohort_day"))
+            .cast("long").as("age_days"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("rev"))
+      val cum = rev.withColumn("cum_rev",
+        sum(col("rev")).over(W.partitionBy(col("cohort_day"))
+          .orderBy(col("age_days"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      cum.join(sizes, "cohort_day")
+        .select(col("cohort_day"), col("age_days"), col("cohort_size"),
+          col("rev").cast("double").as("revenue"),
+          (col("cum_rev").cast("double") /
+            col("cohort_size").cast("double")).as("cum_ltv_per_user"))
+        .orderBy(col("cohort_day"), col("age_days"))
+    },
+    Some("""WITH cohorts AS (SELECT user_id,
+        MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY 1),
+      sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY 1),
+      rev AS (SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, date_trunc('day', e.ts))
+            AS BIGINT) AS age_days,
+          SUM(CAST(e.value AS DECIMAL(12,2))) AS rev
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      cum AS (SELECT cohort_day, age_days, rev,
+          SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        FROM rev)
+      SELECT c.cohort_day, c.age_days, s.cohort_size,
+        CAST(c.rev AS DOUBLE) AS revenue,
+        CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+          AS cum_ltv_per_user
+      FROM cum c JOIN sizes s USING (cohort_day)
+      ORDER BY cohort_day, age_days"""))
 
   /** Follow-up horizon for [[survivalKm]] (days): conversions past it
     * are administratively censored — the "7-day conversion" window. */

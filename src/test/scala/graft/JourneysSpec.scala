@@ -87,6 +87,48 @@ class JourneysSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L), "no retention beyond day 0 in fixture")
   }
 
+  test("ev_cohort_ltv matches a serial revenue-cohort model") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2),
+        r.getDouble(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val size = cohort.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val dayMs = 86400000L
+    // exact cents (the decimal(12,2) convention) for revenue sums
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(t => (cohort(t._1), (t._2 - cohort(t._1)) / dayMs))
+      .map { case ((c, age), xs) =>
+        (c, age, xs.map(t => math.round(t._4 * 100)).sum)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val expected = cells.groupBy(_._1).toSeq.flatMap { case (c, ages) =>
+      var cum = 0L
+      ages.sortBy(_._2).map { case (_, age, cents) =>
+        cum += cents
+        (c, age, size(c), cents.toDouble / 100.0,
+          (cum.toDouble / 100.0) / size(c).toDouble)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Journeys.cohortLtv
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"revenue ${g._4} vs ${e._4}")
+      assert(math.abs(g._5 - e._5) < 1e-9, s"ltv ${g._5} vs ${e._5}")
+    }
+    // the LTV curve is non-decreasing within each cohort
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).map(_._5).sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a)
+        case _         =>
+      }
+    }
+  }
+
   test("ev_activity_heatmap matches a serial UTC clock model") {
     val evs = Tables.events(spark, sf("sf0.001"))
       .select(expr("unix_seconds(ts)").as("s"), col("user_id")).collect()
