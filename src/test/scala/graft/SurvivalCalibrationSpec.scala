@@ -107,6 +107,26 @@ class SurvivalCalibrationSpec extends SparkSpec {
     }
   }
 
+  test("ev_survival_km reduces to the empirical survival when nothing is censored") {
+    // textbook identity: with zero censorings, Kaplan–Meier IS the
+    // complement of the empirical duration CDF — Ŝ(t) = #{dur > t}/N
+    // exactly (each hazard factor telescopes). sf0.001 has every user
+    // converting within the horizon, so the identity is live there.
+    val got = graft.operators.Journeys.survivalKm
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._4).sum == 0L, "fixture expectation: no censoring at sf0.001")
+    val n = got.map(r => r._3 + r._4).sum.toDouble
+    var seen = 0L
+    got.sortBy(_._1).foreach { case (_, _, d, c, sHat) =>
+      seen += d + c
+      val empirical = (n - seen) / n
+      assert(math.abs(sHat - empirical) < 1e-12,
+        s"KM $sHat vs empirical $empirical")
+    }
+  }
+
   test("eval_calibration matches a serial rebinning bit-exactly") {
     val scored = graft.operators.TextAnalysis.quality
       .fn(spark, sf("sf0.001"))
