@@ -470,6 +470,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("stream_attribution: interval join is an equi join on the user key, never a nested loop") {
+    // the watermarked stream-stream join's batch twin: the hour bound
+    // must plan as a RESIDUAL predicate on a user_id equi join — a
+    // nested loop here would be all-purchases × all-clicks at 100 TB
+    val p = planString(q("stream_attribution"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "attribution interval join regressed to a nested loop")
+  }
+
+  test("stream_heavy_hitters: MG candidate filter is a broadcast semi join, not an IN literal") {
+    // same guard as text_heavy_hitters, streaming edition: the sketch's
+    // candidate set must reach the recount as a broadcast relation —
+    // a driver-side IN literal would embed shards·K tokens in the plan
+    val p = planString(q("stream_heavy_hitters"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2000))
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val inLiterals = q("stream_heavy_hitters").queryExecution.optimizedPlan
+      .collect { case node => node.expressions.flatMap(_.collect {
+        case i: In => i: Any
+        case i: InSet => i: Any
+      }) }.flatten
+    assert(inLiterals.isEmpty,
+      s"candidate set regressed to a plan-embedded IN literal: $inLiterals")
+  }
+
+  test("ev_cohort_ltv: revenue rollup hash-aggregates; cumulative window is cohort-partitioned") {
+    val p = planString(q("ev_cohort_ltv"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"),
+      "decimal revenue sums must hash-aggregate (map-side combinable)")
+    // the running-LTV window must carry the cohort partition key — an
+    // unpartitioned window here would serialize the whole triangle
+    assert(p.contains("windowspecdefinition(cohort_day"),
+      "cumulative LTV window lost its cohort partitioning:\n" + p.take(2000))
+  }
+
   test("dedup_incremental_stored: stored band index is read bucketed and never reshuffles") {
     // first run writes the bucketed index tables; re-plan with broadcast
     // off (the 100 TB shape) and check the probe join's distribution is
