@@ -213,6 +213,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // AUC midrank machinery: same Quantiles bucket-offset relation —
     // ~(score range / 0.01) buckets over the [0, ~1.05] quality score
     "eval_auc" -> Seq("agg[bkt]<-[documents]"),
+    // isotonic recalibration: every broadcast is the ≤10-row fixed-width
+    // score-bin relation or a ≤55-row contiguous-run relation derived
+    // from it (bins are value-range bounded: score ∈ [0, ~1.05] → 10
+    // bins by construction at any corpus size)
+    "eval_recalibrated" -> Seq("agg[bin]<-[documents]",
+      "agg[j,k]<-[documents]"),
     // conversion-latency selection: bucket offsets over the 1e10-µs-wide
     // latency buckets (range-bounded by the corpus time span)
     "ev_funnel_latency" -> Seq("agg[bkt]<-[events]"),
@@ -357,6 +363,67 @@ class CatalogPlanSweepSpec extends SparkSpec {
             failures += s"${q.name}: ${bareWindows.size} unpartitioned window(s)"
         } catch {
           case e: Throwable => failures += s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage}"
+        }
+      }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Entries whose slice-after-collect is reviewed bounded (the collected
+    * group is per-doc / per-basket / LIMIT-bounded, never corpus-scaled).
+    * Empty today: `text_inverted_index` — the one offender this guard was
+    * written for (r12 verdict #1) — now rank-filters to ≤ 20 postings per
+    * word BEFORE collecting. */
+  private val boundedSliceAfterCollect = Set.empty[String]
+
+  test("no plan slices a collect_list/collect_set result (truncate-before-collect)") {
+    // slicing AFTER collect_list means the full group was buffered in one
+    // aggregation buffer and then thrown away — for a data-scaled group
+    // (a stopword's postings, a hub node's neighbors) that buffer is
+    // corpus-sized. The scale-correct spelling is a per-group rank filter
+    // (WindowGroupLimit) BEFORE the collect, so the buffer is bounded by
+    // the rank cap. This sweep bans the anti-pattern catalog-wide.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Slice}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    graft.queries.Registry.all
+      .filterNot(q => eagerOrWriting(q.name))
+      .filterNot(q => boundedSliceAfterCollect(q.name))
+      .foreach { q =>
+        try {
+          val plan = q.fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
+          // attributes whose value is (derived from) a collect_list /
+          // collect_set result, propagated through Project aliases
+          var derived = Set.empty[ExprId]
+          plan.foreachUp {
+            case a: Aggregate =>
+              a.aggregateExpressions.foreach {
+                case al: Alias if al.child.exists(e =>
+                    e.isInstanceOf[CollectList] || e.isInstanceOf[CollectSet]) =>
+                  derived += al.exprId
+                case _ =>
+              }
+            case p: Project =>
+              p.projectList.foreach {
+                case al: Alias
+                    if al.child.references.exists(r => derived(r.exprId)) =>
+                  derived += al.exprId
+                case _ =>
+              }
+            case _ =>
+          }
+          val offending = plan.collect { case n =>
+            n.expressions.flatMap(_.collect {
+              case s: Slice if s.exists(e =>
+                    e.isInstanceOf[CollectList] || e.isInstanceOf[CollectSet]) ||
+                  s.references.exists(r => derived(r.exprId)) => s
+            })
+          }.flatten
+          if (offending.nonEmpty)
+            failures += s"${q.name}: ${offending.size} slice-after-collect"
+        } catch {
+          case e: Throwable =>
+            failures += s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage}"
         }
       }
     assert(failures.isEmpty, failures.mkString("\n"))
