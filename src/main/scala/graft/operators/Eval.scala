@@ -18,7 +18,106 @@ import graft.{QueryDef, Tables}
 object Eval {
 
   def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall,
-    calibration)
+    calibration, recalibrated)
+
+  /** Isotonic recalibration of the quality score — ACTING on
+    * [[calibration]]'s measured lesson (ECE ≈ 0.27 against AUC 0.87:
+    * the heuristic blend ranks well but is not a probability; r12
+    * verdict item 5): fit the monotone map score-bin → P(label) by
+    * isotonic regression and report the reliability diagram under the
+    * calibrated probabilities, with the post-calibration ECE.
+    *
+    * Fit: weighted PAV over the ten fixed-width score bins (same bin
+    * assignment as [[calibration]]), via the minimax closed form
+    * cal_i = max_{j≤i} min_{k≥i} pooled(j..k) where pooled(j..k) =
+    * Σ n_pos / Σ n over the contiguous bin run — exactly the
+    * pool-adjacent-violators solution, spelled as joins so both
+    * engines compute it identically: run sums are exact BIGINTs over
+    * ≤ 10 member bins, each pooled accuracy is ONE IEEE division, and
+    * the min/max reductions are order-free. Isotonic (not Platt)
+    * because it needs no exp/sigmoid — every intermediate stays
+    * engine-exact, the repo's fold discipline.
+    *
+    * The calibrated map is weakly monotone on bins, so the BINNED
+    * ranking is preserved exactly up to pooled ties (pinned in
+    * SurvivalCalibrationSpec, with post-ECE < 0.1 on the driver
+    * corpus); the raw-score AUC is coarsened only by the 10-bin
+    * histogram resolution itself, the standard histogram-binning
+    * calibrator trade-off. Cost: one scan + one ≤10-group agg; every join after the
+    * binning crosses ≤ 10×55-row broadcast relations — nothing
+    * data-scaled past the score relation at any corpus size. */
+  val recalibrated = QueryDef("eval_recalibrated",
+    (s, d) => {
+      val scored = graft.operators.TextAnalysis.quality.fn(s, d)
+        .select(col("quality").as("v"),
+          when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
+      val binned = scored
+        .withColumn("bin", least(floor(col("v") * lit(10.0)), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val tot = scored.agg(count(lit(1)).as("n_total"))
+      // pooled accuracy of every contiguous bin run [j..k]: exact
+      // BIGINT sums, one double division per run (≤ 55 runs)
+      val runs = binned.select(col("bin").as("j"))
+        .join(broadcast(binned.select(col("bin").as("k"))),
+          col("j") <= col("k"))
+        .join(broadcast(binned.select(col("bin").as("b"),
+          col("n").as("bn"), col("n_pos").as("bp"))),
+          col("b") >= col("j") && col("b") <= col("k"))
+        .groupBy(col("j"), col("k"))
+        .agg((sum(col("bp")).cast("double") / sum(col("bn")).cast("double"))
+          .as("p"))
+      // PAV minimax: cal_i = max_{j≤i} min_{k≥i} pooled(j..k)
+      val cal = binned.select(col("bin"))
+        .join(broadcast(runs),
+          col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy(col("bin"), col("j")).agg(min(col("p")).as("mp"))
+        .groupBy(col("bin")).agg(max(col("mp")).as("p_cal"))
+      val cells = binned.join(broadcast(cal), Seq("bin"))
+        .crossJoin(broadcast(tot))
+        .withColumn("conf_mid",
+          (col("bin").cast("double") + lit(0.5)) / lit(10.0))
+        .withColumn("acc",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("gap", abs(col("acc") - col("p_cal")))
+      val ece = cells
+        .withColumn("term",
+          col("n").cast("double") / col("n_total").cast("double") *
+            col("gap"))
+        .agg(expr("""aggregate(sort_array(collect_list(struct(bin, term))),
+          cast(0.0 as double), (acc, x) -> acc + x.term)""").as("ece_post"))
+      cells.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("n_pos"), col("conf_mid"),
+          col("acc"), col("p_cal"), col("ece_post"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH scored AS (SELECT quality AS v,
+        CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos
+        FROM (${graft.operators.TextAnalysis.quality.oracle.get}) tq),
+      binned AS (SELECT LEAST(CAST(floor(v * 10.0) AS BIGINT), 9) AS bin,
+          COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_total FROM scored),
+      runs AS (SELECT j.bin AS j, k.bin AS k,
+          CAST(SUM(b.n_pos) AS DOUBLE) / CAST(SUM(b.n) AS DOUBLE) AS p
+        FROM binned j JOIN binned k ON j.bin <= k.bin
+        JOIN binned b ON b.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2),
+      cal AS (SELECT bin, MAX(mp) AS p_cal FROM (
+          SELECT i.bin, r.j, MIN(r.p) AS mp
+          FROM binned i JOIN runs r ON r.j <= i.bin AND r.k >= i.bin
+          GROUP BY 1, 2) GROUP BY 1),
+      cells AS (SELECT bin, n, n_pos, n_total,
+          (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
+          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc, p_cal,
+          abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - p_cal) AS gap
+        FROM binned JOIN cal USING (bin) CROSS JOIN tot),
+      e AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) * gap
+            ORDER BY bin)),
+          (a, b) -> a + b) AS ece_post FROM cells)
+      SELECT bin, n, n_pos, conf_mid, acc, p_cal, ece_post
+      FROM cells CROSS JOIN e ORDER BY bin"""))
 
   /** Reliability diagram + expected calibration error (ECE) of the
     * `text_quality` score read as a probability of the long-doc label

@@ -158,4 +158,94 @@ class SurvivalCalibrationSpec extends SparkSpec {
     // (eval_auc) but is NOT calibrated — a material ECE, not noise
     assert(ece > 0.05)
   }
+
+  /** Midrank AUC of (score, label) pairs — the serial textbook form. */
+  private def serialAuc(pairs: Seq[(Double, Long)]): Double = {
+    val sorted = pairs.sortBy(_._1)
+    // midranks over ties
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j).toDouble / 2.0
+      i = j
+    }
+    val np = pairs.count(_._2 == 1L).toDouble
+    val nn = pairs.length - np
+    val rs = pairs.filter(_._2 == 1L).map(p => ranks(p._1)).sum
+    (rs - np * (np + 1) / 2.0) / (np * nn)
+  }
+
+  test("eval_recalibrated matches serial stack-PAV; post-ECE < 0.1; AUC preserved") {
+    val scored = graft.operators.TextAnalysis.quality
+      .fn(spark, sf("sf0.001"))
+      .select(col("quality"), col("n_tokens")).collect()
+      .map(r => (r.getDouble(0), if (r.getLong(1) >= 50L) 1L else 0L))
+    val n = scored.length.toLong
+    val bins = scored
+      .groupBy { case (v, _) => math.min(math.floor(v * 10.0).toLong, 9L) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rows) =>
+        (b, rows.length.toLong, rows.map(_._2).sum)
+      }
+    // textbook pool-adjacent-violators, n-weighted, over the bin list —
+    // an INDEPENDENT algorithm from the entry's minimax join spelling;
+    // the PAV minimax theorem says the fitted values coincide, and the
+    // block values are the same rationals (Σpos/Σn) so the doubles
+    // match bit-for-bit
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, List[Long])] // (n, n_pos, member bins)
+    bins.foreach { case (b, nb, np) =>
+      var cur = (nb, np, List(b))
+      while (stack.nonEmpty && {
+        val p = stack.last
+        p._2.toDouble / p._1.toDouble > cur._2.toDouble / cur._1.toDouble
+      }) {
+        val p = stack.remove(stack.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 ++ cur._3)
+      }
+      stack += cur
+    }
+    val pcal: Map[Long, Double] = stack.flatMap { case (bn, bp, members) =>
+      members.map(_ -> bp.toDouble / bn.toDouble)
+    }.toMap
+    val ecePost = bins.foldLeft(0.0) { case (a, (b, nb, np)) =>
+      a + nb.toDouble / n.toDouble *
+        math.abs(np.toDouble / nb.toDouble - pcal(b))
+    }
+    val expected = bins.map { case (b, nb, np) =>
+      (b, nb, np, (b.toDouble + 0.5) / 10.0, np.toDouble / nb.toDouble,
+        pcal(b), ecePost)
+    }
+    val got = graft.operators.Eval.recalibrated
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // calibrated: the isotonic fit brings the ECE under the threshold
+    // the heuristic misses by 3x (eval_calibration's ≈ 0.27)
+    assert(ecePost < 0.1, s"post-calibration ECE $ecePost")
+    // monotone map — ranking preserved up to pooled ties
+    val inOrder = bins.map(b => pcal(b._1))
+    assert(inOrder == inOrder.sorted, s"isotonic fit not monotone: $inOrder")
+    // ranking preservation, stated honestly: the isotonic FIT is weakly
+    // monotone on bins, so it preserves the BINNED ranking exactly —
+    // pooling can only merge adjacent bins into ties (here ecePost = 0
+    // means no pooling at all, so binned and calibrated AUC coincide).
+    // The drop from the RAW score's AUC to the binned AUC is the price
+    // of histogram binning itself (10 bins over ~100 docs = heavy
+    // ties), a property of the binning resolution, not of the fit.
+    val aucRaw = serialAuc(scored.map { case (v, y) => (v, y) })
+    def bin(v: Double) = math.min(math.floor(v * 10.0).toLong, 9L)
+    val aucBinned = serialAuc(scored.map { case (v, y) =>
+      (bin(v).toDouble, y) })
+    val aucCal = serialAuc(scored.map { case (v, y) => (pcal(bin(v)), y) })
+    info(f"AUC raw=$aucRaw%.4f binned=$aucBinned%.4f " +
+      f"calibrated=$aucCal%.4f ecePost=$ecePost%.4f")
+    assert(aucCal <= aucBinned + 1e-12,
+      "a monotone map cannot rank better than its input")
+    assert(math.abs(aucCal - aucBinned) < 0.02,
+      s"the fit changed the binned ranking materially: $aucBinned vs $aucCal")
+  }
 }
