@@ -34,4 +34,30 @@ object Iterative {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** [[cutLineage]] plus a release handle that frees the checkpoint's
+    * storage blocks.
+    *
+    * A localCheckpointed RDD's truncated lineage cannot recompute, so
+    * by default every superstep's cut state is retained until the
+    * ContextCleaner notices the RDD is unreachable — which needs a
+    * driver GC cycle and, in a long peel/propagate loop, means
+    * iteration-scaled storage pinned in the executors (the k-core
+    * 6.4M-node cascade died at the default 8 GiB local heap exactly
+    * this way). When the LOOP knows round i−1's state is dead the
+    * moment round i's checkpoints are materialized, it can release the
+    * blocks eagerly instead of waiting for GC.
+    *
+    * The handle MUST only be invoked once every frame derived from the
+    * returned DataFrame has been fully materialized (checkpointed or
+    * counted): after release, any re-read throws — truncated lineage
+    * has nothing to recompute from. */
+  def cutLineageReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val ck = df.localCheckpoint(true)
+    val internal = ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+      () => internal.foreach(_.unpersist(false)))
+  }
 }

@@ -45,10 +45,18 @@ object Events {
     * Lloyd-centroid convention — the collected state is |types|²,
     * never corpus-scaled; in the plan sweep's eager skip set like the
     * other superstep drivers, guarded by MarkovSteadySpec instead).
-    * The chain is restricted to the communicating part (states = types
-    * with outgoing transitions, edges into non-states dropped, row
-    * sums over the KEPT edges) so every row is stochastic by
-    * construction — no dangling-mass leak. Arithmetic is exact
+    * The chain is restricted one step (states = types with outgoing
+    * transitions, edges into non-states dropped, row sums over the
+    * KEPT edges), which makes every NON-EMPTY row stochastic and
+    * removes one-step sinks' dangling mass. The restriction is not a
+    * fixpoint: a state whose kept out-edges ALL pointed at sinks ends
+    * up with an empty kept row and leaks its π mass to the truncation
+    * floor each round — deterministic, replayed identically by the
+    * unrolled oracle (parity holds), and pinned by MarkovSteadySpec's
+    * two-step-sink fixture; the mass-conservation bound below applies
+    * to corpora with no such states (every real event corpus — a type
+    * observed leaving once keeps a live row unless every successor
+    * type is terminal). Arithmetic is exact
     * throughout: q_ij = trunc(n_ij·10⁶/n_i) (BigInt product — n_ij·10⁶
     * is data-scaled; HUGEINT in the oracle), π'_j = Σ_i trunc(π_i·q_ij
     * /10⁶) with all terms ≤ 10¹², truncating division identical in

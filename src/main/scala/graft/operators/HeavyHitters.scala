@@ -68,6 +68,61 @@ object HeavyHitters {
     counters.toMap
   }
 
+  /** WEIGHTED Misra–Gries fold — the generalization that lets the
+    * streaming shard sketch consume PRE-AGGREGATED `(token, count)`
+    * entries instead of raw occurrences (the r12 512×-tier fix: the
+    * shard shuffle then carries ~|vocab| weighted rows, not the full
+    * token stream). Same guarantee as [[mgFold]]: every decrement round
+    * cancels `d` units against each of the k counters AND `d` units of
+    * the incoming weight — d·(k+1) weight per round — so total cancelled
+    * weight ≤ n/(k+1) and any token with true frequency above that
+    * bound survives. `mgFold(it)` ≡ `mgFoldWeighted(it.map(_ -> 1))`. */
+  def mgFoldWeighted(counters: scala.collection.mutable.HashMap[String, Long],
+      it: Iterator[(String, Long)], k: Int = K): Unit =
+    it.foreach { case (tok, w0) =>
+      var w = w0
+      if (counters.contains(tok)) { counters(tok) += w; w = 0L }
+      while (w > 0L) {
+        if (counters.size < k) { counters(tok) = w; w = 0L }
+        else {
+          val d = math.min(counters.values.min, w)
+          counters.mapValuesInPlace((_, v) => v - d)
+          counters.filterInPlace((_, v) => v > 0L)
+          w -= d
+        }
+      }
+    }
+
+  /** Per-chunk token counts with BOUNDED memory: consume up to
+    * `chunkTokens` tokens into a local hash map, emit its entries, and
+    * repeat — a hand-rolled streaming-legal partial aggregation (a real
+    * `groupBy` before `mapGroupsWithState` is an unsupported streaming
+    * plan, and an unbounded per-partition map would be vocabulary-sized).
+    * Map size is ≤ min(chunkTokens, partition vocab) entries. */
+  def chunkedCounts(it: Iterator[String],
+      chunkTokens: Int = 1 << 22): Iterator[(String, Long)] =
+    new Iterator[(String, Long)] {
+      private var out: Iterator[(String, Long)] = Iterator.empty
+      private def refill(): Unit = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0
+        while (it.hasNext && n < chunkTokens) {
+          val t = it.next()
+          m.update(t, m.getOrElse(t, 0L) + 1L)
+          n += 1
+        }
+        out = m.iterator
+      }
+      def hasNext: Boolean = {
+        while (!out.hasNext && it.hasNext) refill()
+        out.hasNext
+      }
+      def next(): (String, Long) = {
+        if (!hasNext) throw new NoSuchElementException
+        out.next()
+      }
+    }
+
   /** Candidate tokens: union of per-partition MG summaries (superset of
     * all tokens with frequency > n/(K+1)) — kept as a relation, never
     * collected. At 1000 executors the P×K candidate set is ~64 k tokens;

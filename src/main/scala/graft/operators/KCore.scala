@@ -103,7 +103,8 @@ object KCore {
       .localCheckpoint(false) // once — never rewritten by the loop
     var dec = baseDeg.limit(0)
       .select(col("node"), lit(0L).as("dec")) // cumulative, touched-only
-    var frontier = Iterative.cutLineage(
+    var decRelease: () => Unit = () => ()
+    var (frontier, frontierRelease) = Iterative.cutLineageReleasable(
       baseDeg.filter(col("deg") < k).select("node"))
     var fCount = frontier.count()
     var rounds = 0
@@ -128,7 +129,7 @@ object KCore {
         .join(hinted(frontier.select(col("node").as("v")), fCount), Seq("v"))
         .groupBy(col("u")).agg(count(lit(1)).as("d"))
         .select(col("u").as("node"), col("d"))
-      val decNext = Iterative.cutLineage(
+      val (decNext, decNextRelease) = Iterative.cutLineageReleasable(
         dec.unionAll(lost.select(col("node"), col("d").as("dec")))
           .groupBy(col("node")).agg(sum(col("dec")).as("dec")))
       // nodes that crossed k this round: only this round's touched nodes
@@ -139,11 +140,17 @@ object KCore {
         .select(col("node"),
           (coalesce(col("prev"), lit(0L)) + col("d")).as("now"),
           coalesce(col("prev"), lit(0L)).as("prev"))
-      frontier = Iterative.cutLineage(
+      val (fNext, fNextRelease) = Iterative.cutLineageReleasable(
         baseDeg.join(hinted(crossed, fCount * (k - 1).max(1)), Seq("node"))
           .filter(col("deg") - col("now") < k && col("deg") - col("prev") >= k)
           .select("node"))
-      dec = decNext
+      // both new checkpoints are eager, so round i−1's frontier and
+      // decrement blocks are dead the moment the two calls return —
+      // release them NOW instead of pinning iteration-scaled storage
+      // until a driver GC (the 6.4M k=4 cascade's default-heap OOM)
+      frontierRelease(); decRelease()
+      frontier = fNext; frontierRelease = fNextRelease
+      dec = decNext; decRelease = decNextRelease
       fCount = frontier.count()
     }
     roundsOut.foreach(_.set(rounds))

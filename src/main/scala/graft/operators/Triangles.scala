@@ -159,15 +159,23 @@ object Triangles {
   /** The degree-ordered orientation of a simple undirected edge set:
     * low (degree, id) rank → high, with the head's packed rank carried
     * for wedge ordering. Out-degree is ≤ √(2m) on ANY graph — the bound
-    * PowerLawGraphSpec asserts on the heavy-tailed fixture. */
+    * PowerLawGraphSpec asserts on the heavy-tailed fixture.
+    *
+    * Rank packing `deg · 2³³ + id` is a strict total order (ranks are
+    * unique: ids are unique and id < 2³³) for any graph with id < 2³³
+    * (≈8.6e9) and deg < 2³⁰ — far beyond every fixture and tier this
+    * feeds (PowerLawTier tops out at n = 6.4M). The previous 2²⁰ shift
+    * collided distinct nodes once ids exceeded 2²⁰ (r12 advice find):
+    * a collision breaks strictness, so the orientation could form
+    * cycles and silently undercount triangles at the 1.6M/6.4M tiers. */
   def orientedFor(simple: DataFrame): DataFrame = {
     val deg = degreesFor(simple)
     val ranked = simple
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
       .select(col("a"), col("b"),
-        (col("da") * 1048576L + col("a")).as("ra"),
-        (col("db") * 1048576L + col("b")).as("rb"))
+        (col("da") * 8589934592L + col("a")).as("ra"),
+        (col("db") * 8589934592L + col("b")).as("rb"))
     ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
@@ -187,11 +195,9 @@ object Triangles {
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
   }
 
-  /** Per-node triangle participation counts, top 20 by (count desc, node).
-    * Rank = deg * 2^20 + id packs the (degree, id) total order into one
-    * BIGINT comparison (deg and id both ≪ 2^20). */
   /** Per-node triangle participation counts via the degree-ordered
-    * orientation (every node's out-degree O(√m) — see the object doc). */
+    * orientation (every node's out-degree O(√m) — see the object doc;
+    * rank packing bounds documented on [[orientedFor]]). */
   // NOTE the oriented relation appears three times in the triangle plan
   // (both wedge sides + the closing probe) and Catalyst recomputes the
   // generator/degree subtree for each — free here (the graph is a

@@ -203,22 +203,36 @@ object DocStreams {
     * recount over the candidate set is the same second pass the batch
     * entry runs. StreamingSpec feeds a skewed stream in multiple batches
     * and asserts the majority token is never lost and state stays
-    * sketch-sized. */
+    * sketch-sized.
+    *
+    * The shard shuffle carries PARTIAL COUNTS, not raw tokens: each
+    * input partition first folds its tokens into bounded-memory chunk
+    * maps ([[graft.operators.HeavyHitters.chunkedCounts]] — a
+    * streaming-legal hand-rolled partial aggregation; a real `groupBy`
+    * upstream of `mapGroupsWithState` is an unsupported streaming
+    * plan), and the shard's MG state consumes the weighted entries via
+    * `mgFoldWeighted` (same superset guarantee). Before this, the
+    * groupByKey shuffled AND sort-grouped the raw token stream into
+    * `shards` tasks — at the 512× tier (1.3 B tokens into 8 groups)
+    * that sort spilled to disk and cost the measured 26 → 10 M tok/s
+    * drop (r12 verdict item 8). */
   def heavyHitterCandidates(toks: org.apache.spark.sql.Dataset[String],
       shards: Int = 8, k: Int = graft.operators.HeavyHitters.K)
       : org.apache.spark.sql.Dataset[HHUpdate] = {
     val spark = toks.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    def fn(shard: Int, it: Iterator[String],
+    def fn(shard: Int, it: Iterator[(String, Long)],
         state: GroupState[HHState]): HHUpdate = {
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       state.getOption.foreach(s => counters ++= s.counts)
-      graft.operators.HeavyHitters.mgFold(counters, it, k)
+      graft.operators.HeavyHitters.mgFoldWeighted(counters, it, k)
       state.update(HHState(counters.toMap))
       HHUpdate(shard, counters.keys.toSeq.sorted)
     }
-    toks.groupByKey(t => math.floorMod(t.hashCode, shards))
+    toks
+      .mapPartitions(it => graft.operators.HeavyHitters.chunkedCounts(it))
+      .groupByKey { case (t, _) => math.floorMod(t.hashCode, shards) }
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 }

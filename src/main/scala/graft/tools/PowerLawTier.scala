@@ -60,12 +60,21 @@ object PowerLawTier {
         var lab = spark.range(0, n, 1, 32)
           .select(col("id"), col("id").as("l"))
         for (_ <- 1 to 5) {
+          // (max count, then min label) argmax as MIN over a struct —
+          // lexicographic struct ordering, no field-width assumptions.
+          // The catalog entry's BIGINT packing (LabelProp.MaxC·1024) is
+          // only valid for labels < 1024 and counts < 100000; here
+          // labels are node ids up to n−1 (6.4M at the top tier) and a
+          // hub's neighbor-label count is Θ(n/2), so the packed encode
+          // would decode wrong labels and even go negative (the r12
+          // advice find — earlier tier numbers measured a corrupted
+          // propagation; re-measured after this fix).
           lab = graft.core.Iterative.cutLineage(e
             .join(lab.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
             .groupBy(col("src"), col("l")).agg(count(lit(1)).as("c"))
             .groupBy(col("src"))
-            .agg(min((lit(100000L) - col("c")) * 1048576L + col("l")).as("enc"))
-            .select(col("src").as("id"), (col("enc") % 1048576L).as("l")))
+            .agg(min(struct((-col("c")).as("nc"), col("l").as("l"))).as("s"))
+            .select(col("src").as("id"), col("s.l").as("l")))
         }
         lab.select(countDistinct(col("l"))).head().getLong(0)
       }

@@ -187,4 +187,56 @@ object ScaleSmoke {
     }
     new java.io.File(s"$dir/_built_$mult").createNewFile()
   }
+
+  /** Every [[buildMutatedDir]] twin differs from its even copy at token
+    * positions ≡ 0 (mod this stride) — ~2 edits on the ~54-token corpus
+    * docs, so twin Jaccard on word-3-gram shingles is ≈ 0.8 (well above
+    * every verify threshold) while cross-group similarity is 0. */
+  val MutateStride = 30
+
+  /** Mutated-replica corpus for the dedup family's high tiers (r12
+    * verdict item 3). The verbatim-replica corpus [[buildScaledDir]]
+    * builds makes true near-dup PAIR output quadratic in the copy count
+    * (every copy of a doc near-duplicates every other), so the
+    * pair-output ops (minhash/simhash/winnowing/edit-verify) had no
+    * honest 64×/512× rows. Here replicas come in TWIN PAIRS instead:
+    *
+    *   - copy i belongs to group g = i/2; every token is suffixed with
+    *     the group (`w_g<g>`), so groups share ZERO shingles — a group
+    *     is a fresh sub-corpus, not another verbatim copy;
+    *   - the odd copy of each group additionally rewrites every
+    *     [[MutateStride]]-th token deterministically (the
+    *     `text_cdc_chunk` spec's k-token-edit construction), making it
+    *     a near-dup of exactly its even twin and nothing else.
+    *
+    * Planted near-dup pairs are therefore |docs|·(mult/2) — LINEAR in
+    * the corpus — plus the base corpus's organic near-dups replicated
+    * once per group (also linear). An output that grows faster than
+    * linearly at these tiers is a real plan defect, not a corpus
+    * artifact. doc_ids are offset per copy (the buildScaledDir key
+    * discipline); n_chars is recomputed for the rewritten text. */
+  def buildMutatedDir(spark: SparkSession, src: String, dir: String,
+      mult: Int): Unit = {
+    require(mult % 2 == 0, "mutated corpus comes in twin pairs")
+    if (new java.io.File(s"$dir/_built_$mult").exists()) return
+    val OFF = 1000000000L
+    val base = Tables.load(spark, src, "documents")
+    (0 until mult).map { i =>
+      val g = i / 2
+      val body =
+        if (i % 2 == 0)
+          s"array_join(transform(split(text, ' '), " +
+            s"w -> concat(w, '_g$g')), ' ')"
+        else
+          s"array_join(transform(split(text, ' '), (w, p) -> " +
+            s"CASE WHEN p % $MutateStride = 0 THEN concat('e${g}p', p) " +
+            s"ELSE concat(w, '_g$g') END), ' ')"
+      base
+        .withColumn("doc_id", col("doc_id") + lit(i * OFF))
+        .withColumn("text", expr(body))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/_built_$mult").createNewFile()
+  }
 }

@@ -5,19 +5,39 @@ import org.apache.spark.sql.functions._
 import graft.apps.ShortestPath
 
 /** Timing harness for the iterative SSSP app on the reference's syn.graph
-  * (18,263 nodes / 23,797 undirected edges — its own scale workload).
-  * `sbt "runMain graft.tools.SsspBench [path]"` */
+  * (18,263 nodes / 23,797 undirected edges — its own scale workload), or
+  * with `--plaw=N` on the HEAVY-TAILED synthetic
+  * ([[graft.operators.Triangles.powerLawEdges]], hub degree Θ(n/2)) —
+  * syn.graph is near-uniform-degree, so only the power-law runs exercise
+  * the skewed-frontier regime the k-level min-reduce is designed for
+  * (r12 verdict item 7). Power-law weights are deterministic integers
+  * 1 + (src+dst) mod 7, so the Dijkstra parity audit's exact-== argument
+  * holds (equal-length integer paths sum identically in double).
+  * `sbt "runMain graft.tools.SsspBench [path] [--distributed] [--k=K]
+  *   [--plaw=N]"` */
 object SsspBench {
   def main(args: Array[String]): Unit = {
     val path = args.filterNot(_.startsWith("--")).headOption.getOrElse(
       "/root/reference/sample_apps/shortest_path/syn.graph")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val edges = ShortestPath.loadGraph(spark, path)
+    val plawN = args.collectFirst { case a if a.startsWith("--plaw=") =>
+      a.stripPrefix("--plaw=").toLong }
+    val edges = plawN match {
+      case Some(n) =>
+        val simple = graft.operators.Triangles.powerLawEdges(spark, n)
+          .withColumn("weight",
+            (lit(1L) + (col("a") + col("b")) % 7L).cast("double"))
+        ShortestPath.undirect(simple
+          .select(col("a").as("src"), col("b").as("dst"), col("weight")))
+          .localCheckpoint() // materialize the generator once, like a scan
+      case None => ShortestPath.loadGraph(spark, path)
+    }
     println(s"edges: ${edges.count()}")
     val distributed = args.contains("--distributed")
     val k = args.collectFirst { case a if a.startsWith("--k=") =>

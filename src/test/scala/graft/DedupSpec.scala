@@ -34,6 +34,45 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain cross-boundary near-dups")
   }
 
+  test("mutated-replica corpus plants exactly the twin pairs; pair output linear in mult") {
+    // the generator behind the dedup family's honest high tiers (r12
+    // verdict item 3): copies come in twin pairs — near-dup pairs grow
+    // LINEARLY in the copy count, unlike the verbatim-replica corpus
+    // whose pair output is quadratic by construction
+    val OFF = 1000000000L
+    def pairsAt(mult: Int): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_mutated_x$mult").toString
+      graft.tools.ScaleSmoke.buildMutatedDir(spark, sf("sf0.001"), dir, mult)
+      val got = Dedup.minhashPairs(Tables.documents(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val baseIds = Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val planted = (0 until mult / 2).flatMap { g =>
+        baseIds.map(id => (id + 2L * g * OFF, id + (2L * g + 1) * OFF))
+      }.toSet
+      (got, planted)
+    }
+    val (got2, planted2) = pairsAt(2)
+    // every planted twin that LSH catches is a (base, twin) pair; no
+    // cross-group pair can exist (groups share zero shingles)
+    val crossGroup2 = got2.filterNot { case (a, b) =>
+      a / OFF / 2 == b / OFF / 2 // same twin-pair group
+    }
+    assert(crossGroup2.isEmpty, s"cross-group pairs: ${crossGroup2.take(5)}")
+    // banding is probabilistic per pair, but at twin Jaccard ≈ 0.8 the
+    // capture rate is high; require most planted pairs caught
+    val caught2 = got2.intersect(planted2).size.toDouble / planted2.size
+    assert(caught2 >= 0.5, s"planted-pair capture rate $caught2")
+    // linearity: at 4× the copies, output is ~2× (same per-group sets),
+    // never quadratic (which would be ~4× here)
+    val (got4, planted4) = pairsAt(4)
+    assert(got4.size <= got2.size * 5 / 2,
+      s"pair output grew super-linearly: ${got2.size} -> ${got4.size}")
+    assert(got4.intersect(planted4).size >= got2.intersect(planted2).size,
+      "second group lost its planted twins")
+  }
+
   test("leakage-safe split: no near-dup pair straddles train/test") {
     val d = sf("sf0.001")
     val split = graft.operators.Components.splitLeakageSafe.fn(spark, d)

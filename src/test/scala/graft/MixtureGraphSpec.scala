@@ -72,6 +72,41 @@ class MixtureGraphSpec extends SparkSpec {
     assert(missed.isEmpty, s"MG guarantee violated for: ${missed.mkString(", ")}")
   }
 
+  test("weighted Misra-Gries over pre-aggregated counts keeps the superset guarantee") {
+    import graft.operators.HeavyHitters
+    // same logical stream three ways: raw occurrences, fully
+    // pre-aggregated, and chunked partial counts (the streaming shard
+    // path) — every fold must keep each token above n/(k+1)
+    val k = 8
+    val raw = Seq.fill(500)("hot") ++ (1 to 400).map(i => s"t$i") ++
+      Seq.fill(120)("warm")
+    val n = raw.length
+    val must = raw.groupBy(identity).collect {
+      case (t, os) if os.length * (k + 1) > n => t
+    }.toSet
+    assert(must == Set("hot", "warm")) // the fixture plants exactly these
+    def surviving(entries: Iterator[(String, Long)]): Set[String] = {
+      val c = scala.collection.mutable.HashMap.empty[String, Long]
+      HeavyHitters.mgFoldWeighted(c, entries, k)
+      assert(c.size <= k, s"over capacity: ${c.size}")
+      c.keySet.toSet
+    }
+    val viaRaw = surviving(raw.iterator.map(_ -> 1L))
+    val viaAgg = surviving(
+      raw.groupBy(identity).map { case (t, os) => t -> os.length.toLong }
+        .iterator)
+    val viaChunks = surviving(
+      HeavyHitters.chunkedCounts(raw.iterator, chunkTokens = 64))
+    Seq(viaRaw, viaAgg, viaChunks).foreach { got =>
+      assert(must.subsetOf(got), s"lost a guaranteed heavy hitter: $got")
+    }
+    // chunkedCounts itself is lossless partial aggregation
+    val rebuilt = HeavyHitters.chunkedCounts(raw.iterator, chunkTokens = 64)
+      .toSeq.groupBy(_._1).map { case (t, es) => t -> es.map(_._2).sum }
+    assert(rebuilt == raw.groupBy(identity)
+      .map { case (t, os) => t -> os.length.toLong })
+  }
+
   test("Misra-Gries summary on a known stream keeps the majority element") {
     import graft.operators.HeavyHitters
     val stream = Iterator.fill(500)("hot") ++ (1 to 400).iterator.map(i => s"t$i")
