@@ -201,9 +201,15 @@ object ScaleSmoke {
     * pair-output ops (minhash/simhash/winnowing/edit-verify) had no
     * honest 64×/512× rows. Here replicas come in TWIN PAIRS instead:
     *
-    *   - copy i belongs to group g = i/2; every token is suffixed with
-    *     the group (`w_g<g>`), so groups share ZERO shingles — a group
-    *     is a fresh sub-corpus, not another verbatim copy;
+    *   - copy i belongs to group g = i/2; every token is REWRITTEN to
+    *     a group-keyed hash (`substr(md5(w ⊕ g), 1, 8)`), so groups
+    *     share zero shingles AND zero character structure — a group is
+    *     a fresh sub-corpus. (A first cut merely SUFFIXED tokens with
+    *     the group id, which kept same-base docs across groups
+    *     near-identical at the CHARACTER level — simhash/edit-verify
+    *     correctly flagged those 5000·C(mult,2) cross-group pairs and
+    *     the "linear" corpus was quadratic again for char-granularity
+    *     ops; measured 8.65 M pairs at 64× before the hash rewrite);
     *   - the odd copy of each group additionally rewrites every
     *     [[MutateStride]]-th token deterministically (the
     *     `text_cdc_chunk` spec's k-token-edit construction), making it
@@ -223,14 +229,14 @@ object ScaleSmoke {
     val base = Tables.load(spark, src, "documents")
     (0 until mult).map { i =>
       val g = i / 2
+      val rewrite = s"substr(md5(concat(w, '|$g')), 1, 8)"
       val body =
         if (i % 2 == 0)
-          s"array_join(transform(split(text, ' '), " +
-            s"w -> concat(w, '_g$g')), ' ')"
+          s"array_join(transform(split(text, ' '), w -> $rewrite), ' ')"
         else
           s"array_join(transform(split(text, ' '), (w, p) -> " +
             s"CASE WHEN p % $MutateStride = 0 THEN concat('e${g}p', p) " +
-            s"ELSE concat(w, '_g$g') END), ' ')"
+            s"ELSE $rewrite END), ' ')"
       base
         .withColumn("doc_id", col("doc_id") + lit(i * OFF))
         .withColumn("text", expr(body))
