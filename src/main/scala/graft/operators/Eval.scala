@@ -18,7 +18,84 @@ import graft.{QueryDef, Tables}
 object Eval {
 
   def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall,
-    calibration, recalibrated)
+    calibration, recalibrated, keepCalibrated)
+
+  /** Shared by [[recalibrated]] and [[keepCalibrated]] so the fit and
+    * its consumer cannot drift: the scored relation with its bin
+    * assignment, and the isotonic bin → p_cal map (see [[recalibrated]]
+    * for the construction's invariants). */
+  private def scoredWithBin(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.quality.fn(s, d)
+      .select(col("doc_id"), col("quality").as("v"),
+        when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(floor(col("v") * lit(10.0)), lit(9L)))
+
+  private def isotonicCalOf(binned: DataFrame): DataFrame = {
+    // pooled accuracy of every contiguous bin run [j..k]: exact BIGINT
+    // sums, one double division per run (≤ 55 runs)
+    val runs = binned.select(col("bin").as("j"))
+      .join(broadcast(binned.select(col("bin").as("k"))),
+        col("j") <= col("k"))
+      .join(broadcast(binned.select(col("bin").as("b"),
+        col("n").as("bn"), col("n_pos").as("bp"))),
+        col("b") >= col("j") && col("b") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("bp")).cast("double") / sum(col("bn")).cast("double"))
+        .as("p"))
+    // PAV minimax: cal_i = max_{j≤i} min_{k≥i} pooled(j..k)
+    binned.select(col("bin"))
+      .join(broadcast(runs),
+        col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("p")).as("mp"))
+      .groupBy(col("bin")).agg(max(col("mp")).as("p_cal"))
+  }
+
+  /** DuckDB CTE chain scored → binned → runs → cal, shared verbatim by
+    * both oracles (scored carries doc_id and the bin assignment so the
+    * per-document consumer can join on it). */
+  private def calCtesSql: String =
+    s"""scored AS (SELECT doc_id, v,
+        CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos,
+        LEAST(CAST(floor(v * 10.0) AS BIGINT), 9) AS bin
+        FROM (SELECT doc_id, n_tokens, quality AS v
+          FROM (${graft.operators.TextAnalysis.quality.oracle.get}) tq0) tq),
+      binned AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      runs AS (SELECT j.bin AS j, k.bin AS k,
+          CAST(SUM(b.n_pos) AS DOUBLE) / CAST(SUM(b.n) AS DOUBLE) AS p
+        FROM binned j JOIN binned k ON j.bin <= k.bin
+        JOIN binned b ON b.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2),
+      cal AS (SELECT bin, MAX(mp) AS p_cal FROM (
+          SELECT i.bin, r.j, MIN(r.p) AS mp
+          FROM binned i JOIN runs r ON r.j <= i.bin AND r.k >= i.bin
+          GROUP BY 1, 2) GROUP BY 1)"""
+
+  /** Per-document calibrated keep gate — [[recalibrated]]'s isotonic
+    * map APPLIED, the step the eval family's lesson arc ends on:
+    * eval_auc said the heuristic ranks well, eval_calibration said its
+    * raw value is not a probability (ECE ≈ 0.27), eval_recalibrated
+    * built the monotone fix, and this entry thresholds the CALIBRATED
+    * probability (p_cal ≥ 0.5 — "more likely good than not", a
+    * statement the raw score could not make) to produce the keep
+    * decision a curation pipeline actually consumes. Plan: one scan +
+    * the ≤10-row bin map broadcast back onto the documents — the only
+    * data-scaled work is the scan itself. */
+  val keepCalibrated = QueryDef("curate_keep_calibrated",
+    (s, d) => {
+      val scored = scoredWithBin(s, d)
+      val binned = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      scored.join(broadcast(isotonicCalOf(binned)), Seq("bin"))
+        .select(col("doc_id"), col("v").as("quality"), col("p_cal"),
+          when(col("p_cal") >= 0.5, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $calCtesSql
+      SELECT s.doc_id, s.v AS quality, cal.p_cal,
+        CASE WHEN cal.p_cal >= 0.5 THEN 1 ELSE 0 END AS keep
+      FROM scored s JOIN cal USING (bin)
+      ORDER BY s.doc_id"""))
 
   /** Isotonic recalibration of the quality score — ACTING on
     * [[calibration]]'s measured lesson (ECE ≈ 0.27 against AUC 0.87:
@@ -48,31 +125,11 @@ object Eval {
     * data-scaled past the score relation at any corpus size. */
   val recalibrated = QueryDef("eval_recalibrated",
     (s, d) => {
-      val scored = graft.operators.TextAnalysis.quality.fn(s, d)
-        .select(col("quality").as("v"),
-          when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
-      val binned = scored
-        .withColumn("bin", least(floor(col("v") * lit(10.0)), lit(9L)))
-        .groupBy(col("bin"))
+      val scored = scoredWithBin(s, d)
+      val binned = scored.groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       val tot = scored.agg(count(lit(1)).as("n_total"))
-      // pooled accuracy of every contiguous bin run [j..k]: exact
-      // BIGINT sums, one double division per run (≤ 55 runs)
-      val runs = binned.select(col("bin").as("j"))
-        .join(broadcast(binned.select(col("bin").as("k"))),
-          col("j") <= col("k"))
-        .join(broadcast(binned.select(col("bin").as("b"),
-          col("n").as("bn"), col("n_pos").as("bp"))),
-          col("b") >= col("j") && col("b") <= col("k"))
-        .groupBy(col("j"), col("k"))
-        .agg((sum(col("bp")).cast("double") / sum(col("bn")).cast("double"))
-          .as("p"))
-      // PAV minimax: cal_i = max_{j≤i} min_{k≥i} pooled(j..k)
-      val cal = binned.select(col("bin"))
-        .join(broadcast(runs),
-          col("j") <= col("bin") && col("k") >= col("bin"))
-        .groupBy(col("bin"), col("j")).agg(min(col("p")).as("mp"))
-        .groupBy(col("bin")).agg(max(col("mp")).as("p_cal"))
+      val cal = isotonicCalOf(binned)
       val cells = binned.join(broadcast(cal), Seq("bin"))
         .crossJoin(broadcast(tot))
         .withColumn("conf_mid",
@@ -91,22 +148,8 @@ object Eval {
           col("acc"), col("p_cal"), col("ece_post"))
         .orderBy(col("bin"))
     },
-    Some(s"""WITH scored AS (SELECT quality AS v,
-        CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos
-        FROM (${graft.operators.TextAnalysis.quality.oracle.get}) tq),
-      binned AS (SELECT LEAST(CAST(floor(v * 10.0) AS BIGINT), 9) AS bin,
-          COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
-        FROM scored GROUP BY 1),
+    Some(s"""WITH $calCtesSql,
       tot AS (SELECT COUNT(*) AS n_total FROM scored),
-      runs AS (SELECT j.bin AS j, k.bin AS k,
-          CAST(SUM(b.n_pos) AS DOUBLE) / CAST(SUM(b.n) AS DOUBLE) AS p
-        FROM binned j JOIN binned k ON j.bin <= k.bin
-        JOIN binned b ON b.bin BETWEEN j.bin AND k.bin
-        GROUP BY 1, 2),
-      cal AS (SELECT bin, MAX(mp) AS p_cal FROM (
-          SELECT i.bin, r.j, MIN(r.p) AS mp
-          FROM binned i JOIN runs r ON r.j <= i.bin AND r.k >= i.bin
-          GROUP BY 1, 2) GROUP BY 1),
       cells AS (SELECT bin, n, n_pos, n_total,
           (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc, p_cal,

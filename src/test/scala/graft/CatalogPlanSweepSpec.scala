@@ -219,6 +219,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // bins by construction at any corpus size)
     "eval_recalibrated" -> Seq("agg[bin]<-[documents]",
       "agg[j,k]<-[documents]"),
+    // the per-document consumer broadcasts the same ≤10-row bin map
+    // (and the run relations inside it) back onto the documents scan
+    "curate_keep_calibrated" -> Seq("agg[bin]<-[documents]",
+      "agg[j,k]<-[documents]"),
     // conversion-latency selection: bucket offsets over the 1e10-µs-wide
     // latency buckets (range-bounded by the corpus time span)
     "ev_funnel_latency" -> Seq("agg[bkt]<-[events]"),
