@@ -41,6 +41,23 @@ class KCoreSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("cutLineageReleasable frees the checkpoint's storage blocks; frame readable before release") {
+    // the contract the k-core peel leans on (r12 verdict item 4): the
+    // returned frame reads fine while un-released, release() drops the
+    // checkpointed RDD's blocks from the block manager (so a long peel
+    // loop carries O(current round) storage, not O(iterations))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val (df, release) = graft.core.Iterative.cutLineageReleasable(
+      spark.range(0, 1000, 1, 4).toDF("id"))
+    assert(df.count() == 1000L) // readable while un-released
+    assert(sc.getPersistentRDDs.size > before,
+      "localCheckpoint should register a persisted RDD")
+    release()
+    assert(sc.getPersistentRDDs.size == before,
+      "release() must drop the checkpointed blocks")
+  }
+
   test("catalog graph converges well inside the oracle's unrolled bound") {
     // sf0.1 included so the unrolled-oracle validity is machine-checked
     // at every tier the driver ever verifies or benches, not argued from
