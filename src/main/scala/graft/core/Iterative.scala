@@ -51,13 +51,29 @@ object Iterative {
     * The handle MUST only be invoked once every frame derived from the
     * returned DataFrame has been fully materialized (checkpointed or
     * counted): after release, any re-read throws — truncated lineage
-    * has nothing to recompute from. */
+    * has nothing to recompute from.
+    *
+    * Misuse guard (r13 advice): a post-release read surfaces as an
+    * opaque `block rdd_N_p not found` task failure far from the call
+    * site, so the release closure RENAMES the internal RDDs first —
+    * the Spark UI / event-log entry for rdd_N then reads "RELEASED by
+    * cutLineageReleasable…", turning the block id in the error into a
+    * pointer at this contract instead of a mystery. Releasing twice is
+    * a no-op. KCoreSpec's release-handle test pins both behaviors. */
   def cutLineageReleasable(df: DataFrame): (DataFrame, () => Unit) = {
     val ck = df.localCheckpoint(true)
     val internal = ck.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     (ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
-      () => internal.foreach(_.unpersist(false)))
+      () => if (released.compareAndSet(false, true)) {
+        internal.foreach { r =>
+          r.setName(s"RELEASED by Iterative.cutLineageReleasable (rdd " +
+            s"${r.id}) — a 'block rdd_${r.id}_* not found' failure means " +
+            "something read this state after its loop released it")
+          r.unpersist(false)
+        }
+      })
   }
 }

@@ -28,12 +28,17 @@ import graft.{QueryDef, Tables}
   * scan. */
 object Anonymity {
 
-  def all: Seq[QueryDef] = Seq(kAnonymity, lDiversity)
+  def all: Seq[QueryDef] = Seq(kAnonymity, lDiversity, tCloseness)
 
   val K = 8
 
   /** Distinct-l-diversity floor for [[lDiversity]]. */
   val L = 6
+
+  /** EMD ceiling for [[tCloseness]]: a group fails when its sensitive-
+    * attribute distribution sits further than this from the global
+    * one. */
+  val TClose = 0.2
 
   /** Core over an arbitrary `(doc_id, lang, source, bkt)` frame — what
     * the spec's suppression fixture drives (the corpus never reaches
@@ -128,4 +133,112 @@ object Anonymity {
         CAST(CASE WHEN COUNT(DISTINCT source) >= $L THEN 1 ELSE 0 END
           AS BIGINT) AS l_ok
       FROM documents GROUP BY 1, 2 ORDER BY lang, bkt"""))
+
+  /** Core over an arbitrary `(lang, bkt, source)` frame — what the
+    * spec's skewness fixture drives. */
+  def tClosenessOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcnt = docs.groupBy(col("lang"), col("bkt"), col("source"))
+      .agg(count(lit(1)).as("gc"))
+    val gtot = docs.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("gn"))
+    val gdist = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val tot = docs.agg(count(lit(1)).as("n"),
+      countDistinct(col("source")).as("m"))
+    // global CDF numerators over the ordered value domain — the one
+    // unpartitioned window, serial over the ≤|values| relation only
+    // (reviewed in CatalogPlanSweepSpec's serial-window list)
+    val globCum = gdist
+      .withColumn("cglob", sum(col("c")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("source"), col("cglob"))
+    val grid = gtot.crossJoin(broadcast(globCum))
+      .join(gcnt, Seq("lang", "bkt", "source"), "left")
+      .withColumn("gc0", coalesce(col("gc"), lit(0L)))
+      .withColumn("cg", sum(col("gc0")).over(
+        Window.partitionBy(col("lang"), col("bkt")).orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("dterm", abs(
+        col("cg").cast("decimal(38,0)") * col("n").cast("decimal(38,0)") -
+          col("cglob").cast("decimal(38,0)") *
+            col("gn").cast("decimal(38,0)")))
+      .groupBy(col("lang"), col("bkt"))
+      .agg(min(col("gn")).as("n"), min(col("n")).as("ntot"),
+        min(col("m")).as("m"), sum(col("dterm")).as("emd_num"))
+      .select(col("lang"), col("bkt"), col("n"),
+        when(col("m") <= 1L, lit(0.0)).otherwise(
+          col("emd_num").cast("double") /
+            ((col("m") - 1L).cast("double") * col("n").cast("double") *
+              col("ntot").cast("double"))).as("emd"))
+      .withColumn("t_ok", when(col("emd") <= TClose, 1L).otherwise(0L))
+      .orderBy(col("lang"), col("bkt"))
+  }
+
+  /** t-closeness audit (Li, Li, Venkatasubramanian 2007) — the gate
+    * l-diversity cannot close: a group can expose ≥ [[L]] DISTINCT
+    * sensitive values yet concentrate 99% of its mass on ONE of them,
+    * so membership still shifts an attacker's posterior sharply (the
+    * skewness attack — AnonymitySpec pins an l-diverse group that fails
+    * here). The criterion bounds the Earth Mover's Distance between
+    * each quasi-id group's sensitive-value distribution and the GLOBAL
+    * one over the ordered value domain:
+    *
+    *   EMD = Σᵢ |CDF_group(i) − CDF_global(i)| / (m − 1)
+    *
+    * (ordered-domain EMD = mean absolute CDF gap; the value order is
+    * the lexicographic source ranking, m = |values|). Arithmetic is the
+    * KS-statistic discipline: each CDF gap is the exact integer
+    * cross-product cum_g·n − cum_glob·gn in DECIMAL(38,0)/HUGEINT
+    * (data-scaled² products — a long cannot hold them at 100 TB), the
+    * per-group sum is exact, and ONE IEEE division produces the
+    * reported emd; the m = 1 degenerate domain is pinned to 0 in both
+    * engines.
+    *
+    * Plan: two quasi-id-bounded aggregations + a ≤|values|-row global
+    * relation broadcast onto the group×value grid (quasi-id cardinality
+    * × m rows — never corpus-scaled past the scan); the only
+    * unpartitioned window is serial over that ≤|values| relation. */
+  val tCloseness = QueryDef("curate_t_closeness",
+    (s, d) => tClosenessOf(Tables.documents(s, d)
+      .select(col("lang"), (col("n_chars") / 100L).cast("long").as("bkt"),
+        col("source"))),
+    Some(s"""WITH docs AS (SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+          source FROM documents),
+      gcnt AS (SELECT lang, bkt, source, COUNT(*) AS gc FROM docs
+        GROUP BY 1, 2, 3),
+      gtot AS (SELECT lang, bkt, COUNT(*) AS gn FROM docs GROUP BY 1, 2),
+      gdist AS (SELECT source, COUNT(*) AS c FROM docs GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS m FROM docs),
+      globcum AS (SELECT source, CAST(SUM(c) OVER (ORDER BY source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cglob
+        FROM gdist),
+      grid AS (SELECT g.lang, g.bkt, g.gn, v.source, v.cglob,
+          COALESCE(gc.gc, 0) AS gc0
+        FROM gtot g CROSS JOIN globcum v
+        LEFT JOIN gcnt gc ON gc.lang = g.lang AND gc.bkt = g.bkt
+          AND gc.source = v.source),
+      cum AS (SELECT lang, bkt, gn, source, cglob,
+          CAST(SUM(gc0) OVER (PARTITION BY lang, bkt ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cg
+        FROM grid),
+      agg AS (SELECT lang, bkt, ANY_VALUE(gn) AS n,
+          CAST(SUM(ABS(CAST(cg AS HUGEINT) * (SELECT n FROM tot)
+            - CAST(cglob AS HUGEINT) * gn)) AS HUGEINT) AS emd_num
+        FROM cum GROUP BY 1, 2)
+      SELECT lang, bkt, n,
+        CASE WHEN (SELECT m FROM tot) <= 1 THEN 0.0
+          ELSE CAST(emd_num AS DOUBLE) /
+            (CAST((SELECT m FROM tot) - 1 AS DOUBLE) * CAST(n AS DOUBLE) *
+              CAST((SELECT n FROM tot) AS DOUBLE)) END AS emd,
+        CAST(CASE WHEN (CASE WHEN (SELECT m FROM tot) <= 1 THEN 0.0
+          ELSE CAST(emd_num AS DOUBLE) /
+            (CAST((SELECT m FROM tot) - 1 AS DOUBLE) * CAST(n AS DOUBLE) *
+              CAST((SELECT n FROM tot) AS DOUBLE)) END) <= $TClose
+          THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+      FROM agg ORDER BY lang, bkt"""))
 }

@@ -18,7 +18,7 @@ import graft.{QueryDef, Tables}
 object Eval {
 
   def all: Seq[QueryDef] = Seq(ndcg, mrr, auc, langidConfusion, dedupRecall,
-    calibration, recalibrated, keepCalibrated)
+    calibration, recalibrated, keepCalibrated, kappa)
 
   /** Shared by [[recalibrated]] and [[keepCalibrated]] so the fit and
     * its consumer cannot drift: the scored relation with its bin
@@ -598,5 +598,81 @@ object Eval {
         CASE WHEN n_lsh > 0 THEN
           CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS precision
       FROM ne CROSS JOIN nl CROSS JOIN nc"""),
+    bench = false)
+
+  /** Cohen's κ between the engine's two keep gates — the trained
+    * classifier ([[graft.operators.TextScoring.qualityTrain]]'s `keep`)
+    * and the calibrated-probability gate ([[keepCalibrated]]'s `keep`)
+    * as two raters over the same documents: chance-corrected agreement,
+    * the eval-family closer (r13 verdict item 9). Reading: κ ≈ 1 means
+    * the 4096-bucket GD model mostly re-derives the calibrated
+    * heuristic's decision boundary; κ near 0 means the gates disagree
+    * beyond chance and a curation pipeline must pick one deliberately.
+    *
+    * Arithmetic: the 2×2 contingency table is exact BIGINT counts; κ is
+    * assembled from integer products in DECIMAL(38,0)/HUGEINT (n² is
+    * data-scaled² — a long cannot hold it at 100 TB) and ONE IEEE
+    * division:
+    *
+    *   κ = (n·(n11+n00) − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0))
+    *
+    * with r/c the raters' marginals — algebraically (p_o − p_e)/(1 −
+    * p_e) with every intermediate exact. The degenerate p_e = 1 case
+    * (both raters constant) pins κ to NULL in both engines. Composes
+    * the two gates' full pipelines (driver-loop GD rounds included), so
+    * out of the headline bench and in the plan sweep's eager skip set
+    * like the trainer itself; KappaSpec pins the serial formula. */
+  val kappa = QueryDef("eval_kappa",
+    (s, d) => {
+      val ta = graft.operators.TextScoring.qualityTrain.fn(s, d)
+        .select(col("doc_id"), col("keep").as("ka"))
+      val tb = keepCalibrated.fn(s, d)
+        .select(col("doc_id"), col("keep").as("kb"))
+      val ct = ta.join(tb, "doc_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ka") === 1 && col("kb") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("ka") === 1 && col("kb") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("ka") === 0 && col("kb") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("ka") === 0 && col("kb") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pe = d38(col("n11") + col("n10")) * d38(col("n11") + col("n01")) +
+        d38(col("n01") + col("n00")) * d38(col("n10") + col("n00"))
+      val den = d38(col("n")) * d38(col("n")) - pe
+      val num = d38(col("n")) * d38(col("n11") + col("n00")) - pe
+      ct.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+    },
+    Some(s"""WITH ta AS (SELECT doc_id, keep AS ka
+        FROM (${graft.operators.TextScoring.qualityTrain.oracle.get}) qa),
+      tb AS (SELECT doc_id, keep AS kb
+        FROM (${keepCalibrated.oracle.get}) qb),
+      ct AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n11,
+          CAST(SUM(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n10,
+          CAST(SUM(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n01,
+          CAST(SUM(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00
+        FROM ta JOIN tb USING (doc_id))
+      SELECT n, n11, n10, n01, n00,
+        CASE WHEN CAST(n AS HUGEINT) * n -
+            ((n11 + n10) * CAST(n11 + n01 AS HUGEINT) +
+             (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) = 0
+          THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(CAST(n AS HUGEINT) * (n11 + n00) -
+              ((n11 + n10) * CAST(n11 + n01 AS HUGEINT) +
+               (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) AS DOUBLE) /
+            CAST(CAST(n AS HUGEINT) * n -
+              ((n11 + n10) * CAST(n11 + n01 AS HUGEINT) +
+               (n01 + n00) * CAST(n10 + n00 AS HUGEINT)) AS DOUBLE)
+          END AS kappa
+      FROM ct"""),
     bench = false)
 }

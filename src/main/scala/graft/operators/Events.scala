@@ -33,6 +33,13 @@ object Events {
   val PiScale = 1000000L
   val PiRounds = 16
 
+  /** Restriction-to-fixpoint rounds for [[markovSteady]] (idempotent
+    * once converged; each non-final round removes ≥1 state, so any
+    * event-type set with ≤16 removal cascades converges — the fn
+    * require()s the fixpoint loudly, the Triangles deg < 2^30 envelope
+    * convention). */
+  val PiRestrictRounds = 16
+
   /** Markov steady state of the event-type chain — where the observed
     * user process spends its time asymptotically (the one-number-per-
     * type summary next-action models and load forecasts read off
@@ -45,18 +52,17 @@ object Events {
     * Lloyd-centroid convention — the collected state is |types|²,
     * never corpus-scaled; in the plan sweep's eager skip set like the
     * other superstep drivers, guarded by MarkovSteadySpec instead).
-    * The chain is restricted one step (states = types with outgoing
-    * transitions, edges into non-states dropped, row sums over the
-    * KEPT edges), which makes every NON-EMPTY row stochastic and
-    * removes one-step sinks' dangling mass. The restriction is not a
-    * fixpoint: a state whose kept out-edges ALL pointed at sinks ends
-    * up with an empty kept row and leaks its π mass to the truncation
-    * floor each round — deterministic, replayed identically by the
-    * unrolled oracle (parity holds), and pinned by MarkovSteadySpec's
-    * two-step-sink fixture; the mass-conservation bound below applies
-    * to corpora with no such states (every real event corpus — a type
-    * observed leaving once keeps a live row unless every successor
-    * type is terminal). Arithmetic is exact
+    * The chain is restricted TO A FIXPOINT (r13 verdict item 5): keep
+    * only states with at least one out-edge into the kept set,
+    * iterated [[PiRestrictRounds]] times (idempotent once converged —
+    * the fn require()s convergence loudly). Every kept row is then
+    * stochastic over kept targets, so the mass-conservation bound
+    * below holds UNCONDITIONALLY over the kept states; types outside
+    * the fixpoint (one-step sinks AND the two-step-sink cascade the
+    * r12/r13 one-step restriction silently drained) are EXPLICIT in
+    * the output — listed with `in_core` = 0 and π = 0, the guard flag
+    * the r13 advice asked for, instead of a silently degenerate all-
+    * zero π. Arithmetic is exact
     * throughout: q_ij = trunc(n_ij·10⁶/n_i) (BigInt product — n_ij·10⁶
     * is data-scaled; HUGEINT in the oracle), π'_j = Σ_i trunc(π_i·q_ij
     * /10⁶) with all terms ≤ 10¹², truncating division identical in
@@ -78,9 +84,13 @@ object Events {
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val states = m.map(_._1).distinct.sorted
-      val inS = states.toSet
-      val kept = m.filter(e => inS(e._2))
+      val states0 = m.map(_._1).distinct.sorted
+      var core = states0.toSet
+      for (_ <- 0 until PiRestrictRounds)
+        core = m.filter(e => core(e._1) && core(e._2)).map(_._1).toSet
+      require(m.filter(e => core(e._1) && core(e._2)).map(_._1).toSet == core,
+        s"markov restriction not at fixpoint after $PiRestrictRounds rounds")
+      val kept = m.filter(e => core(e._1) && core(e._2))
       val rowSum = kept.groupBy(_._1).map { case (f, es) =>
         f -> es.map(_._3).sum
       }
@@ -88,41 +98,56 @@ object Events {
         (f, t, (BigInt(n) * PiScale / rowSum(f)).toLong)
       }
       var pi: Map[String, Long] =
-        if (states.isEmpty) Map.empty
-        else states.map(_ -> PiScale / states.length).toMap
+        if (core.isEmpty) Map.empty
+        else core.toSeq.map(_ -> PiScale / core.size).toMap
       for (_ <- 0 until PiRounds) {
         val nx = scala.collection.mutable.Map.empty[String, Long]
         q.foreach { case (f, t, qv) =>
           nx(t) = nx.getOrElse(t, 0L) + pi.getOrElse(f, 0L) * qv / PiScale
         }
-        pi = states.map(t => t -> nx.getOrElse(t, 0L)).toMap
+        pi = core.toSeq.map(t => t -> nx.getOrElse(t, 0L)).toMap
       }
-      states.map(t => (t, pi(t), pi(t).toDouble / PiScale.toDouble))
-        .toSeq.toDF("event_type", "pi_fixed", "pi")
+      states0.map(t => (t, pi.getOrElse(t, 0L),
+          pi.getOrElse(t, 0L).toDouble / PiScale.toDouble,
+          if (core(t)) 1L else 0L))
+        .toSeq.toDF("event_type", "pi_fixed", "pi", "in_core")
         .orderBy(col("event_type"))
     },
     Some(markovSteadySqlDuck))
 
-  /** The power-iteration loop above unrolled into CTEs (r1 → rR),
-    * generated from the same constants (the qtTrainSqlDuck convention). */
+  /** The restriction fixpoint (s1 → s16, each round MATERIALIZED — it
+    * references its predecessor twice, and inlined the chain expands
+    * 2^16-fold) plus the power-iteration loop (r1 → rR) unrolled into
+    * CTEs, generated from the same constants (the qtTrainSqlDuck
+    * convention). */
   private def markovSteadySqlDuck: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pairs AS (SELECT event_type AS from_type,
         lead(event_type) OVER (PARTITION BY user_id
           ORDER BY ts, event_id) AS to_type
         FROM events),
-      m AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      m AS MATERIALIZED (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
         WHERE to_type IS NOT NULL GROUP BY 1, 2),
-      s AS (SELECT DISTINCT from_type AS t FROM m),
+      s0 AS MATERIALIZED (SELECT DISTINCT from_type AS t FROM m)"""
+    var prevS = "s0"
+    for (r <- 1 to PiRestrictRounds) {
+      sb ++= s""",
+      s$r AS MATERIALIZED (SELECT DISTINCT m.from_type AS t FROM m
+        JOIN $prevS a ON m.from_type = a.t
+        JOIN $prevS b ON m.to_type = b.t)"""
+      prevS = s"s$r"
+    }
+    sb ++= s""",
       mk AS (SELECT m.from_type, m.to_type, m.n
-        FROM m JOIN s ON m.to_type = s.t),
+        FROM m JOIN $prevS a ON m.from_type = a.t
+        JOIN $prevS b ON m.to_type = b.t),
       rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rn
         FROM mk GROUP BY 1),
       q AS (SELECT mk.from_type, mk.to_type,
           CAST(CAST(mk.n AS HUGEINT) * $PiScale // rs.rn AS BIGINT) AS q
         FROM mk JOIN rs USING (from_type)),
-      r0 AS (SELECT t, CAST($PiScale // (SELECT COUNT(*) FROM s)
-        AS BIGINT) AS pi FROM s)"""
+      r0 AS (SELECT t, CAST($PiScale // (SELECT COUNT(*) FROM $prevS)
+        AS BIGINT) AS pi FROM $prevS)"""
     var prev = "r0"
     for (r <- 1 to PiRounds) {
       sb ++= s""",
@@ -132,9 +157,12 @@ object Events {
       prev = s"r$r"
     }
     sb ++= s"""
-      SELECT s.t AS event_type, COALESCE(p.pi, 0) AS pi_fixed,
-        CAST(COALESCE(p.pi, 0) AS DOUBLE) / $PiScale.0 AS pi
-      FROM s LEFT JOIN $prev p ON s.t = p.t ORDER BY s.t"""
+      SELECT s0.t AS event_type, COALESCE(p.pi, 0) AS pi_fixed,
+        CAST(COALESCE(p.pi, 0) AS DOUBLE) / $PiScale.0 AS pi,
+        CAST(CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS in_core
+      FROM s0 LEFT JOIN $prev p ON s0.t = p.t
+      LEFT JOIN $prevS c ON s0.t = c.t ORDER BY s0.t"""
     sb.toString
   }
 

@@ -98,7 +98,18 @@ object HeavyHitters {
     * repeat — a hand-rolled streaming-legal partial aggregation (a real
     * `groupBy` before `mapGroupsWithState` is an unsupported streaming
     * plan, and an unbounded per-partition map would be vocabulary-sized).
-    * Map size is ≤ min(chunkTokens, partition vocab) entries. */
+    * Map size is ≤ min(chunkTokens, partition vocab) entries.
+    *
+    * MEMORY ENVELOPE (r13 advice): the bound is in TOKENS, so the
+    * worst case — every token in a chunk distinct — is a 2^22-entry
+    * String map (~a few hundred MB), and with P partitions in flight
+    * the transient total is P× that. That worst case requires
+    * per-partition vocabulary ≈ chunk size; on the 1.3 B-token 512×
+    * tier the measured per-partition distinct count stays orders of
+    * magnitude below the cap (natural-text vocabulary grows ~√tokens —
+    * Heaps' law), which is why the default holds there. A caller
+    * streaming adversarially-unique tokens (ids, hashes) should pass a
+    * smaller `chunkTokens` — the knob exists for exactly that. */
   def chunkedCounts(it: Iterator[String],
       chunkTokens: Int = 1 << 22): Iterator[(String, Long)] =
     new Iterator[(String, Long)] {

@@ -44,6 +44,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
                                                // (≤|types|² state)
     "sim_ann_ivf_trained",                     // Lloyd rounds
     "text_quality_train",                      // GD superstep loop
+    "eval_kappa",                              // composes the GD trainer
     "text_heavy_hitters",                      // candidate pass collects
     "sink_bucketed_roundtrip", "sink_range_layout", "sink_zorder_layout",
     "sink_compaction", "sink_partition_overwrite",
@@ -115,7 +116,11 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "ev_lorenz_users",
     // KM risk-set cumsum over the age relation — ≤ KmHorizon+1 rows
     // BY CONSTRUCTION (ages are clamped to the fixed follow-up window)
-    "ev_survival_km")
+    "ev_survival_km",
+    // t-closeness global CDF: the serial window crosses only the
+    // ≤|sensitive-values| global-distribution relation; per-group
+    // cumsums are quasi-id-partitioned
+    "curate_t_closeness")
 
   /** Reviewed bounds for HINTED broadcasts that do NOT carry an in-plan
     * boundedness witness (local relation, limit, global aggregate, range,
@@ -133,6 +138,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // (each shard's GroupState holds at most K counters — the sketch
     // never grows; StreamingSpec pins the state-size bound)
     "stream_heavy_hitters" -> Seq("agg[tok]<-[documents]"),
+    // t-closeness global sensitive-value distribution: one row per
+    // DISTINCT source — the sensitive-attribute domain, a fixed small
+    // set by the k-anon/l-div quasi-id design, never corpus-scaled
+    "curate_t_closeness" -> Seq("agg[source]<-[documents]"),
     // KM hazard factors: one row per EVENT age, ages clamped to the
     // fixed KmHorizon-day follow-up → ≤ HORIZON+1 rows by construction
     "ev_survival_km" -> Seq("agg[t]<-[events]"),

@@ -56,6 +56,12 @@ class KCoreSpec extends SparkSpec {
     release()
     assert(sc.getPersistentRDDs.size == before,
       "release() must drop the checkpointed blocks")
+    // r13-advice misuse guard: double release is a no-op (the released
+    // state is also renamed on release, so a post-release read's
+    // 'block rdd_N_* not found' failure points at the contract — see
+    // Iterative.cutLineageReleasable)
+    release()
+    assert(sc.getPersistentRDDs.size == before)
   }
 
   test("catalog graph converges well inside the oracle's unrolled bound") {

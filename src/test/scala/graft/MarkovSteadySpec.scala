@@ -50,41 +50,63 @@ class MarkovSteadySpec extends SparkSpec {
     assert(a + b <= PiScale && a + b >= PiScale - PiRounds * 6)
   }
 
-  test("two-step sink: empty kept row leaks mass deterministically") {
-    // a → b, b → c, c terminal. One-step restriction: states = {a, b}
-    // (c never leaves), kept edges = {a→b} (b→c dropped — c is not a
-    // state). b is then a state with an EMPTY kept row: its π mass has
-    // nowhere to go and drains to 0 in one round; a's mass moves to b
-    // then drains too. The operator's doc scopes the mass-conservation
-    // bound to corpora without such states; this fixture pins the
-    // actual (deterministic, oracle-replayed) behavior on one that has
-    // them: all mass gone, states still listed, nothing negative.
+  test("two-step sink: no recurrent part -> explicit empty core, zero pi") {
+    // a → b, b → c, c terminal. Fixpoint restriction: round 1 keeps
+    // {a} (b's only out-edge leaves the state set), round 2 empties it
+    // (a→b now leaves too) — a pure chain has NO observable recurrent
+    // part. Pre-r14 the one-step restriction silently drained all mass
+    // through b's empty row; now the degenerate case is EXPLICIT: both
+    // states listed with in_core = 0 and π = 0 (the r13-advice guard
+    // flag), nothing negative, nothing silently conserved.
     val got = graft.operators.Events.markovSteady
       .fn(spark, seqDir(Seq("a", "b", "c"))).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
     assert(got.keySet == Set("a", "b"))
-    assert(got.values.forall(_ >= 0L))
-    assert(got.values.sum == 0L, s"two-step-sink chain should drain: $got")
+    assert(got.values.forall { case (pf, core) => pf == 0L && core == 0L },
+      s"chain fixture should have an empty core: $got")
   }
 
-  test("driver corpus: stochastic mass conserved, all states present") {
-    // the conservation bound below holds on corpora where every state
-    // keeps a non-empty out-edge row after the one-step restriction
-    // (see markovSteady's doc); the driver corpus satisfies it — the
-    // generator's types all transition among themselves
+  test("partial core: sink-feeding states flagged out, mass conserved over the core") {
+    // x ⇄ y with a one-way exit x → a → b: the fixpoint keeps {x, y}
+    // (a's only out-edge hits the non-state b, so a falls out in round
+    // 1), and the x→a edge is excluded from x's row sums — every kept
+    // row is stochastic over the core, so π mass conserves
+    // UNCONDITIONALLY (the r13 verdict's item-5 'done' bar), where the
+    // one-step restriction leaked x's π through a each round.
+    val got = graft.operators.Events.markovSteady
+      .fn(spark, seqDir(Seq("x", "y", "x", "y", "x", "a", "b"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet == Set("a", "x", "y"))
+    assert(got("a") == ((0L, 0L)), s"a must be flagged out of the core: $got")
+    assert(got("x")._2 == 1L && got("y")._2 == 1L)
+    val mass = got("x")._1 + got("y")._1
+    // P restricted to {x,y} is the two-cycle: π = (1/2, 1/2) exactly
+    assert(got("x")._1 == PiScale / 2 && got("y")._1 == PiScale / 2,
+      s"two-cycle core should hold (1/2, 1/2): $got")
+    assert(mass == PiScale)
+  }
+
+  test("driver corpus: mass conserved over the core, unconditionally") {
+    // post-fixpoint the bound needs NO corpus caveat: every kept row is
+    // stochastic over kept targets by construction, so whenever the
+    // core is non-empty its π mass conserves up to truncation (the r13
+    // verdict's 'asserted unconditionally' bar) — and the driver
+    // corpus's types all transition among themselves, so all are in
+    // the core
     val got = graft.operators.Events.markovSteady
       .fn(spark, sf("sf0.001")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.nonEmpty)
+    assert(got.forall(_._4 == 1L), s"driver corpus core should be total: $got")
     val total = got.map(_._2).sum
     // per round: < |S| truncations per state (each losing < 1 unit)
     // plus the multiplicative q-row quantization (row q-sums ≥
     // PiScale − |S|) → loss ≤ |S|² + |S| per round
-    val s = got.length.toLong
+    val s = got.count(_._4 == 1L).toLong
     assert(total <= PiScale &&
       total >= PiScale - PiRounds.toLong * (s * s + s),
       s"mass $total")
-    got.foreach { case (t, pf, p) =>
+    got.foreach { case (t, pf, p, _) =>
       assert(pf >= 0L)
       assert(p == pf.toDouble / PiScale.toDouble, s"$t readout drift")
     }

@@ -34,6 +34,13 @@ class PowerLawGraphSpec extends SparkSpec {
     // 1. heavy tail: the hub dwarfs the cap (on ring+skip maxDeg ≈ 4)
     assert(maxDeg > 8 * sqrt2m, s"fixture not heavy-tailed: $maxDeg")
     assert(maxDeg >= n / 3, s"hub degree $maxDeg below the Θ(n/2) design")
+    // 1b. rank-packing envelope (r13 advice): deg·2³³ + id is a strict
+    // total order ONLY while deg < 2³⁰ — at the Long boundary a >1B-
+    // degree hub would overflow and silently corrupt the orientation,
+    // the same failure mode the 2²⁰→2³³ fix addressed. Assert it here,
+    // on the heaviest-tailed fixture the suite has.
+    assert(maxDeg < (1L << 30),
+      s"rank-packing envelope: maxDeg=$maxDeg must stay < 2^30")
     // 2. the theorem: oriented out-degree ≤ √(2m) even with the hub
     val o = Triangles.orientedFor(simple)
     val maxOut = o.groupBy(col("u")).agg(count(lit(1)).as("out"))
