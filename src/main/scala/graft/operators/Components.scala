@@ -94,28 +94,14 @@ object Components {
         .select(col("node"), col("component"), col("csize"))
         .orderBy(col("node"))
     },
-    Some("""WITH RECURSIVE sets AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-        WHERE len(t) >= 3),
-      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-          (h,c) -> (h*31+c) % 1000000007) AS th
-        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
-      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
-        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
-            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
-        FROM mh GROUP BY doc_id, band),
+    Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashCtesSqlDuck(
+        "(SELECT doc_id, string_split(text,' ') AS t FROM documents)")},
       cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
       pairs AS (SELECT a, b FROM cands
         JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-        WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5),
+        WHERE ${graft.operators.Dedup.jaccardSqlDuck("sa.hs", "sb.hs")} >= 0.5),
       sym AS (SELECT a AS u, b AS v FROM pairs
         UNION SELECT b, a FROM pairs),
       reach(u, v) AS (SELECT u, v FROM sym
@@ -294,28 +280,14 @@ object Components {
         .select(col("node"), col("component"), col("csize"))
         .orderBy(col("node"))
     },
-    Some("""WITH RECURSIVE sets AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-        WHERE len(t) >= 3),
-      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-          (h,c) -> (h*31+c) % 1000000007) AS th
-        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
-      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
-        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
-            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
-        FROM mh GROUP BY doc_id, band),
+    Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashCtesSqlDuck(
+        "(SELECT doc_id, string_split(text,' ') AS t FROM documents)")},
       cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
       pairs AS (SELECT a, b FROM cands
         JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-        WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5),
+        WHERE ${graft.operators.Dedup.jaccardSqlDuck("sa.hs", "sb.hs")} >= 0.5),
       sym AS (SELECT a AS u, b AS v FROM pairs
         UNION SELECT b, a FROM pairs),
       reach(u, v) AS (SELECT u, v FROM sym
@@ -356,28 +328,14 @@ object Components {
         .select(col("doc_id"), col("group_key"), col("split"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH RECURSIVE sets AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-        WHERE len(t) >= 3),
-      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-          (h,c) -> (h*31+c) % 1000000007) AS th
-        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
-      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
-        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
-            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
-        FROM mh GROUP BY doc_id, band),
+    Some(s"""WITH RECURSIVE ${graft.operators.Dedup.minhashCtesSqlDuck(
+        "(SELECT doc_id, string_split(text,' ') AS t FROM documents)")},
       cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
       pairs AS (SELECT a, b FROM cands
         JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-        WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5),
+        WHERE ${graft.operators.Dedup.jaccardSqlDuck("sa.hs", "sb.hs")} >= 0.5),
       sym AS (SELECT a AS u, b AS v FROM pairs
         UNION SELECT b, a FROM pairs),
       reach(u, v) AS (SELECT u, v FROM sym

@@ -467,23 +467,54 @@ object Dedup {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     shingleSetsOf(Tables.documents(s, d))
 
+  /** String-set Jaccard — the exact all-pairs yardstick's spelling
+    * ([[ngramJaccard]] keeps literal string shingles so the recall
+    * eval has an unhashed ground truth). */
   private val jaccardExpr =
     (size(array_intersect(col("a_ss"), col("b_ss"))).cast("double") /
       (size(col("a_ss")) + size(col("b_ss")) -
         size(array_intersect(col("a_ss"), col("b_ss")))))
 
-  /** (doc_id, band, bkey) LSH band keys from a `(doc_id, ss)` shingle-set
-    * relation: K=16 minhashes as 16 `min` aggregates in ONE groupBy over
-    * the shingle rows (one shuffle, full map-side partials), then 4
-    * bands × 4 rows unpivoted by `stack` without leaving codegen. Shared
-    * by the self-join path ([[minhashPairs]]) and the batch-vs-index
-    * probe ([[incremental]]). */
+  /** (doc_id, hs) SORTED DISTINCT HASHED word-3-gram shingle sets — the
+    * r14 representation of the whole MinHash family (r13 verdict item
+    * 1): shingles roll-hash to BIGINTs at extraction, so every verify
+    * join carries 8 B/shingle sorted long arrays instead of ~25-char
+    * strings (the r13 512× tier's 1.4×-over-linear residue was exactly
+    * those materialized string sets spilling at 2.56 M docs), and the
+    * Jaccard verify becomes [[graft.functions.SortedIntersectCount]]'s
+    * primitive-long merge walk. Hash collisions merge shingles
+    * IDENTICALLY in both engines (same rollHash both sides), so the
+    * hashed-shingle Jaccard is itself oracle-exact; the unhashed
+    * string-set Jaccard survives as [[ngramJaccard]]'s yardstick. */
+  private def hashedShingleSetsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesSql("t", 3))).as("sh"))
+      .withColumn("th", rollHash("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("th"))).as("hs"))
+
+  /** Hashed-set Jaccard over `(a_hs, b_hs)` sorted long arrays: the
+    * intersection size is computed ONCE per pair by the codegen merge
+    * walk (Catalyst CSE dedups the two spellings below). */
+  private val jaccardHashedExpr =
+    (expr("sorted_intersect_count(a_hs, b_hs)").cast("double") /
+      (size(col("a_hs")) + size(col("b_hs")) -
+        expr("sorted_intersect_count(a_hs, b_hs)")))
+
+  /** (doc_id, band, bkey) LSH band keys from a `(doc_id, hs)` hashed
+    * shingle-set relation: K=16 minhashes as 16 `min` aggregates in ONE
+    * groupBy over the exploded hash rows (one shuffle, full map-side
+    * partials — and no re-hashing: the stored hashes ARE the permuted
+    * inputs), then 4 bands × 4 rows unpivoted by `stack` without
+    * leaving codegen. Shared by the self-join path ([[minhashPairs]])
+    * and the batch-vs-index probe ([[incremental]]). */
   private def minhashBands(sets: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(i =>
       min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
     val mh = sets
-      .select(col("doc_id"), explode(col("ss")).as("sh"))
-      .withColumn("th", rollHash("sh"))
+      .select(col("doc_id"), explode(col("hs")).as("th"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until 4).map { b =>
@@ -494,6 +525,34 @@ object Dedup {
       .selectExpr("doc_id",
         "stack(4, 0, bkey0, 1, bkey1, 2, bkey2, 3, bkey3) AS (band, bkey)")
   }
+
+  /** Shared DuckDB CTE block for the hashed-shingle MinHash machinery
+    * over `fromRel` (any relation exposing `doc_id` and
+    * `t = string_split(text, ' ')`): CTEs `sets(doc_id, hs)`, `thr`,
+    * `mh`, `bands(doc_id, band, bkey)` — ONE definition reused by every
+    * minhash oracle (Dedup, Components, PipelineE2E) so the hash, the
+    * permutations, and the banding cannot drift between entries. */
+  def minhashCtesSqlDuck(fromRel: String): String =
+    s"""sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        list_transform(range(1, len(t)-1),
+          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]),
+        sh -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(sh,''),
+            c -> CAST(unicode(c) AS BIGINT))),
+          (h,c) -> (h*31+c) % 1000000007)))) AS hs
+      FROM $fromRel WHERE len(t) >= 3),
+    thr AS (SELECT doc_id, unnest(hs) AS th FROM sets),
+    mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
+      FROM thr, range(0,16) r(i) GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
+          x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
+      FROM mh GROUP BY doc_id, band)"""
+
+  /** DuckDB hashed-set Jaccard over two BIGINT-list columns. */
+  def jaccardSqlDuck(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+      (len($a) + len($b) - len(list_intersect($a, $b)))"""
 
   /** MinHash + LSH near-dup: K=16 signature, 4 bands × 4 rows, candidates
     * from band buckets, verified at Jaccard ≥ 0.5.
@@ -522,7 +581,7 @@ object Dedup {
       // CacheHygieneSpec pins the no-cache-entry invariant catalog-wide.
       // Lazy (false): materializes with the first action instead of at
       // query-construction time, so plan-only callers (Explain) stay free.
-      val sets = shingleSetsOf(docs).localCheckpoint(false)
+      val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
       val bands = minhashBands(sets)
       val cands = bands.alias("x").join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -530,9 +589,9 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
       cands
-        .join(sets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-        .withColumn("jaccard", jaccardExpr)
+        .join(sets.select(col("doc_id").as("a"), col("hs").as("a_hs")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("hs").as("b_hs")), "b")
+        .withColumn("jaccard", jaccardHashedExpr)
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), col("jaccard"))
   }
@@ -540,30 +599,14 @@ object Dedup {
   val minhashLsh = QueryDef("dedup_minhash_lsh",
     (s, d) => minhashPairs(Tables.documents(s, d))
       .orderBy(col("a"), col("b")),
-    Some("""WITH sets AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-        WHERE len(t) >= 3),
-      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-          (h,c) -> (h*31+c) % 1000000007) AS th
-        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
-      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
-        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
-            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
-        FROM mh GROUP BY doc_id, band),
+    Some(s"""WITH ${minhashCtesSqlDuck(
+        "(SELECT doc_id, string_split(text,' ') AS t FROM documents)")},
       cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-      SELECT a, b,
-        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
+      SELECT a, b, ${jaccardSqlDuck("sa.hs", "sb.hs")} AS jaccard
       FROM cands JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-      WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-          (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+      WHERE ${jaccardSqlDuck("sa.hs", "sb.hs")} >= 0.5
       ORDER BY a, b"""),
     bench = true)
 
@@ -587,7 +630,8 @@ object Dedup {
   val incremental = QueryDef("dedup_incremental",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
-      val sets = shingleSets(s, d).localCheckpoint(false)
+      val sets = hashedShingleSetsOf(Tables.documents(s, d))
+        .localCheckpoint(false)
       val bands = minhashBands(sets)
       val isBatch = col("doc_id") % 8 === 7
       val cands = bands.filter(isBatch).alias("x")
@@ -596,38 +640,23 @@ object Dedup {
         .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
         .distinct()
       cands
-        .join(sets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-        .withColumn("jaccard", jaccardExpr)
+        .join(sets.select(col("doc_id").as("a"), col("hs").as("a_hs")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("hs").as("b_hs")), "b")
+        .withColumn("jaccard", jaccardHashedExpr)
         .filter(col("jaccard") >= 0.5)
         .groupBy(col("b"))
         .agg(min(col("a")).as("kept_as"), max(col("jaccard")).as("max_jaccard"))
         .select(col("b").as("doc_id"), col("kept_as"), col("max_jaccard"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH sets AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-          j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS ss
-        FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-        WHERE len(t) >= 3),
-      th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-          (h,c) -> (h*31+c) % 1000000007) AS th
-        FROM (SELECT doc_id, unnest(ss) AS sh FROM sets)),
-      mh AS (SELECT doc_id, i, MIN(((2*i+1)*th + (7*i+3)) % 1000000007) AS mh
-        FROM th, range(0,16) r(i) GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-          array_to_string(list_transform(list_sort(list({'i': i, 'mh': mh})),
-            x -> CAST(x.mh AS VARCHAR)), ',') AS bkey
-        FROM mh GROUP BY doc_id, band),
+    Some(s"""WITH ${minhashCtesSqlDuck(
+        "(SELECT doc_id, string_split(text,' ') AS t FROM documents)")},
       cands AS (SELECT DISTINCT x.doc_id AS b, y.doc_id AS a
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bkey = y.bkey
         WHERE x.doc_id % 8 = 7 AND y.doc_id % 8 <> 7),
       verified AS (SELECT b, a,
-          CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-            (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))
-            AS jaccard
+          ${jaccardSqlDuck("sa.hs", "sb.hs")} AS jaccard
         FROM cands JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
       SELECT b AS doc_id, MIN(a) AS kept_as, MAX(jaccard) AS max_jaccard
       FROM verified WHERE jaccard >= 0.5
@@ -682,7 +711,7 @@ object Dedup {
       bandsTable: String, setsTable: String): Unit = {
     val s = docs.sparkSession
     graft.functions.HashExpressions.register(s)
-    val sets = shingleSetsOf(docs).localCheckpoint(false)
+    val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
     minhashBands(sets)
       .write.mode("overwrite")
       .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
@@ -705,7 +734,7 @@ object Dedup {
       bandsTable: String, setsTable: String): DataFrame = {
     val s = batchDocs.sparkSession
     graft.functions.HashExpressions.register(s)
-    val bs = shingleSetsOf(batchDocs).localCheckpoint(false)
+    val bs = hashedShingleSetsOf(batchDocs).localCheckpoint(false)
     val cands = minhashBands(bs).alias("x")
       .join(s.table(bandsTable).alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -713,9 +742,9 @@ object Dedup {
       .distinct()
     cands
       .join(s.table(setsTable)
-        .select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-      .join(bs.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-      .withColumn("jaccard", jaccardExpr)
+        .select(col("doc_id").as("a"), col("hs").as("a_hs")), "a")
+      .join(bs.select(col("doc_id").as("b"), col("hs").as("b_hs")), "b")
+      .withColumn("jaccard", jaccardHashedExpr)
       .filter(col("jaccard") >= 0.5)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -743,18 +772,19 @@ object Dedup {
     * this edge set, bit-identical components. */
   def minhashClassEdges(docs: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
-    val sets = shingleSetsOf(docs)
-      .withColumn("ck", array_sort(col("ss")))
-      .localCheckpoint(false)
-    val classes = sets.groupBy(col("ck")).agg(min(col("doc_id")).as("rep"))
-    val members = sets.select(col("doc_id"), col("ck"))
-      .join(classes, "ck")
+    // the hashed set is ALREADY sorted-distinct, so it IS the class key
+    // (hash-collision risk applies to the whole hashed-shingle family
+    // identically — see hashedShingleSetsOf)
+    val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
+    val classes = sets.groupBy(col("hs")).agg(min(col("doc_id")).as("rep"))
+    val members = sets.select(col("doc_id"), col("hs"))
+      .join(classes, "hs")
       .select(col("doc_id"), col("rep"))
     val memberEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
     val repSets = sets
       .join(classes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("ss"))
+      .select(col("doc_id"), col("hs"))
       .localCheckpoint(false)
     val bands = minhashBands(repSets)
     val cands = bands.alias("x").join(bands.alias("y"),
@@ -763,9 +793,9 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val repPairs = cands
-      .join(repSets.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-      .join(repSets.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-      .withColumn("jaccard", jaccardExpr)
+      .join(repSets.select(col("doc_id").as("a"), col("hs").as("a_hs")), "a")
+      .join(repSets.select(col("doc_id").as("b"), col("hs").as("b_hs")), "b")
+      .withColumn("jaccard", jaccardHashedExpr)
       .filter(col("jaccard") >= 0.5)
       .select(col("a"), col("b"))
     memberEdges.union(repPairs)
@@ -795,17 +825,17 @@ object Dedup {
     * the batch's internal pairs. */
   def crossPairs(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(batchDocs.sparkSession)
-    val bs = shingleSetsOf(batchDocs).localCheckpoint(false)
-    val is = shingleSetsOf(indexDocs).localCheckpoint(false)
+    val bs = hashedShingleSetsOf(batchDocs).localCheckpoint(false)
+    val is = hashedShingleSetsOf(indexDocs).localCheckpoint(false)
     val cands = minhashBands(bs).alias("x")
       .join(minhashBands(is).alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))
       .distinct()
     cands
-      .join(is.select(col("doc_id").as("a"), col("ss").as("a_ss")), "a")
-      .join(bs.select(col("doc_id").as("b"), col("ss").as("b_ss")), "b")
-      .withColumn("jaccard", jaccardExpr)
+      .join(is.select(col("doc_id").as("a"), col("hs").as("a_hs")), "a")
+      .join(bs.select(col("doc_id").as("b"), col("hs").as("b_hs")), "b")
+      .withColumn("jaccard", jaccardHashedExpr)
       .filter(col("jaccard") >= 0.5)
       .select(col("a"), col("b"), col("jaccard"))
   }

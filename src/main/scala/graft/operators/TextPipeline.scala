@@ -182,9 +182,22 @@ object TextPipeline {
     * pairs, which needs no list at all. */
   val invertedIndex = QueryDef("text_inverted_index",
     (s, d) => {
+      // materialized ONCE: the df branch and the window/top-20 branch
+      // both consume the scan+explode+distinct subtree, and Spark's
+      // ReuseExchange does NOT dedupe it (r13 advice; verified on the
+      // formatted plan — the two distinct exchanges plan independently,
+      // no ReusedExchange node), so without the cut the CORPUS SCAN and
+      // the distinct shuffle ran twice. Same-box A/B at sf0.1
+      // (TimeQuery min-of-3): recompute 0.86 s vs materialized 0.95 s —
+      // the cut costs ~10% at bench scale, where a second scan is
+      // nearly free out of the page cache; it is kept anyway because at
+      // 100 TB the duplicated term IS the corpus scan, and one
+      // scan + a distinct-relation materialization strictly dominates
+      // two full scans + two distinct shuffles.
       val pairs = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"), col("doc_id"))
         .distinct()
+        .localCheckpoint(false)
       val df = pairs.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val top = pairs
         .withColumn("rn", row_number().over(

@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Unigram-LM tokenizer training (SentencePiece-class; Kudo 2018) — the
+  * third trained tokenizer beside word BPE and byte BPE: instead of
+  * greedily MERGING frequent pairs, it seeds an over-complete substring
+  * vocabulary and alternates
+  *
+  *   E-step: Viterbi-segment every word under the current piece costs;
+  *   M-step: re-estimate piece counts from the chosen segmentations,
+  *           PRUNE the vocabulary toward the target size
+  *
+  * — EM with pruning, run in the `text_bpe_vocab` superstep discipline:
+  * ONE corpus scan (the word-frequency aggregation), then every EM
+  * round operates on vocabulary-sized relations, so rounds cost
+  * O(vocab), not O(corpus). NOTHING is collected to the driver — the
+  * piece table is a broadcast relation, the prune is a rank filter, and
+  * the word relation stays distributed end to end (at 100 TB the
+  * word-frequency table is not driver-bounded, unlike the bounded piece
+  * table). Schedule: E₁ under seed costs → M₁ (re-count + prune) → E₂
+  * under the pruned costs → M₂ (final counts, no further prune); the
+  * vocab entry reports M₂'s counts, the encode twin consumes E₂'s
+  * segmentations — the standard last-E-step EM readout, and it keeps
+  * the unrolled oracle at two Viterbi passes instead of three.
+  *
+  * EXACT ARITHMETIC (the repo's oracle discipline): real unigram-LM
+  * sums float log-probabilities, which the JVM and DuckDB would round
+  * differently. Costs here are integer PIECEWISE-LINEAR-LOG values:
+  *
+  *   slog(x) = b·2^16 + trunc((x − 2^b)·2^16 / 2^b),  b = ⌊log2 x⌋
+  *   cost(piece) = slog(T̃) − slog(cnt + 1),  T̃ = Σ (cnt + 1)
+  *
+  * ⌊log2⌋ comes from a 63-term shift comparison (never IEEE log), the
+  * fractional part is one exact truncating division — monotone in x,
+  * max error vs true log2 ≈ 0.086 bits, bit-identical in any engine
+  * and under any partitioning; add-one smoothing keeps pruned-to-zero
+  * pieces at a finite (maximal) cost. Viterbi then MINIMIZES an integer
+  * SUM (≤ 63·2^16·[[MaxPos]] ≈ 2^28 — overflow-free), ties broken
+  * (cost ASC, start ASC — prefer the longer final piece), which makes
+  * the chosen path a deterministic FUNCTION of the word and the M-step
+  * counts exact.
+  *
+  * The Viterbi DP and its backtracking walk are position-unrolled
+  * relational stages ([[MaxPos]] each, the qtTrain unrolled-loop
+  * convention); the DuckDB oracle is generated from the same constants
+  * as MATERIALIZED CTEs. ENVELOPE: words longer than [[MaxPos]] chars
+  * would need more stages than are unrolled — UnigramSpec asserts the
+  * corpus bound loudly (the Triangles deg < 2^30 convention; driver
+  * corpus max word length is 8). A production variant would pre-chunk
+  * longer words.
+  */
+object Unigram {
+
+  def all: Seq[QueryDef] = Seq(vocabQuery, encodeQuery)
+
+  /** Max piece length (chars) in the seed vocabulary. */
+  val MaxPiece = 4
+
+  /** Unrolled DP/walk stages == max supported word length (driver
+    * corpus tops out at 8; 16 covers the exotic-script spec fixture
+    * with headroom). Words longer than this produce NO segmentation
+    * rows — callers own the envelope, UnigramSpec asserts it for the
+    * corpus entries. */
+  val MaxPos = 16
+
+  /** Multi-char seed pieces kept after the frequency cut. */
+  val SeedPieces = 48
+
+  /** Multi-char pieces kept by the M₁ prune (single chars are always
+    * kept — total coverage). */
+  val TargetPieces = 24
+
+  /** Fixed-point fractional scale of the piecewise-linear log. */
+  val LogScale = 65536L
+
+  // ---- integer piecewise-linear log ----
+
+  /** ⌊log2 x⌋ for BIGINT x ≥ 1 — 63 shift compares folded left to
+    * right, no IEEE log. */
+  private def ilog2Sql(x: String): String =
+    s"""aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+      (acc, k) -> CASE WHEN shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))
+        <= ($x) THEN CAST(k AS BIGINT) ELSE acc END)"""
+
+  /** Adds `out` = slog(`x`) (class doc) via a staged ⌊log2⌋ column. */
+  private def withSlog(df: DataFrame, x: String, out: String): DataFrame =
+    df.withColumn(s"${out}_b", expr(ilog2Sql(x)))
+      .withColumn(out,
+        col(s"${out}_b") * LogScale + expr(
+          s"""((($x) - shiftleft(CAST(1 AS BIGINT), CAST(${out}_b AS INT)))
+            * $LogScale) div
+            shiftleft(CAST(1 AS BIGINT), CAST(${out}_b AS INT))"""))
+      .drop(s"${out}_b")
+
+  /** DuckDB: ⌊log2 x⌋ the same way (list_reduce over range(0,63)). */
+  private def ilog2Duck(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 63)),
+      (acc, k) -> CASE WHEN (CAST(1 AS BIGINT) << CAST(k AS INT)) <= ($x)
+        THEN CAST(k AS BIGINT) ELSE acc END)"""
+
+  /** DuckDB CTE fragment computing slog of column `x` as `out`,
+    * given a relation alias that already carries `${out}_b`. Spelled in
+    * two SELECT layers by the callers (b first, then slog). */
+  private def slogDuck(x: String, b: String): String =
+    s"""($b * $LogScale + ((($x) - (CAST(1 AS BIGINT) << CAST($b AS INT)))
+      * $LogScale) // (CAST(1 AS BIGINT) << CAST($b AS INT)))"""
+
+  // ---- corpus front ----
+
+  /** (word, freq, len) — the ONE corpus scan, lazily checkpointed (the
+    * initialWords convention); everything downstream is
+    * vocabulary-sized. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("word")).cast("long"))
+      .localCheckpoint(false)
+
+  /** Seed vocabulary (piece, cnt): every substring of length
+    * 1..[[MaxPiece]] weighted by word freq; all single chars, plus the
+    * top [[SeedPieces]] multi-char pieces by (cnt DESC, piece ASC). */
+  private def seedVocab(w: DataFrame): DataFrame = {
+    val subs = w
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, CAST(len AS INT)),
+          j -> transform(sequence(1, least($MaxPiece, CAST(j AS INT))),
+            l -> substring(word, CAST(j - l + 1 AS INT), CAST(l AS INT)))))"""))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedPieces))
+  }
+
+  /** (piece, cost) from (piece, cnt): slog(T̃) − slog(cnt+1). */
+  private def costed(vocab: DataFrame): DataFrame = {
+    val tot = withSlog(
+      vocab.agg(sum(col("cnt") + lit(1L)).as("tt")), "tt", "st")
+    withSlog(vocab.withColumn("cp1", col("cnt") + lit(1L)), "cp1", "sc")
+      .crossJoin(broadcast(tot.select(col("st"))))
+      .select(col("piece"), (col("st") - col("sc")).as("cost"))
+  }
+
+  /** Viterbi E-step over `w` (word, freq, len) with piece costs `pc`:
+    * returns chosen-piece rows (word, freq, j, piece) — one row per
+    * piece occurrence on the word's optimal path, `j` = the piece's end
+    * position (so callers can reassemble the ordered segmentation). */
+  def viterbiPieces(w: DataFrame, pc: DataFrame): DataFrame = {
+    // occurrences: piece spanning (i, j] of word, i = j − l, l ≤ MaxPiece
+    val occ = w
+      .select(col("word"), col("len"), explode(expr(
+        s"""flatten(transform(sequence(1, CAST(len AS INT)),
+          jj -> transform(sequence(1, least($MaxPiece, CAST(jj AS INT))),
+            l -> struct(CAST(jj - l AS BIGINT) AS i, CAST(jj AS BIGINT) AS j,
+              substring(word, CAST(jj - l + 1 AS INT), CAST(l AS INT))
+                AS piece))))""")).as("o"))
+      .select(col("word"), col("o.i").as("i"), col("o.j").as("j"),
+        col("o.piece").as("piece"))
+      .join(broadcast(pc), Seq("piece"))
+      .localCheckpoint(false)
+    // forward DP, position-unrolled: dp(word, j, cost, pi, piece).
+    // Each stage is LAZILY checkpointed: dp_j references dp_{j-1} twice
+    // (through the union AND inside the stage join), so without the cut
+    // the analyzed plan doubles per stage — 2^MaxPos subtree copies,
+    // the PersistDepthLimit lesson (the DuckDB oracle's MATERIALIZED
+    // CTEs are the same fix on the other engine). The checkpoint chain
+    // materializes vocabulary-sized relations only.
+    var dpAll = w.select(col("word"), lit(0L).as("j"), lit(0L).as("cost"),
+      lit(-1L).as("pi"), lit("").as("piece"))
+    for (j <- 1 to MaxPos) {
+      val prev = dpAll.select(col("word").as("pw"), col("j").as("pj"),
+        col("cost").as("pcost"))
+      val step = occ.filter(col("j") === j)
+        .join(prev, col("word") === col("pw") && col("i") === col("pj"))
+        .groupBy(col("word"))
+        .agg(min(struct((col("pcost") + col("cost")).as("cost"),
+          col("i").as("pi"), col("piece").as("piece"))).as("m"))
+        .select(col("word"), lit(j.toLong).as("j"), col("m.cost").as("cost"),
+          col("m.pi").as("pi"), col("m.piece").as("piece"))
+      dpAll = dpAll.unionAll(step).localCheckpoint(false)
+    }
+    val dp = dpAll
+    // backward walk from j = len along the chosen-predecessor function
+    var on = w.select(col("word"), col("freq"), col("len").as("j"))
+    var used = on.select(col("word"), col("freq"), col("j"),
+      lit("").as("piece")).limit(0)
+    for (_ <- 1 to MaxPos) {
+      val hit = on.filter(col("j") > 0)
+        .join(dp.select(col("word"), col("j"), col("pi"), col("piece")),
+          Seq("word", "j"))
+      used = used.unionAll(
+        hit.select(col("word"), col("freq"), col("j"), col("piece")))
+      on = hit.select(col("word"), col("freq"), col("pi").as("j"))
+    }
+    used
+  }
+
+  /** The two-E-step EM schedule (class doc) over an arbitrary
+    * (word, freq, len) relation: returns (finalVocab(piece, cnt),
+    * e2Pieces(word, freq, j, piece)). */
+  def emLearn(w: DataFrame): (DataFrame, DataFrame) = {
+    val v0 = seedVocab(w).localCheckpoint(false)
+    val used1 = viterbiPieces(w, costed(v0))
+    val c1 = used1.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val chars1 = v0.filter(length(col("piece")) === 1).select(col("piece"))
+      .join(c1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val multi1 = c1.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(TargetPieces)
+    val v1 = chars1.unionAll(multi1).localCheckpoint(false)
+    val used2 = viterbiPieces(w, costed(v1)).localCheckpoint(false)
+    val c2 = used2.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val v2 = v1.select(col("piece"))
+      .join(c2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    (v2, used2)
+  }
+
+  /** The learned vocabulary: M₂ counts over the pruned piece set. */
+  val vocabQuery = QueryDef("text_unigram_vocab",
+    (s, d) => emLearn(words(s, d))._1.orderBy(col("piece")),
+    Some(oracleVocabSql),
+    // unrolled-superstep trainer — correctness exemplar, out of the
+    // headline bench like its BPE siblings
+    bench = false)
+
+  /** Tokens-per-document under the learned segmentation (E₂ paths):
+    * the size signal a training pipeline batches by — `text_bpe_encode`
+    * with the EM-learned pieces. */
+  val encodeQuery = QueryDef("text_unigram_encode",
+    (s, d) => {
+      val used2 = emLearn(words(s, d))._2
+      val wordTokens = used2.groupBy(col("word"))
+        .agg(count(lit(1)).as("word_tokens"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(wordTokens, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("word_tokens")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(oracleEncodeSql),
+    bench = false)
+
+  /** Segment arbitrary (word) rows with a learned (piece, cnt) vocab,
+    * char-fallback complete (unseen single chars join at cnt 0 → max
+    * cost), total for any word ≤ [[MaxPos]] chars: (word, pieces) with
+    * pieces in order — concat(pieces) == word, the decode identity
+    * UnigramSpec pins on the CJK/emoji fixture. */
+  def segmentWords(wordsDf: DataFrame, vocab: DataFrame): DataFrame = {
+    val w = wordsDf.select(col("word")).distinct()
+      .withColumn("freq", lit(1L))
+      .withColumn("len", length(col("word")).cast("long"))
+    val fallback = w
+      .select(explode(split(col("word"), "")).as("piece"))
+      .filter(col("piece") =!= "").distinct()
+      .join(vocab.select(col("piece")), Seq("piece"), "left_anti")
+      .withColumn("cnt", lit(0L))
+    val used = viterbiPieces(w, costed(vocab.unionAll(fallback)))
+    used.groupBy(col("word"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, piece))), " +
+        "x -> x.piece)").as("pieces"))
+  }
+
+  // ---- generated DuckDB oracle: the same EM schedule, unrolled ----
+
+  /** words / seed / cost_0 CTE block. */
+  private def sqlBase: String =
+    s"""words AS MATERIALIZED (
+      SELECT w AS word, COUNT(*) AS freq, CAST(len(w) AS BIGINT) AS len
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    subs AS MATERIALIZED (
+      SELECT substr(word, CAST(j - l + 1 AS INT), CAST(l AS INT)) AS piece,
+        CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM words,
+        UNNEST(range(1, len + 1)) AS rj(j),
+        UNNEST(range(1, least($MaxPiece, j) + 1)) AS rl(l)
+      GROUP BY 1),
+    v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM subs WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM subs WHERE len(piece) > 1) WHERE rn <= $SeedPieces)"""
+
+  /** cost CTE over a (piece, cnt) vocab CTE `v`, named `c`. */
+  private def sqlCost(v: String, c: String): String =
+    s"""${c}_t AS (SELECT CAST(SUM(cnt + 1) AS BIGINT) AS tt FROM $v),
+    ${c}_tb AS (SELECT tt, ${ilog2Duck("tt")} AS b FROM ${c}_t),
+    ${c}_ts AS (SELECT ${slogDuck("tt", "b")} AS st FROM ${c}_tb),
+    ${c}_pb AS (SELECT piece, cnt + 1 AS cp1,
+        ${ilog2Duck("cnt + 1")} AS b FROM $v),
+    $c AS MATERIALIZED (SELECT piece,
+        (SELECT st FROM ${c}_ts) - ${slogDuck("cp1", "b")} AS cost
+      FROM ${c}_pb)"""
+
+  /** One full Viterbi pass (occ + [[MaxPos]] DP stages + walk) under
+    * cost CTE `c`, producing `${p}_used(word, freq, j, piece)`. */
+  private def sqlViterbi(c: String, p: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}_occ AS MATERIALIZED (
+      SELECT s.word, s.i, s.j, cc.piece, cc.cost
+      FROM (SELECT w.word, CAST(j - l AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          substr(w.word, CAST(j - l + 1 AS INT), CAST(l AS INT)) AS piece
+        FROM words w,
+          UNNEST(range(1, w.len + 1)) AS rj(j),
+          UNNEST(range(1, least($MaxPiece, j) + 1)) AS rl(l)) s
+      JOIN $c cc ON cc.piece = s.piece),
+    ${p}_dpall_0 AS (
+      SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost,
+        CAST(-1 AS BIGINT) AS pi, '' AS piece
+      FROM words)"""
+    for (j <- 1 to MaxPos) {
+      sb ++= s""",
+    ${p}_dp_$j AS MATERIALIZED (
+      SELECT word, j, cost, pi, piece FROM (
+        SELECT o.word, o.j, d.cost + o.cost AS cost, o.i AS pi, o.piece,
+          ROW_NUMBER() OVER (PARTITION BY o.word
+            ORDER BY d.cost + o.cost, o.i, o.piece) AS rn
+        FROM ${p}_occ o JOIN ${p}_dpall_${j - 1} d
+          ON d.word = o.word AND d.j = o.i
+        WHERE o.j = $j) WHERE rn = 1),
+    ${p}_dpall_$j AS (
+      SELECT * FROM ${p}_dpall_${j - 1}
+      UNION ALL SELECT * FROM ${p}_dp_$j)"""
+    }
+    sb ++= s""",
+    ${p}_op_0 AS (SELECT word, freq, len AS j FROM words)"""
+    for (k <- 1 to MaxPos) {
+      sb ++= s""",
+    ${p}_u_$k AS MATERIALIZED (
+      SELECT o.word, o.freq, o.j, d.pi, d.piece
+      FROM ${p}_op_${k - 1} o JOIN ${p}_dpall_$MaxPos d
+        ON d.word = o.word AND d.j = o.j
+      WHERE o.j > 0),
+    ${p}_op_$k AS (SELECT word, freq, pi AS j FROM ${p}_u_$k)"""
+    }
+    val unions = (1 to MaxPos)
+      .map(k => s"SELECT word, freq, j, piece FROM ${p}_u_$k")
+      .mkString("\n      UNION ALL ")
+    sb ++= s""",
+    ${p}_used AS MATERIALIZED (
+      $unions)"""
+    sb.toString
+  }
+
+  /** The EM schedule as CTEs: seed → E₁ → M₁ (prune) → E₂ → M₂. The
+    * final vocab relation is `v2(piece, cnt)`; E₂'s paths are
+    * `e2_used`. */
+  private def sqlEm: String =
+    s"""$sqlBase,
+    ${sqlCost("v0", "c0")},
+    ${sqlViterbi("c0", "e1")},
+    m1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM e1_used GROUP BY 1),
+    v1 AS MATERIALIZED (
+      SELECT v0.piece, COALESCE(m1.cnt, 0) AS cnt
+      FROM v0 LEFT JOIN m1 ON v0.piece = m1.piece WHERE len(v0.piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM m1 WHERE len(piece) > 1) WHERE rn <= $TargetPieces),
+    ${sqlCost("v1", "c1")},
+    ${sqlViterbi("c1", "e2")},
+    m2 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM e2_used GROUP BY 1),
+    v2 AS (SELECT v1.piece, COALESCE(m2.cnt, 0) AS cnt
+      FROM v1 LEFT JOIN m2 ON v1.piece = m2.piece)"""
+
+  private def oracleVocabSql: String =
+    s"""WITH $sqlEm
+    SELECT piece, cnt FROM v2 ORDER BY piece"""
+
+  private def oracleEncodeSql: String =
+    s"""WITH $sqlEm,
+    wordtok AS (SELECT word, COUNT(*) AS word_tokens
+      FROM e2_used GROUP BY 1),
+    docwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents)
+    SELECT d.doc_id, CAST(SUM(w.word_tokens) AS BIGINT) AS n_tokens
+    FROM docwords d JOIN wordtok w ON d.word = w.word
+    WHERE d.word <> ''
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+}

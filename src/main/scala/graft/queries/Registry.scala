@@ -10,7 +10,8 @@ object Registry {
       Relational6.all ++ Relational7.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.TextPipeline.all ++
       graft.operators.TextScoring.all ++ graft.operators.HeavyHitters.all ++
-      graft.operators.Bpe.all ++ graft.operators.Curation.all ++
+      graft.operators.Bpe.all ++ graft.operators.Unigram.all ++
+      graft.operators.Curation.all ++
       graft.operators.Pipeline2.all ++ graft.operators.PipelineE2E.all ++
       graft.operators.Packing.all ++
       graft.operators.Dedup.all ++ graft.operators.Components.all ++

@@ -36,11 +36,14 @@ object DedupTier {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fns = SparkEntry.queries
+    // SPARK_GRAFT_ONLY=a,b restricts the sweep (the Verify convention)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val entries = Entries.filter(n => only.forall(_.contains(n)))
     mults.foreach { mult =>
       val srcKey = src.replaceAll("[^A-Za-z0-9.]", "_")
       val dir = s"/tmp/graft_mutated_${srcKey}_x$mult"
       ScaleSmoke.buildMutatedDir(spark, src, dir, mult)
-      Entries.foreach { n =>
+      entries.foreach { n =>
         val fn = fns(n)
         fn(spark, dir).write.mode("overwrite").format("noop").save() // warm-up
         spark.catalog.clearCache()

@@ -82,4 +82,65 @@ class AnonymitySpec extends SparkSpec {
       "no k-anonymous but l-poor group in the fixture")
     assert(got.exists(g => g._5 == 1L && g._6 == 1L))
   }
+
+  test("curate_t_closeness matches a serial EMD model") {
+    val d = sf("sf0.001")
+    val rows = Tables.documents(spark, d)
+      .select(col("lang"), (col("n_chars") / 100L).cast("long"),
+        col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val values = rows.map(_._3).distinct.sorted
+    val m = values.length
+    val n = rows.length.toLong
+    val globCum = values.scanLeft(0L)((acc, v) =>
+      acc + rows.count(_._3 == v)).tail
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((lang, bkt), xs) =>
+        val gn = xs.length.toLong
+        val gCum = values.scanLeft(0L)((acc, v) =>
+          acc + xs.count(_._3 == v)).tail
+        val num = values.indices.map(i =>
+          (BigInt(gCum(i)) * n - BigInt(globCum(i)) * gn).abs).sum
+        val emd =
+          if (m <= 1) 0.0
+          else num.toDouble / ((m - 1).toDouble * gn.toDouble * n.toDouble)
+        (lang, bkt, gn, emd, if (emd <= Anonymity.TClose) 1L else 0L)
+      }.sortBy(t => (t._1, t._2))
+    val got = Anonymity.tCloseness.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._5)) ==
+      expected.map(t => (t._1, t._2, t._3, t._5)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-12, s"${g._1}/${g._2} emd drift")
+    }
+  }
+
+  test("skewness attack: an l-diverse group still fails t-closeness") {
+    // group A exposes 6 DISTINCT sources (l-diversity passes at L=6)
+    // but 95% of its mass sits on one value; group B mirrors the
+    // near-uniform global distribution. l-diversity cannot tell them
+    // apart — the EMD audit must.
+    // B carries most of the corpus so the GLOBAL distribution is
+    // near-uniform (hand-checked: A's EMD = 0.403, B's = 0.067 —
+    // both sides of the 0.2 gate with margin)
+    val srcs = (0 until 6).map(i => s"s$i")
+    val a = (0 until 94).map(_ => ("en", 0L, "s0")) ++
+      (1 until 6).map(i => ("en", 0L, s"s$i"))
+    val b = (0 until 600).map(i => ("en", 1L, srcs(i % 6)))
+    val docs = (a ++ b).toDF("lang", "bkt", "source")
+    // both groups are l-diverse under the lDiversity criterion
+    val lDiv = docs.groupBy(col("lang"), col("bkt"))
+      .agg(countDistinct(col("source")).as("ls")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(lDiv.values.forall(_ >= Anonymity.L),
+      s"fixture groups must all be l-diverse: $lDiv")
+    val got = Anonymity.tClosenessOf(docs).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(0L)._2 == 0L,
+      s"skewed-but-diverse group must FAIL t-closeness: ${got(0L)}")
+    assert(got(1L)._2 == 1L,
+      s"uniform group must pass: ${got(1L)}")
+    assert(got(0L)._1 > got(1L)._1)
+  }
 }

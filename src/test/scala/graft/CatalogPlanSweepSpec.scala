@@ -142,6 +142,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     // DISTINCT source — the sensitive-attribute domain, a fixed small
     // set by the k-anon/l-div quasi-id design, never corpus-scaled
     "curate_t_closeness" -> Seq("agg[source]<-[documents]"),
+    // unigram-LM piece/cost tables: single chars (alphabet-bounded) ∪
+    // LIMIT-SeedPieces/TargetPieces multi-char pieces — ≤ ~80 rows by
+    // construction at any corpus size (the union's char side hides the
+    // limit witness from the walk)
+    "text_unigram_vocab" -> Seq("agg[piece]<-[documents]"),
+    "text_unigram_encode" -> Seq("agg[piece]<-[documents]"),
     // KM hazard factors: one row per EVENT age, ages clamped to the
     // fixed KmHorizon-day follow-up → ≤ HORIZON+1 rows by construction
     "ev_survival_km" -> Seq("agg[t]<-[events]"),
