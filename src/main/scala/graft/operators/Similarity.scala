@@ -963,20 +963,38 @@ object Similarity {
     * (src, dst) cosine is computed once; the re-rank is the same
     * (cosine DESC, dst) window. Deterministic end to end → the oracle
     * unrolls the two rounds over the shared [[knnOracleCtes]] base
-    * with MATERIALIZED per-round CTEs. */
+    * with MATERIALIZED per-round CTEs.
+    *
+    * INCREMENTAL candidate generation (Dong et al. 2011 §2.3, the
+    * new/old flag — r14 verdict item 1): round r only expands two-hop
+    * paths where AT LEAST ONE leg is an edge the symmetrized working
+    * graph gained since round r−1 (round 1: everything is new). This
+    * is provably output-identical, not approximate: a pair reachable
+    * only through two OLD legs was already a candidate in round r−1 —
+    * it was either scored then or sat in the graph — and a pair that
+    * lost a (cosine DESC, dst) re-rank can never enter a later top-K,
+    * because the ≥ K edges that beat it survive every subsequent
+    * re-rank (the window only ever ADDS competitors). So the old×old
+    * quadrant of the candidate join is pure recomputation, and
+    * skipping it shrinks round 2's candidate volume by the converged
+    * fraction of the graph (measured in BASELINE.md via
+    * [[graft.tools.KnnDescentAudit]]). */
   val knnGraphRefined = QueryDef("emb_knn_graph_refined",
     (s, d) => {
       val (en, g0) = knnBase(s, d, WorkK)
       var g = g0
+      // previous round's symmetrized edge set; edges absent from it are
+      // "new" in the current round (round 1: null → all new)
+      var undPrev: DataFrame = null
       for (_ <- 1 to RefineRounds) {
         // NN-descent candidates need the REVERSE neighborhood too (Dong
         // et al.'s B ∪ R) — forward-only two-hop stalls at recall ~0.65
         // because a missed true neighbor is often only reachable
         // through a node that points AT you. Reverse edges are
-        // rank-capped at 3 per node (the paper's ρK sampling) so the
-        // symmetric degree stays ≤ 2k and the two-hop fan-out ≤ (2k)²
-        // = 36 BY CONSTRUCTION — a hub's unbounded in-degree never
-        // enters the join.
+        // rank-capped at WorkK per node (the paper's ρK sampling) so
+        // the symmetric degree stays ≤ 2·WorkK and the two-hop fan-out
+        // ≤ (2·WorkK)² = 400 BY CONSTRUCTION — a hub's unbounded
+        // in-degree never enters the join.
         val revW = Window.partitionBy(col("src"))
           .orderBy(col("cosine").desc, col("dst"))
         val rev = g.select(col("dst").as("src"), col("src").as("dst"),
@@ -984,15 +1002,26 @@ object Similarity {
           .withColumn("rr", row_number().over(revW))
           .filter(col("rr") <= WorkK)
           .select(col("src"), col("dst"))
+        // lazily checkpointed: referenced by both sides of the two-hop
+        // self-join AND as the next round's undPrev (3 references)
         val und = g.select(col("src"), col("dst")).unionAll(rev).distinct()
-        val cand = und.select(col("src"), col("dst").as("mid"))
-          .join(und.select(col("src").as("mid"), col("dst").as("nn")),
-            Seq("mid"))
+          .localCheckpoint(false)
+        val undF =
+          if (undPrev == null) und.withColumn("is_new", lit(true))
+          else und.join(undPrev.withColumn("seen", lit(true)),
+              Seq("src", "dst"), "left")
+            .select(col("src"), col("dst"), col("seen").isNull.as("is_new"))
+        val cand = undF.select(col("src"), col("dst").as("mid"),
+            col("is_new").as("x_new"))
+          .join(undF.select(col("src").as("mid"), col("dst").as("nn"),
+            col("is_new").as("y_new")), Seq("mid"))
+          .filter(col("x_new") || col("y_new"))
           .filter(col("src") =!= col("nn"))
           .select(col("src"), col("nn").as("dst"))
           .distinct()
           .join(g.select(col("src"), col("dst")), Seq("src", "dst"),
             "left_anti")
+        undPrev = und
         val scored = cand
           .join(en.select(col("rep").as("src"), col("embedding").as("s_emb"),
             col("nrm").as("s_nrm")), "src")
@@ -1020,16 +1049,29 @@ object Similarity {
     Some {
       val rounds = (1 to RefineRounds).map { r =>
         val p = s"g${r - 1}"
+        // incremental new/old flag (see the Spark side): round 1 marks
+        // every symmetrized edge new; later rounds mark edges absent
+        // from the previous round's und relation, and the two-hop join
+        // skips the old×old quadrant — provably pure recomputation
+        val undn =
+          if (r == 1)
+            s"""undn_$r AS (SELECT src, dst, TRUE AS is_new FROM und_$r)"""
+          else
+            s"""undn_$r AS MATERIALIZED (
+        SELECT u.src, u.dst, (p.src IS NULL) AS is_new
+        FROM und_$r u LEFT JOIN und_${r - 1} p
+          ON p.src = u.src AND p.dst = u.dst)"""
         s"""rev_$r AS (SELECT rsrc AS src, rdst AS dst FROM (
         SELECT p.dst AS rsrc, p.src AS rdst, ROW_NUMBER() OVER (
           PARTITION BY p.dst ORDER BY p.cosine DESC, p.src) AS rr
         FROM $p p) WHERE rr <= $WorkK),
       und_$r AS MATERIALIZED (
         SELECT src, dst FROM $p UNION SELECT src, dst FROM rev_$r),
+      $undn,
       cand_$r AS MATERIALIZED (
         SELECT DISTINCT x.src AS src, y.dst AS dst
-        FROM und_$r x JOIN und_$r y ON x.dst = y.src
-        WHERE x.src <> y.dst
+        FROM undn_$r x JOIN undn_$r y ON x.dst = y.src
+        WHERE (x.is_new OR y.is_new) AND x.src <> y.dst
           AND NOT EXISTS (SELECT 1 FROM $p e
             WHERE e.src = x.src AND e.dst = y.dst)),
       new_$r AS MATERIALIZED (

@@ -35,8 +35,15 @@ object Triangles {
 
   val N = 1000L
 
+  /** Node count of the oracle-gated power-law fixture
+    * ([[trianglesPlaw]]) — small enough for DuckDB's id-ordered
+    * enumeration, large enough that the hub (node 0, degree Θ(n/2))
+    * would blow up an orientation that fans out by raw degree. */
+  val PlawN = 2000L
+
   def all: Seq[QueryDef] =
-    Seq(triangles, clusteringCoeff, commonNeighbors, assortativity)
+    Seq(triangles, trianglesPlaw, clusteringCoeff, commonNeighbors,
+      assortativity)
 
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the directed edge list (each undirected edge contributes both
@@ -232,6 +239,45 @@ object Triangles {
         UNION ALL SELECT z FROM tri)
       SELECT node, COUNT(*) AS tri FROM nodes
       GROUP BY node ORDER BY tri DESC, node LIMIT 20"""))
+
+  /** Per-node triangle counts on the HEAVY-TAILED fixture
+    * ([[powerLawEdges]], hub degree Θ(n/2)) — the skew-safety evidence
+    * moved behind the DuckDB hash gate (r14 verdict item 6): the
+    * ring+skip graph `graph_triangles` runs on is near-regular, so it
+    * never exercises the degree-ordered orientation's reason to exist.
+    * Here node 0's ~n/2-degree hub would make a raw-degree wedge join
+    * enumerate Θ(n²/4) wedges; the orientation keeps every out-degree
+    * ≤ √(2m) (PowerLawGraphSpec asserts the cap on this exact fixture,
+    * PlanShapeSpec pins the equi-join shape). The oracle enumerates the
+    * same triangle set with simple id-ordering (a < b < c) — the two
+    * engines cross-validate the combinatorics, not a shared formula.
+    * Full per-node relation (no LIMIT): every triangle-bearing node is
+    * oracle-visible. */
+  val trianglesPlaw = QueryDef("graph_triangles_plaw",
+    (s, _) => perNodeTrianglesFor(powerLawEdges(s, PlawN))
+      .orderBy(col("tri").desc, col("node")),
+    Some(s"""WITH ids AS (SELECT range AS id FROM range($PlawN)),
+      base AS (
+        SELECT id AS src, (id + 1) % $PlawN AS dst FROM ids
+        UNION ALL
+        SELECT id,
+          $PlawN // ((((id % 2147483647) * 1099087573) % 2147483647)
+            % $PlawN + 1) - 1
+        FROM ids),
+      se AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM se e1
+        JOIN se e2 ON e2.a = e1.b
+        JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT node, COUNT(*) AS tri FROM nodes
+      GROUP BY node ORDER BY tri DESC, node"""))
 
   /** Local clustering coefficient — closed-wedge fraction per node,
     * 2T_v / (deg_v · (deg_v − 1)): the standard community-structure

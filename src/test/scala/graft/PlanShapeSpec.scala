@@ -444,6 +444,29 @@ class PlanShapeSpec extends SparkSpec {
       s"triangle enumeration must stay equi-join-shaped:\n${p.take(2000)}")
   }
 
+  test("graph_triangles_plaw: hub-skewed fixture keeps the equi-join shape — no nested loops") {
+    // the power-law fixture's hub (node 0, degree Θ(n/2)) is exactly
+    // the input where a lost degree-ordered orientation would surface
+    // as a nested loop or a quadratic wedge explosion
+    val p = planString(q("graph_triangles_plaw"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"power-law triangle enumeration must stay equi-join-shaped:\n${p.take(2000)}")
+  }
+
+  test("sssp_synthetic: cataloged entry runs the DISTRIBUTED superstep loop, not the local solve") {
+    // r14 verdict item 2 (the claim that the cataloged entry takes the
+    // local-solve cutover was stale — it has called distributedSssp
+    // since cba55cf): pin it. The distributed path's final dist frame
+    // is a cutLineage'd LogicalRDD; the local Dijkstra path would be a
+    // driver-collected LocalRelation / LocalTableScan instead.
+    val df = q("sssp_synthetic")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("LogicalRDD"),
+      s"expected the superstep loop's checkpointed state:\n${analyzed.take(2000)}")
+    assert(!planString(df).contains("LocalTableScan"),
+      "local-solve cutover must not serve the cataloged entry")
+  }
+
   test("sample_weighted: hash-keep decision is per-row — no shuffle before the tiny source agg") {
     val p = planString(q("sample_weighted"))
     // exactly one exchange: the final ~5-group source aggregate

@@ -87,6 +87,31 @@ class UnigramSpec extends SparkSpec {
     assert(multi.exists(_._2 > 0L), "no multi-char piece in use")
   }
 
+  test("pre-chunking: >MaxPos words segment with full coverage accounting") {
+    // r14 verdict item 3: words longer than the MaxPos unroll are
+    // pre-chunked into ≤ MaxPos-char pieces before the DP, so they
+    // segment totally instead of silently producing no rows. Fixtures
+    // cross chunk boundaries at 20, 2·MaxPos+5 and 3·MaxPos chars.
+    val long1 = "internationalization"          // 20 chars: chunks 16+4
+    val long2 = "ab" * (Unigram.MaxPos) + "cdefg" // 37 chars: 16+16+5
+    val long3 = "x" * (3 * Unigram.MaxPos)      // exact multiple: 16·3
+    val words = Seq(long1, long2, long3, "short")
+    val vocab = Seq(("inte", 50L), ("rnat", 30L), ("tion", 40L),
+      ("ab", 25L), ("sh", 10L), ("ort", 10L)).toDF("piece", "cnt")
+    val got = Unigram.segmentWords(words.toDF("word"), vocab).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got.contains(w), s"'$w' produced no segmentation")
+      // decode identity == exact full-coverage accounting: the pieces
+      // tile the word with no gap and no overlap
+      assert(got(w).mkString("") == w, s"coverage broken for '$w': ${got(w)}")
+      assert(got(w).forall(p => p.nonEmpty && p.length <= Unigram.MaxPiece))
+    }
+    // chunk boundaries are respected: no piece of long2 straddles
+    // position 16, so the frequent 'ab' piece tiles each chunk interior
+    assert(got(long2).count(_ == "ab") >= 14, got(long2).toString)
+  }
+
   test("deterministic: two independent runs produce identical vocab") {
     val d = sf("sf0.001")
     val a = graft.operators.Unigram.vocabQuery.fn(spark, d).collect().toSeq
