@@ -978,7 +978,11 @@ object Similarity {
     * quadrant of the candidate join is pure recomputation, and
     * skipping it shrinks round 2's candidate volume by the converged
     * fraction of the graph (measured in BASELINE.md via
-    * [[graft.tools.KnnDescentAudit]]). */
+    * [[graft.tools.KnnDescentAudit]]). The restriction is applied to
+    * the JOIN INPUT — new⋈und ∪ und⋈new, never a post-join flag
+    * filter, which leaves the Σ in·out intermediate volume untouched
+    * and measured slower than no restriction at all
+    * ([[graft.tools.TimeKnnAb]]). */
   val knnGraphRefined = QueryDef("emb_knn_graph_refined",
     (s, d) => {
       val (en, g0) = knnBase(s, d, WorkK)
@@ -1002,22 +1006,31 @@ object Similarity {
           .withColumn("rr", row_number().over(revW))
           .filter(col("rr") <= WorkK)
           .select(col("src"), col("dst"))
-        // lazily checkpointed: referenced by both sides of the two-hop
-        // self-join AND as the next round's undPrev (3 references)
+        // lazily checkpointed: referenced by both union legs of the
+        // two-hop join, the undNew derivation, AND as the next round's
+        // undPrev (4 references)
         val und = g.select(col("src"), col("dst")).unionAll(rev).distinct()
           .localCheckpoint(false)
-        val undF =
-          if (undPrev == null) und.withColumn("is_new", lit(true))
-          else und.join(undPrev.withColumn("seen", lit(true)),
-              Seq("src", "dst"), "left")
-            .select(col("src"), col("dst"), col("seen").isNull.as("is_new"))
-        val cand = undF.select(col("src"), col("dst").as("mid"),
-            col("is_new").as("x_new"))
-          .join(undF.select(col("src").as("mid"), col("dst").as("nn"),
-            col("is_new").as("y_new")), Seq("mid"))
-          .filter(col("x_new") || col("y_new"))
-          .filter(col("src") =!= col("nn"))
-          .select(col("src"), col("nn").as("dst"))
+        // the incremental restriction must shrink the JOIN INPUT, not
+        // post-filter its output (a flag filter after the self-join
+        // leaves the Σ in(mid)·out(mid) intermediate volume untouched —
+        // measured SLOWER than the full expansion in TimeKnnAb): round
+        // r probes new⋈und ∪ und⋈new, so each leg's build side is the
+        // ~(1−converged)-fraction new-edge relation. new×new lands in
+        // both legs; the existing distinct dedups it.
+        val undNew =
+          if (undPrev == null) und
+          else und.join(undPrev, Seq("src", "dst"), "left_anti")
+        def twoHop(x: DataFrame, y: DataFrame): DataFrame =
+          x.select(col("src"), col("dst").as("mid"))
+            .join(y.select(col("src").as("mid"), col("dst").as("nn")),
+              Seq("mid"))
+            .select(col("src"), col("nn").as("dst"))
+        val cand0 =
+          if (undPrev == null) twoHop(und, und)
+          else twoHop(undNew, und).unionAll(twoHop(und, undNew))
+        val cand = cand0
+          .filter(col("src") =!= col("dst"))
           .distinct()
           .join(g.select(col("src"), col("dst")), Seq("src", "dst"),
             "left_anti")
@@ -1049,31 +1062,39 @@ object Similarity {
     Some {
       val rounds = (1 to RefineRounds).map { r =>
         val p = s"g${r - 1}"
-        // incremental new/old flag (see the Spark side): round 1 marks
-        // every symmetrized edge new; later rounds mark edges absent
-        // from the previous round's und relation, and the two-hop join
-        // skips the old×old quadrant — provably pure recomputation
-        val undn =
+        // incremental candidate generation (see the Spark side): round 1
+        // expands the full symmetrized graph (everything is new); later
+        // rounds join new⋈und ∪ und⋈new where newund is the edge set
+        // absent from the previous round's und — the old×old quadrant
+        // (provably pure recomputation) never enters the join
+        val twoHopTerms =
           if (r == 1)
-            s"""undn_$r AS (SELECT src, dst, TRUE AS is_new FROM und_$r)"""
+            s"""SELECT x.src AS src, y.dst AS dst
+          FROM und_$r x JOIN und_$r y ON x.dst = y.src"""
           else
-            s"""undn_$r AS MATERIALIZED (
-        SELECT u.src, u.dst, (p.src IS NULL) AS is_new
-        FROM und_$r u LEFT JOIN und_${r - 1} p
-          ON p.src = u.src AND p.dst = u.dst)"""
+            s"""SELECT x.src AS src, y.dst AS dst
+          FROM newund_$r x JOIN und_$r y ON x.dst = y.src
+          UNION ALL
+          SELECT x.src, y.dst
+          FROM und_$r x JOIN newund_$r y ON x.dst = y.src"""
+        val newund =
+          if (r == 1) ""
+          else s"""newund_$r AS MATERIALIZED (
+        SELECT src, dst FROM und_$r
+        EXCEPT SELECT src, dst FROM und_${r - 1}),
+      """
         s"""rev_$r AS (SELECT rsrc AS src, rdst AS dst FROM (
         SELECT p.dst AS rsrc, p.src AS rdst, ROW_NUMBER() OVER (
           PARTITION BY p.dst ORDER BY p.cosine DESC, p.src) AS rr
         FROM $p p) WHERE rr <= $WorkK),
       und_$r AS MATERIALIZED (
         SELECT src, dst FROM $p UNION SELECT src, dst FROM rev_$r),
-      $undn,
-      cand_$r AS MATERIALIZED (
-        SELECT DISTINCT x.src AS src, y.dst AS dst
-        FROM undn_$r x JOIN undn_$r y ON x.dst = y.src
-        WHERE (x.is_new OR y.is_new) AND x.src <> y.dst
+      ${newund}cand_$r AS MATERIALIZED (
+        SELECT DISTINCT u.src, u.dst FROM (
+          $twoHopTerms) u
+        WHERE u.src <> u.dst
           AND NOT EXISTS (SELECT 1 FROM $p e
-            WHERE e.src = x.src AND e.dst = y.dst)),
+            WHERE e.src = u.src AND e.dst = u.dst)),
       new_$r AS MATERIALIZED (
         SELECT c.src, c.dst,
           list_sum(list_transform(range(1, len(a.embedding)+1),
