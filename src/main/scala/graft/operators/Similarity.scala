@@ -371,6 +371,16 @@ object Similarity {
     s"hp_bucket(embedding, $t, $NumHyperplanes)"
   private[operators] def bucketExpr: String = bucketExpr(0)
 
+  /** Tool-facing variant with an explicit hyperplane count: the object
+    * doc's "H ≈ log₂(n / target bucket size) — raising it is a constant
+    * change, not a plan change" made runnable, so scale tools
+    * ([[graft.tools.KnnSynthTier]] corpora) can keep bucket DENSITY
+    * fixed while n grows. Catalog entries always use the
+    * [[NumHyperplanes]] default — oracle spellings are generated from
+    * the same constant and must not drift. */
+  private[graft] def bucketExprH(t: Int, h: Int): String =
+    s"hp_bucket(embedding, $t, $h)"
+
   /** The same bucket id in DuckDB's dialect — generated from the same
     * hyperplane formula so the two spellings cannot drift apart. The dot
     * is a left-to-right double fold in both engines, so the sign (and
@@ -841,18 +851,22 @@ object Similarity {
     * bucket self-join — one definition so the candidate discipline
     * cannot drift between the base graph and its refinement. */
   private[graft] def knnBase(s: SparkSession, d: String,
-      k: Int): (DataFrame, DataFrame) = {
+      k: Int, numHyperplanes: Int = NumHyperplanes): (DataFrame, DataFrame) = {
+    val masks: Seq[Int] =
+      if (numHyperplanes == NumHyperplanes) ProbeMasks
+      else 0 +: (0 until numHyperplanes).map(1 << _)
     val cls = Tables.embeddings(s, d)
       .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val base = withNorm(cls)
       .withColumn("bs",
-        array((0 until NumTables).map(t => expr(bucketExpr(t))): _*))
+        array((0 until NumTables)
+          .map(t => expr(bucketExprH(t, numHyperplanes))): _*))
     val eb = base.select(col("rep"), col("embedding"), col("nrm"),
       posexplode(col("bs"))).withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "b")
     val probed = eb.select(col("rep").as("a"), col("embedding").as("a_emb"),
         col("nrm").as("a_nrm"), col("tbl"),
-        explode(array(ProbeMasks.map(m =>
+        explode(array(masks.map(m =>
           col("b").bitwiseXOR(lit(m))): _*)).as("b"))
     val pairs = probed
       .join(eb.select(col("rep").as("bb"), col("embedding").as("b_emb"),
@@ -965,31 +979,34 @@ object Similarity {
     * unrolls the two rounds over the shared [[knnOracleCtes]] base
     * with MATERIALIZED per-round CTEs.
     *
-    * INCREMENTAL candidate generation (Dong et al. 2011 §2.3, the
-    * new/old flag — r14 verdict item 1): round r only expands two-hop
-    * paths where AT LEAST ONE leg is an edge the symmetrized working
-    * graph gained since round r−1 (round 1: everything is new). This
-    * is provably output-identical, not approximate: a pair reachable
-    * only through two OLD legs was already a candidate in round r−1 —
-    * it was either scored then or sat in the graph — and a pair that
-    * lost a (cosine DESC, dst) re-rank can never enter a later top-K,
-    * because the ≥ K edges that beat it survive every subsequent
-    * re-rank (the window only ever ADDS competitors). So the old×old
-    * quadrant of the candidate join is pure recomputation, and
-    * skipping it shrinks round 2's candidate volume by the converged
-    * fraction of the graph (measured in BASELINE.md via
-    * [[graft.tools.KnnDescentAudit]]). The restriction is applied to
-    * the JOIN INPUT — new⋈und ∪ und⋈new, never a post-join flag
-    * filter, which leaves the Σ in·out intermediate volume untouched
-    * and measured slower than no restriction at all
-    * ([[graft.tools.TimeKnnAb]]). */
+    * BOUNDARY-RECOMPUTE CUT (r15, −30% measured): the expensive
+    * [[knnBase]] subtrees (the LSH bucket self-join `g0` and the
+    * class-norm relation `en`) are lazily checkpointed ONCE before the
+    * loop. Every per-round `localCheckpoint` boundary downstream
+    * breaks exchange reuse across it, so without the upfront cut
+    * en/g0 recompute on each side of each round boundary — 6.6 → 4.1 s
+    * bare-JVM min at sf0.1, and 46.7 → 38.7 s on a 15 k-vector
+    * synthetic ([[graft.tools.TimeKnnAb]]).
+    *
+    * Dong et al.'s INCREMENTAL candidate rule (r14 verdict item 1) was
+    * implemented two ways (post-join new/old flag; join-input
+    * restriction new⋈und ∪ und⋈new), proved output-identical (an
+    * old×old pair was already a candidate in the previous round, and a
+    * re-rank loser can never enter a later top-K), and MEASURED: round-2
+    * candidates drop 77% on this corpus
+    * ([[graft.tools.KnnDescentAudit]]), but the full expansion stays
+    * faster in every regime measured — the flag filter leaves the
+    * Σ in·out join volume untouched, and the join restriction's extra
+    * boundary/anti-join machinery exceeds the scoring saved even on a
+    * fully-converged 15 k-vector corpus once the base is checkpointed
+    * (TimeKnnAb, one variant per JVM; full table in BASELINE.md r15).
+    * The entry therefore keeps the full two-hop expansion; both
+    * incremental variants remain runnable in TimeKnnAb. */
   val knnGraphRefined = QueryDef("emb_knn_graph_refined",
     (s, d) => {
-      val (en, g0) = knnBase(s, d, WorkK)
-      var g = g0
-      // previous round's symmetrized edge set; edges absent from it are
-      // "new" in the current round (round 1: null → all new)
-      var undPrev: DataFrame = null
+      val (en0, g0) = knnBase(s, d, WorkK)
+      val en = en0.localCheckpoint(false)
+      var g = g0.localCheckpoint(false)
       for (_ <- 1 to RefineRounds) {
         // NN-descent candidates need the REVERSE neighborhood too (Dong
         // et al.'s B ∪ R) — forward-only two-hop stalls at recall ~0.65
@@ -1006,35 +1023,17 @@ object Similarity {
           .withColumn("rr", row_number().over(revW))
           .filter(col("rr") <= WorkK)
           .select(col("src"), col("dst"))
-        // lazily checkpointed: referenced by both union legs of the
-        // two-hop join, the undNew derivation, AND as the next round's
-        // undPrev (4 references)
+        // referenced by both sides of the two-hop self-join — one plan,
+        // exchange reuse dedups the shared subtree (g is a leaf)
         val und = g.select(col("src"), col("dst")).unionAll(rev).distinct()
-          .localCheckpoint(false)
-        // the incremental restriction must shrink the JOIN INPUT, not
-        // post-filter its output (a flag filter after the self-join
-        // leaves the Σ in(mid)·out(mid) intermediate volume untouched —
-        // measured SLOWER than the full expansion in TimeKnnAb): round
-        // r probes new⋈und ∪ und⋈new, so each leg's build side is the
-        // ~(1−converged)-fraction new-edge relation. new×new lands in
-        // both legs; the existing distinct dedups it.
-        val undNew =
-          if (undPrev == null) und
-          else und.join(undPrev, Seq("src", "dst"), "left_anti")
-        def twoHop(x: DataFrame, y: DataFrame): DataFrame =
-          x.select(col("src"), col("dst").as("mid"))
-            .join(y.select(col("src").as("mid"), col("dst").as("nn")),
-              Seq("mid"))
-            .select(col("src"), col("nn").as("dst"))
-        val cand0 =
-          if (undPrev == null) twoHop(und, und)
-          else twoHop(undNew, und).unionAll(twoHop(und, undNew))
-        val cand = cand0
-          .filter(col("src") =!= col("dst"))
+        val cand = und.select(col("src"), col("dst").as("mid"))
+          .join(und.select(col("src").as("mid"), col("dst").as("nn")),
+            Seq("mid"))
+          .filter(col("src") =!= col("nn"))
+          .select(col("src"), col("nn").as("dst"))
           .distinct()
           .join(g.select(col("src"), col("dst")), Seq("src", "dst"),
             "left_anti")
-        undPrev = und
         val scored = cand
           .join(en.select(col("rep").as("src"), col("embedding").as("s_emb"),
             col("nrm").as("s_nrm")), "src")
@@ -1062,39 +1061,18 @@ object Similarity {
     Some {
       val rounds = (1 to RefineRounds).map { r =>
         val p = s"g${r - 1}"
-        // incremental candidate generation (see the Spark side): round 1
-        // expands the full symmetrized graph (everything is new); later
-        // rounds join new⋈und ∪ und⋈new where newund is the edge set
-        // absent from the previous round's und — the old×old quadrant
-        // (provably pure recomputation) never enters the join
-        val twoHopTerms =
-          if (r == 1)
-            s"""SELECT x.src AS src, y.dst AS dst
-          FROM und_$r x JOIN und_$r y ON x.dst = y.src"""
-          else
-            s"""SELECT x.src AS src, y.dst AS dst
-          FROM newund_$r x JOIN und_$r y ON x.dst = y.src
-          UNION ALL
-          SELECT x.src, y.dst
-          FROM und_$r x JOIN newund_$r y ON x.dst = y.src"""
-        val newund =
-          if (r == 1) ""
-          else s"""newund_$r AS MATERIALIZED (
-        SELECT src, dst FROM und_$r
-        EXCEPT SELECT src, dst FROM und_${r - 1}),
-      """
         s"""rev_$r AS (SELECT rsrc AS src, rdst AS dst FROM (
         SELECT p.dst AS rsrc, p.src AS rdst, ROW_NUMBER() OVER (
           PARTITION BY p.dst ORDER BY p.cosine DESC, p.src) AS rr
         FROM $p p) WHERE rr <= $WorkK),
       und_$r AS MATERIALIZED (
         SELECT src, dst FROM $p UNION SELECT src, dst FROM rev_$r),
-      ${newund}cand_$r AS MATERIALIZED (
-        SELECT DISTINCT u.src, u.dst FROM (
-          $twoHopTerms) u
-        WHERE u.src <> u.dst
+      cand_$r AS MATERIALIZED (
+        SELECT DISTINCT x.src AS src, y.dst AS dst
+        FROM und_$r x JOIN und_$r y ON x.dst = y.src
+        WHERE x.src <> y.dst
           AND NOT EXISTS (SELECT 1 FROM $p e
-            WHERE e.src = u.src AND e.dst = u.dst)),
+            WHERE e.src = x.src AND e.dst = y.dst)),
       new_$r AS MATERIALIZED (
         SELECT c.src, c.dst,
           list_sum(list_transform(range(1, len(a.embedding)+1),

@@ -31,7 +31,9 @@ object KnnDescentAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorFunctions.register(spark)
 
-    val (en0, g0) = Similarity.knnBase(spark, sfDir, Similarity.WorkK)
+    val knnH = sys.env.get("SPARK_GRAFT_KNN_H").map(_.toInt)
+      .getOrElse(Similarity.NumHyperplanes)
+    val (en0, g0) = Similarity.knnBase(spark, sfDir, Similarity.WorkK, knnH)
     val en = en0.localCheckpoint(false)
     var g = g0.localCheckpoint(false)
     var undPrev: DataFrame = null

@@ -31,9 +31,23 @@ object TimeKnnAb {
     /** The r15 shipped shape — delegates to the real entry. */
     def entry(): DataFrame = Similarity.knnGraphRefined.fn(spark, sfDir)
 
+    // SPARK_GRAFT_KNN_H overrides the hyperplane count for the synthetic
+    // distinct-vector tiers (H ≈ log2(n / target bucket size) keeps the
+    // bucket density at the bench corpus's level as n grows — without it
+    // the fixed 2^6-bucket tables overflow quadratically and the tier
+    // measures bucket overflow, not the refinement loop)
+    val knnH = sys.env.get("SPARK_GRAFT_KNN_H").map(_.toInt)
+      .getOrElse(Similarity.NumHyperplanes)
+
     def build(incremental: Boolean, cutUnd: Boolean,
-        joinRestrict: Boolean = false): DataFrame = {
-      val (en, g0) = Similarity.knnBase(spark, sfDir, Similarity.WorkK)
+        joinRestrict: Boolean = false, cutBase: Boolean = false): DataFrame = {
+      val (en0, g00) = Similarity.knnBase(spark, sfDir, Similarity.WorkK, knnH)
+      // cutBase: checkpoint the expensive knnBase subtrees ONCE — every
+      // localCheckpoint boundary downstream breaks exchange reuse, so
+      // without this en/g0 recompute on each side of each boundary
+      val (en, g0) =
+        if (cutBase) (en0.localCheckpoint(false), g00.localCheckpoint(false))
+        else (en0, g00)
       var g = g0
       var undPrev: DataFrame = null
       for (_ <- 1 to Similarity.RefineRounds) {
@@ -108,6 +122,10 @@ object TimeKnnAb {
         joinRestrict = true)),
       "joincut" -> (() => build(incremental = false, cutUnd = true,
         joinRestrict = true)),
+      "fullcp" -> (() => build(incremental = false, cutUnd = false,
+        cutBase = true)),
+      "joincp" -> (() => build(incremental = false, cutUnd = true,
+        joinRestrict = true, cutBase = true)),
       "entry" -> (() => entry()))
     val variants = (if (args.nonEmpty) args.toSeq
       else Seq("full", "flagpost", "joinrestr")).map(n => n -> all(n))
