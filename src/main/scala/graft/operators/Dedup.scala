@@ -271,6 +271,14 @@ object Dedup {
     },
     substringIncremental.oracle)
 
+  /** [[substringProbe]] against a STORED window-hash index table —
+    * the probe half of `dedup_substring_stored` as a library entry
+    * point, reused by the multi-day incremental pipeline
+    * ([[PipelineE2E.pipelineIncrementalE2E]]). */
+  def substringProbeStored(batchDocs: DataFrame, idxTable: String,
+      W: Int): DataFrame =
+    spanReport(probeFlagsStored(batchDocs, idxTable, W), W)
+
   /** [[probeFlags]] against a STORED window-hash index table: the
     * batch side is tokenized/windowed here; the index side costs one
     * bucketed table read. */
@@ -704,21 +712,28 @@ object Dedup {
     * shingle sets on `doc_id` (16 buckets each). A probe that reads
     * them back picks up the stored bucketing from the table catalog,
     * so only the probing batch shuffles — the steady-state per-ingest
-    * cost. Shared by [[incrementalStored]] and the stored
+    * cost. Shared by [[incrementalStored]], the stored
     * component-maintenance entry
-    * ([[Components.componentsIncrementalStored]]). */
+    * ([[Components.componentsIncrementalStored]]), and (with
+    * `mode = "append"`, the daily store-maintenance write) the
+    * multi-day pipeline ([[PipelineE2E.pipelineIncrementalE2E]]).
+    * Appends keep the declared bucketing: each job's files are
+    * bucket-hashed the same way, and Spark unions per-bucket files at
+    * read time, so a probe against an appended table still avoids the
+    * index-side shuffle. */
   def writeMinhashIndexTables(docs: DataFrame, baseDir: String,
-      bandsTable: String, setsTable: String): Unit = {
+      bandsTable: String, setsTable: String,
+      mode: String = "overwrite"): Unit = {
     val s = docs.sparkSession
     graft.functions.HashExpressions.register(s)
     val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
     minhashBands(sets)
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
       .option("path", s"$baseDir/$bandsTable").format("parquet")
       .saveAsTable(bandsTable)
     sets
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(16, "doc_id").sortBy("doc_id")
       .option("path", s"$baseDir/$setsTable").format("parquet")
       .saveAsTable(setsTable)

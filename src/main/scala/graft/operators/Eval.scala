@@ -30,7 +30,7 @@ object Eval {
         when(col("n_tokens") >= 50L, 1L).otherwise(0L).as("pos"))
       .withColumn("bin", least(floor(col("v") * lit(10.0)), lit(9L)))
 
-  private def isotonicCalOf(binned: DataFrame): DataFrame = {
+  private[operators] def isotonicCalOf(binned: DataFrame): DataFrame = {
     // pooled accuracy of every contiguous bin run [j..k]: exact BIGINT
     // sums, one double division per run (≤ 55 runs)
     val runs = binned.select(col("bin").as("j"))

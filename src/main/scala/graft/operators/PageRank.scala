@@ -43,7 +43,82 @@ object PageRank {
     * — 4 seeds on the N=1000 synthetic graph, deterministic at any N. */
   val SeedMod = 333L
 
-  def all: Seq[QueryDef] = Seq(pagerank, ppr)
+  def all: Seq[QueryDef] = Seq(pagerank, ppr, pagerankPlaw)
+
+  /** [[pagerank]] on the HEAVY-TAILED fixture
+    * ([[Triangles.powerLawEdges]], hub in-degree Θ(n/2)) — mass-
+    * propagation skew behavior moved behind the DuckDB hash gate (r15
+    * verdict item 7, the `graph_triangles_plaw` precedent): the
+    * ring+skip graph `graph_pagerank` runs on is near-regular, so the
+    * hub-concentration regime — node 0 absorbing contributions from
+    * ~n/2 neighbors each round, the 100 TB skew case where a
+    * mass-propagation implementation melts if it ever groups by the
+    * hub's neighborhood in memory — was previously only tool-tier
+    * evidence (PowerLawTier through 12.8 M edges; that row is the
+    * scale half of this entry's claim). Same machinery as [[pagerank]],
+    * verbatim: scaled-BIGINT fixed point (×10^12 — with n=2000,
+    * initial rank 5·10^8), truncating integer division (exact,
+    * associative, partition-invariant), 5 unrolled lazy rounds, each
+    * one shuffle keyed by src + one keyed by dst; the per-node sum at
+    * the hub is exactly what a shuffle hash aggregate absorbs without
+    * per-key memory beyond one BIGINT. Undirected simple edge set run
+    * symmetrically (both directions), so every node has out-edges —
+    * no dangling mass. Full n-row relation, every rank oracle-visible. */
+  val pagerankPlaw = QueryDef("graph_pagerank_plaw",
+    (s, _) => {
+      val n = Triangles.PlawN
+      val simple = Triangles.powerLawEdges(s, n)
+      val edges = simple.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val e = edges.join(deg, "src")
+      val base = (15L * (Scale / n)) / 100L
+      var pr = s.range(0, n, 1, 32)
+        .select(col("id"), lit(Scale / n).as("v"))
+      for (_ <- 1 to Rounds) {
+        val contrib = e
+          .join(pr.withColumnRenamed("id", "pid"), col("src") === col("pid"))
+          .select(col("dst").as("id"), expr("v div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+        pr = pr.select(col("id"))
+          .join(contrib, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(base) +
+              expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("v"))
+      }
+      pr.orderBy(col("id"))
+    },
+    Some {
+      val n = Triangles.PlawN
+      val base = (15L * (Scale / n)) / 100L
+      val rounds = (1 to Rounds).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM(p.v // e.deg) AS cs
+          FROM e JOIN pr${k - 1} p ON p.id = e.src GROUP BY e.dst),
+        pr$k AS (SELECT i.id,
+          CAST($base + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS v
+          FROM ids i LEFT JOIN c$k c ON c.id = i.id)"""
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT range AS id FROM range($n)),
+        base0 AS (
+          SELECT id AS src, (id + 1) % $n AS dst FROM ids
+          UNION ALL
+          SELECT id,
+            $n // ((((id % 2147483647) * 1099087573) % 2147483647)
+              % $n + 1) - 1
+          FROM ids),
+        se AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM base0 WHERE src <> dst),
+        e0 AS (
+          SELECT a AS src, b AS dst FROM se
+          UNION ALL
+          SELECT b, a FROM se),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+        pr0 AS (SELECT id, CAST(${Scale / n} AS BIGINT) AS v FROM ids),
+        $rounds
+        SELECT id, v FROM pr$Rounds ORDER BY id"""
+    })
 
   val pagerank = QueryDef("graph_pagerank",
     (s, _) => {

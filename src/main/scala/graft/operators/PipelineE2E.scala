@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
@@ -29,7 +30,300 @@ import graft.functions.TextFunctions._
   */
 object PipelineE2E {
 
-  def all: Seq[QueryDef] = Seq(curationE2E, mixManifest)
+  def all: Seq[QueryDef] = Seq(curationE2E, mixManifest,
+    pipelineIncrementalE2E)
+
+  /** Ingest-day assignment: `doc_id % 8` ∈ {5, 6, 7} are days 1–3's
+    * batches, everything else is the day-0 bootstrap corpus — the
+    * `dedup_incremental` batch convention extended to a 3-day ledger
+    * (day 3 IS that entry's `% 8 = 7` slice, so the pipeline's last day
+    * probes the exact batch the single-day entries prove). */
+  private[graft] def withDay(docs: DataFrame): DataFrame =
+    docs.withColumn("day",
+      when(col("doc_id") % 8 === 5, 1L)
+        .when(col("doc_id") % 8 === 6, 2L)
+        .when(col("doc_id") % 8 === 7, 3L)
+        .otherwise(0L))
+
+  /** `text_quality`'s exact score + `curate_keep_calibrated`'s exact
+    * bin/label assignment over an arbitrary document frame — factored
+    * so the pipeline's per-day scoring cannot drift from the cataloged
+    * single-shot entries (same expression trees, bit-identical). */
+  private[operators] def scoredOf(docs: DataFrame): DataFrame =
+    docs.withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        expr("size(filter(t, w -> w IN ('the', 'a')))").cast("double") /
+          col("n_tokens"))
+      .withColumn("quality",
+        col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4 +
+          least(lit(1.0), col("n_tokens") / lit(100.0)) * 0.3)
+      .withColumn("pos", when(col("n_tokens") >= 50L, 1L).otherwise(0L))
+      .withColumn("bin", least(floor(col("quality") * lit(10.0)), lit(9L)))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("pos"),
+        col("bin"))
+
+  /** Bootstrap the pipeline's four parquet stores from the day-0 corpus
+    * (all `mode("overwrite")` so the entry is re-runnable):
+    *
+    *  - `graft_pipe_bench`   — the holdout benchmark's distinct 8-gram
+    *    hashes (static decontamination set), bucketed(16) on `h`;
+    *  - `graft_pipe_bands`/`graft_pipe_sets` — the MinHash band index +
+    *    shingle sets ([[Dedup.writeMinhashIndexTables]] layout);
+    *  - `graft_pipe_substr`  — distinct 50-token window hashes
+    *    (`dedup_substring_stored` layout), bucketed(16) on `gh`;
+    *  - `graft_pipe_cal`     — the isotonic bin → p_cal map fit on the
+    *    day-0 corpus ([[Eval.isotonicCalOf]]), CLOSED over all 10 bins
+    *    by clamping unseen bins to the nearest fitted bin (the standard
+    *    histogram-calibrator boundary extension — a later day's doc can
+    *    land in a bin the bootstrap never produced, and the gate must
+    *    still decide it deterministically). ≤10 rows, broadcast at
+    *    probe time. */
+  private[graft] def bootstrapStores(s: SparkSession,
+      docsAll: DataFrame, corpus: DataFrame, base: String): Unit = {
+    Curation.ngramHashes(docsAll.filter(col("doc_id") < 50))
+      .select(col("h")).distinct()
+      .write.mode("overwrite").bucketBy(16, "h").sortBy("h")
+      .option("path", s"$base/graft_pipe_bench").format("parquet")
+      .saveAsTable("graft_pipe_bench")
+    val day0 = corpus.filter(col("day") === 0L)
+    Dedup.writeMinhashIndexTables(day0, base,
+      "graft_pipe_bands", "graft_pipe_sets")
+    day0.withColumn("t", tokens(col("text")))
+      .select(posexplode(expr(shinglesSql("t", 50))))
+      .withColumn("gh", rollHash("col"))
+      .select(col("gh")).distinct()
+      .write.mode("overwrite").bucketBy(16, "gh").sortBy("gh")
+      .option("path", s"$base/graft_pipe_substr").format("parquet")
+      .saveAsTable("graft_pipe_substr")
+    val binned = scoredOf(day0).groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val bounds = binned.agg(min(col("bin")).as("mnb"),
+      max(col("bin")).as("mxb"))
+    s.range(0, 10).select(col("id").as("bin"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("cb", least(greatest(col("bin"), col("mnb")),
+        col("mxb")))
+      .join(broadcast(Eval.isotonicCalOf(binned)
+        .withColumnRenamed("bin", "cb")), Seq("cb"))
+      .select(col("bin"), col("p_cal"))
+      .write.mode("overwrite")
+      .option("path", s"$base/graft_pipe_cal").format("parquet")
+      .saveAsTable("graft_pipe_cal")
+  }
+
+  /** One ingest day's curation report, probing ONLY the stored tables
+    * plus the batch itself (per-day cost ∝ batch — the steady state):
+    * decontaminate (semi-join the bench store) → near-dup dedup
+    * ([[Dedup.crossPairsStored]] vs the band index, plus
+    * [[Dedup.minhashPairs]] within the batch) → span probe
+    * ([[Dedup.substringProbeStored]] vs the window-hash store) →
+    * calibrated keep gate (broadcast the ≤10-row cal store). First
+    * failing check names the reason, `corpus_keep_filter`'s audit
+    * convention. EAGERLY checkpointed: the caller appends to the very
+    * tables this plan reads, so the report must be materialized before
+    * the stores move (lazy evaluation would silently read post-append
+    * state). */
+  private[graft] def dayReport(s: SparkSession, batch: DataFrame,
+      dayNum: Long): DataFrame = {
+    val contam = Curation.ngramHashes(batch)
+      .join(s.table("graft_pipe_bench"), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("is_contam", lit(1))
+    val dup = Dedup.crossPairsStored(batch,
+        "graft_pipe_bands", "graft_pipe_sets")
+      .select(col("b").as("doc_id"))
+      .unionAll(Dedup.minhashPairs(batch).select(col("b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1))
+    val span = Dedup.substringProbeStored(batch, "graft_pipe_substr", 50)
+      .select(col("doc_id"), col("n_removed_tokens"))
+    scoredOf(batch)
+      .join(broadcast(s.table("graft_pipe_cal")), Seq("bin"))
+      .join(span, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("is_contam") === 1, "contaminated")
+          .when(col("is_dup") === 1, "duplicate")
+          .when(col("n_tokens") - col("n_removed_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 1000, "too_long")
+          .when(col("p_cal") < 0.5, "low_quality")
+          .otherwise("ok"))
+      .select(lit(dayNum).as("day"), col("doc_id"), col("n_tokens"),
+        col("n_removed_tokens"), col("quality"), col("p_cal"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+      .localCheckpoint()
+  }
+
+  /** End-of-day store maintenance: append the batch's band/set rows and
+    * its NEW distinct window hashes, so tomorrow's probe sees today's
+    * ingest. ALL batch docs are indexed, drop decisions notwithstanding
+    * — that makes the cross-day duplicate relation a pure function of
+    * the `(day, doc_id)` key order (b is dropped iff SOME doc with a
+    * smaller key near-duplicates it), i.e. exactly the one-shot
+    * drop-the-larger-key rule over the union corpus, which is what the
+    * oracle spells and PipelineIncrementalSpec proves. (A
+    * survivors-only index is the other defensible policy — greedy
+    * chain semantics — but its decisions depend on ingest history, so
+    * nothing order-independent could gate it.) The window-hash append
+    * anti-joins the store first to keep it distinct, and is eagerly
+    * checkpointed to sever the self-read before the append executes. */
+  private[graft] def appendStores(s: SparkSession, batch: DataFrame,
+      base: String): Unit = {
+    Dedup.writeMinhashIndexTables(batch, base,
+      "graft_pipe_bands", "graft_pipe_sets", mode = "append")
+    val newGh = batch.withColumn("t", tokens(col("text")))
+      .select(posexplode(expr(shinglesSql("t", 50))))
+      .withColumn("gh", rollHash("col"))
+      .select(col("gh")).distinct()
+      .join(s.table("graft_pipe_substr"), Seq("gh"), "left_anti")
+      .localCheckpoint()
+    newGh.write.mode("append").bucketBy(16, "gh").sortBy("gh")
+      .option("path", s"$base/graft_pipe_substr").format("parquet")
+      .saveAsTable("graft_pipe_substr")
+  }
+
+  /** The multi-day incremental curation pipeline (r15 verdict item 1 —
+    * the operator a real 100 TB pipeline runs DAILY, composed from the
+    * individually-proven stored-index twins): bootstrap the four
+    * parquet stores from the day-0 corpus, then for each of three dated
+    * ingest batches run decontaminate → stored-index near-dup dedup →
+    * stored-index span probe → calibrated keep gate, and append the
+    * day's rows to the stores before the next day runs. Output = the
+    * three days' per-document curation ledger (keep flag + first-failure
+    * reason + the span/quality evidence).
+    *
+    * Steady-state cost per day ∝ batch (shingle/band/window the batch,
+    * probe bucketed stores, broadcast a ≤10-row calibration); the
+    * bootstrap is charged in-entry to stay hermetic and one-shot, as in
+    * `dedup_incremental_stored`. `graft.tools.PipelineSweep` separates
+    * the phases and holds the batch fixed while the stored corpus
+    * scales.
+    *
+    * Correctness story: because every day indexes ALL of its docs (see
+    * [[appendStores]]), the three chained days compute a pure function
+    * of the union corpus — the DuckDB oracle spells that one-shot form
+    * (duplicate ⟺ a partner with smaller `(day, doc_id)` key; span
+    * flags ⟺ the window hash occurs in a STRICTLY earlier day;
+    * calibration fit on day 0 only) — and PipelineIncrementalSpec
+    * additionally proves the final store STATE equals a from-scratch
+    * bootstrap over the union. Hash equality of this entry is therefore
+    * the claim that three days of store maintenance lose nothing
+    * relative to rebuilding from scratch. */
+  val pipelineIncrementalE2E = QueryDef("pipeline_incremental_e2e",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val base = Dedup.sinkBase(d)
+      val docsAll = Tables.documents(s, d)
+      val corpus = withDay(docsAll.filter(col("doc_id") >= 50))
+      bootstrapStores(s, docsAll, corpus, base)
+      val reports = (1L to 3L).map { dd =>
+        val batch = corpus.filter(col("day") === dd)
+        val rep = dayReport(s, batch, dd)
+        appendStores(s, batch, base)
+        rep
+      }
+      reports.reduce(_ unionAll _).orderBy(col("doc_id"))
+    },
+    Some {
+      val gram8 = (0 until 8).map(k => s"t[j + $k]").mkString(" || ' ' || ")
+      s"""WITH docs0 AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS t,
+            CAST(CASE doc_id % 8 WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+              ELSE 0 END AS BIGINT) AS day
+          FROM documents WHERE doc_id >= 50),
+        allt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        gsh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(t) - 6), j -> $gram8)) AS ss
+          FROM allt WHERE len(t) >= 8),
+        gex AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(g, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h*31+c) % 1000000007) AS h
+          FROM (SELECT doc_id, unnest(ss) AS g FROM gsh)),
+        bench AS (SELECT DISTINCT h FROM gex WHERE doc_id < 50),
+        contam AS (SELECT DISTINCT doc_id FROM gex
+          WHERE doc_id >= 50 AND doc_id % 8 IN (5, 6, 7)
+            AND h IN (SELECT h FROM bench)),
+        ${Dedup.minhashCtesSqlDuck("docs0")},
+        cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+        vp AS (SELECT a, b,
+            CASE a % 8 WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+              ELSE 0 END AS da,
+            CASE b % 8 WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+              ELSE 0 END AS db
+          FROM cands
+          JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+          WHERE ${Dedup.jaccardSqlDuck("sa.hs", "sb.hs")} >= 0.5),
+        dup AS (SELECT DISTINCT CASE WHEN db < da THEN a ELSE b END
+            AS doc_id
+          FROM vp),
+        w AS MATERIALIZED (SELECT doc_id, day, i - 1 AS pos,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                string_split(array_to_string(t[i:i+49], ' '), ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (h, c) -> (h*31+c) % 1000000007) AS gh
+          FROM docs0, UNNEST(range(1, len(t) - 48)) AS r(i)
+          WHERE len(t) >= 50),
+        flagged AS (SELECT DISTINCT b.doc_id, b.pos
+          FROM w b JOIN w i ON i.gh = b.gh AND i.day < b.day
+          WHERE b.day >= 1),
+        cov AS (SELECT doc_id, CAST(SUM(LEAST(50, COALESCE(nxt - pos, 50)))
+            AS BIGINT) AS nrt
+          FROM (SELECT doc_id, pos,
+              LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM flagged)
+          GROUP BY doc_id),
+        sbin AS (SELECT doc_id, day, n_tokens, v,
+            CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS pos,
+            LEAST(CAST(floor(v * 10.0) AS BIGINT), 9) AS bin
+          FROM (SELECT doc_id, day,
+              CAST(len(t) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3 +
+                (1.0 - CAST(len(list_filter(t, w2 -> w2 IN ('the', 'a')))
+                  AS DOUBLE) / len(t)) * 0.4 +
+                least(1.0, CAST(len(t) AS BIGINT) / 100.0) * 0.3 AS v
+            FROM docs0) sq),
+        binned AS (SELECT bin, COUNT(*) AS n,
+            CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM sbin WHERE day = 0 GROUP BY 1),
+        runs AS (SELECT j.bin AS j, k.bin AS k,
+            CAST(SUM(b.n_pos) AS DOUBLE) / CAST(SUM(b.n) AS DOUBLE) AS p
+          FROM binned j JOIN binned k ON j.bin <= k.bin
+          JOIN binned b ON b.bin BETWEEN j.bin AND k.bin
+          GROUP BY 1, 2),
+        cal AS (SELECT bin, MAX(mp) AS p_cal FROM (
+            SELECT i.bin, r.j, MIN(r.p) AS mp
+            FROM binned i JOIN runs r ON r.j <= i.bin AND r.k >= i.bin
+            GROUP BY 1, 2) pav GROUP BY 1),
+        bounds AS (SELECT MIN(bin) AS mnb, MAX(bin) AS mxb FROM binned),
+        calx AS (SELECT r.i AS bin, c.p_cal
+          FROM range(0, 10) r(i) CROSS JOIN bounds bd
+          JOIN cal c ON c.bin = LEAST(GREATEST(r.i, bd.mnb), bd.mxb)),
+        rep AS (SELECT sb.day, sb.doc_id, sb.n_tokens,
+            CAST(COALESCE(cv.nrt, 0) AS BIGINT) AS n_removed_tokens,
+            sb.v AS quality, cx.p_cal,
+            CASE
+              WHEN sb.doc_id IN (SELECT doc_id FROM contam)
+                THEN 'contaminated'
+              WHEN sb.doc_id IN (SELECT doc_id FROM dup) THEN 'duplicate'
+              WHEN sb.n_tokens - COALESCE(cv.nrt, 0) < 20 THEN 'too_short'
+              WHEN sb.n_tokens > 1000 THEN 'too_long'
+              WHEN cx.p_cal < 0.5 THEN 'low_quality'
+              ELSE 'ok' END AS reason
+          FROM sbin sb
+          JOIN calx cx USING (bin)
+          LEFT JOIN cov cv ON cv.doc_id = sb.doc_id
+          WHERE sb.day >= 1)
+        SELECT day, doc_id, n_tokens, n_removed_tokens, quality, p_cal,
+          reason = 'ok' AS keep, reason
+        FROM rep ORDER BY doc_id"""
+    })
 
   /** Domain-aware train-manifest assembly (r8 verdict #6) — the SECOND
     * end-to-end entry, composing the proven mixing/split stages into the

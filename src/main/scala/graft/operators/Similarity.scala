@@ -979,14 +979,15 @@ object Similarity {
     * unrolls the two rounds over the shared [[knnOracleCtes]] base
     * with MATERIALIZED per-round CTEs.
     *
-    * BOUNDARY-RECOMPUTE CUT (r15, −30% measured): the expensive
+    * BOUNDARY-RECOMPUTE CUT (r15, −48% measured): the expensive
     * [[knnBase]] subtrees (the LSH bucket self-join `g0` and the
     * class-norm relation `en`) are lazily checkpointed ONCE before the
     * loop. Every per-round `localCheckpoint` boundary downstream
     * breaks exchange reuse across it, so without the upfront cut
-    * en/g0 recompute on each side of each round boundary — 6.6 → 4.1 s
-    * bare-JVM min at sf0.1, and 46.7 → 38.7 s on a 15 k-vector
-    * synthetic ([[graft.tools.TimeKnnAb]]).
+    * en/g0 recompute on each side of each round boundary —
+    * 6.63 → 3.46 s bare-JVM min at sf0.1, and 46.7 → 38.7 s on a
+    * 15 k-vector synthetic (BASELINE.md r15 A/B table;
+    * [[graft.tools.TimeKnnAb]]).
     *
     * Dong et al.'s INCREMENTAL candidate rule (r14 verdict item 1) was
     * implemented two ways (post-join new/old flag; join-input

@@ -147,7 +147,7 @@ object Unigram {
     * vocabulary-sized. Raw words are pre-chunked to ≤ [[MaxPos]] chars
     * (identity on this corpus — max raw word length 8) so the unrolled
     * DP's stage count bounds nothing a caller can violate. */
-  private def words(s: SparkSession, d: String): DataFrame =
+  private[graft] def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("raw"))
       .filter(col("raw") =!= "")
@@ -158,8 +158,10 @@ object Unigram {
 
   /** Seed vocabulary (piece, cnt): every substring of length
     * 1..[[MaxPiece]] weighted by word freq; all single chars, plus the
-    * top [[SeedPieces]] multi-char pieces by (cnt DESC, piece ASC). */
-  private def seedVocab(w: DataFrame): DataFrame = {
+    * top `seed` multi-char pieces by (cnt DESC, piece ASC) —
+    * [[SeedPieces]] for the cataloged entries, larger for the
+    * vocabulary-scaling measurement (`graft.tools.UnigramVocabTier`). */
+  private def seedVocab(w: DataFrame, seed: Int): DataFrame = {
     val subs = w
       .select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, CAST(len AS INT)),
@@ -169,7 +171,7 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     subs.filter(length(col("piece")) === 1)
       .unionAll(subs.filter(length(col("piece")) > 1)
-        .orderBy(col("cnt").desc, col("piece")).limit(SeedPieces))
+        .orderBy(col("cnt").desc, col("piece")).limit(seed))
   }
 
   /** (piece, cost) from (piece, cnt): slog(T̃) − slog(cnt+1).
@@ -251,16 +253,19 @@ object Unigram {
 
   /** The two-E-step EM schedule (class doc) over an arbitrary
     * (word, freq, len) relation: returns (finalVocab(piece, cnt),
-    * e2Pieces(word, freq, j, piece)). */
-  def emLearn(w: DataFrame): (DataFrame, DataFrame) = {
-    val v0 = seedVocab(w).localCheckpoint(false)
+    * e2Pieces(word, freq, j, piece)). `seed`/`prune` default to the
+    * cataloged constants; `UnigramVocabTier` scales them 4×/16× to put
+    * a measured constant on the O(vocab·MaxPos)-per-round claim. */
+  def emLearn(w: DataFrame, seed: Int = SeedPieces,
+      prune: Int = TargetPieces): (DataFrame, DataFrame) = {
+    val v0 = seedVocab(w, seed).localCheckpoint(false)
     val used1 = viterbiPieces(w, costed(v0))
     val c1 = used1.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     val chars1 = v0.filter(length(col("piece")) === 1).select(col("piece"))
       .join(c1, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val multi1 = c1.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece")).limit(TargetPieces)
+      .orderBy(col("cnt").desc, col("piece")).limit(prune)
     val v1 = chars1.unionAll(multi1).localCheckpoint(false)
     val used2 = viterbiPieces(w, costed(v1)).localCheckpoint(false)
     val c2 = used2.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))

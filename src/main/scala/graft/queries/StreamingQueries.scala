@@ -28,7 +28,12 @@ object StreamingQueries {
     * by the monitor's shared reference triple). S stays in BIGINT
     * (|P| ≤ 21·nRef·Σcnt ≪ 2^63 at any bench SF); the alarm square is
     * HUGEINT/BigInt on the respective engines, emitted as the 0/1
-    * BIGINT flag convention (`in_core` precedent). */
+    * BIGINT flag convention (`in_core` precedent). s2Ref = Σcnt² is
+    * summed in DECIMAL(38,0) and gated back to BIGINT with a loud
+    * raise_error (the Unigram `costed` pattern, r15 ADVICE): Spark's
+    * non-ANSI Long multiply/sum would wrap silently at extreme
+    * per-minute counts where the DuckDB oracle's BIGINT multiply
+    * errors loudly — the envelope must fail loudly on BOTH engines. */
   val streamCusum = QueryDef("stream_cusum",
     (s, d) => {
       import s.implicits._
@@ -36,7 +41,14 @@ object StreamingQueries {
         .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
         .agg(count(lit(1)).as("cnt"))
       val ref = byMin.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
-        sum(col("cnt") * col("cnt")).as("s2")).head()
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("s2d"))
+        .withColumn("s2", expr(
+          s"""CASE WHEN s2d > CAST(${Long.MaxValue} AS DECIMAL(38,0)) THEN
+            CAST(raise_error(
+              'stream_cusum: sum(cnt^2) exceeds BIGINT - rescale minute counts')
+              AS BIGINT)
+          ELSE CAST(s2d AS BIGINT) END"""))
+        .select(col("n"), col("s1"), col("s2")).head()
       // sums are NULL on an empty events table (EmptyInputSweepSpec):
       // zero stats make the monitor a no-op over zero minutes
       def lv(i: Int): Long = if (ref.isNullAt(i)) 0L else ref.getLong(i)

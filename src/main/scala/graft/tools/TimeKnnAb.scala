@@ -128,7 +128,7 @@ object TimeKnnAb {
         joinRestrict = true, cutBase = true)),
       "entry" -> (() => entry()))
     val variants = (if (args.nonEmpty) args.toSeq
-      else Seq("full", "flagpost", "joinrestr")).map(n => n -> all(n))
+      else Seq("full", "flagpost", "joincut")).map(n => n -> all(n))
     variants.foreach { case (name, mk) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -25,10 +25,10 @@ class CatalogSpec extends AnyFunSuite {
 
   test("catalog counts match the documented contract") {
     val all = graft.queries.Registry.all
-    assert(all.size == 283, s"catalog size ${all.size}")
-    assert(all.count(_.oracle.isDefined) == 281,
+    assert(all.size == 285, s"catalog size ${all.size}")
+    assert(all.count(_.oracle.isDefined) == 283,
       s"oracle-backed ${all.count(_.oracle.isDefined)}")
-    assert(all.count(_.bench) == 259, s"bench ${all.count(_.bench)}")
+    assert(all.count(_.bench) == 262, s"bench ${all.count(_.bench)}")
     // the only rows-only entries are the two engine-specific sketches
     assert(all.filter(_.oracle.isEmpty).map(_.name).toSet ==
       Set("q24_approx_distinct", "q49_approx_percentile"))

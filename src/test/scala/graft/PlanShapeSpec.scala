@@ -467,6 +467,23 @@ class PlanShapeSpec extends SparkSpec {
       "local-solve cutover must not serve the cataloged entry")
   }
 
+  test("emb_knn_graph_refined: knnBase subtrees are cut ONCE above the refinement loop") {
+    // r15's −37% (6.63 → 3.46 s bare-JVM A/B) depends on the LSH-bucket
+    // join (`hp_bucket`) and class-norm subtrees being lazily
+    // checkpointed BEFORE the NN-descent rounds: every per-round
+    // localCheckpoint boundary is a reuse barrier, so a refactor that
+    // rebuilds them inside the loop recomputes them on each side of
+    // each boundary. With the upfront cut, `en`/`g0` are LogicalRDD
+    // leaves and NO hp_bucket call survives into the entry's analyzed
+    // plan — pin exactly that (the sssp LogicalRDD-pin recipe).
+    val analyzed = q("emb_knn_graph_refined").queryExecution.analyzed.toString
+    assert(analyzed.contains("LogicalRDD"),
+      s"expected the checkpointed base/graph leaves:\n${analyzed.take(2000)}")
+    assert(!analyzed.contains("hp_bucket"),
+      "LSH bucket subtree leaked into the refinement loop — it must be " +
+        "checkpointed once above it (Similarity.scala knnGraphRefined)")
+  }
+
   test("sample_weighted: hash-keep decision is per-row — no shuffle before the tiny source agg") {
     val p = planString(q("sample_weighted"))
     // exactly one exchange: the final ~5-group source aggregate
