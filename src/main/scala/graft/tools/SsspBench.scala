@@ -28,15 +28,20 @@ object SsspBench {
     spark.sparkContext.setLogLevel("ERROR")
     val plawN = args.collectFirst { case a if a.startsWith("--plaw=") =>
       a.stripPrefix("--plaw=").toLong }
-    val edges = plawN match {
-      case Some(n) =>
+    // --synth=N: the ring+skip graph the CATALOGED `sssp_synthetic`
+    // entry solves — the batch-depth A/B for its bench cost runs here
+    val synthN = args.collectFirst { case a if a.startsWith("--synth=") =>
+      a.stripPrefix("--synth=").toLong }
+    val edges = (plawN, synthN) match {
+      case (Some(n), _) =>
         val simple = graft.operators.Triangles.powerLawEdges(spark, n)
           .withColumn("weight",
             (lit(1L) + (col("a") + col("b")) % 7L).cast("double"))
         ShortestPath.undirect(simple
           .select(col("a").as("src"), col("b").as("dst"), col("weight")))
           .localCheckpoint() // materialize the generator once, like a scan
-      case None => ShortestPath.loadGraph(spark, path)
+      case (None, Some(n)) => ShortestPath.syntheticGraph(spark, n)
+      case _ => ShortestPath.loadGraph(spark, path)
     }
     println(s"edges: ${edges.count()}")
     val distributed = args.contains("--distributed")
