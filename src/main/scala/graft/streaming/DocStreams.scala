@@ -181,6 +181,42 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming multi-day curation — the full
+    * `pipeline_incremental_e2e` day loop moved onto an unbounded ingest
+    * stream: each microbatch IS an ingest day (day number =
+    * `batchId + 1`). Per microbatch: run
+    * [[graft.operators.PipelineE2E.dayReport]] against the four
+    * `graft_pipe_*` stores ([[graft.operators.PipelineE2E
+    * .bootstrapStores]] must have built them from the day-0 corpus
+    * before the stream starts), hand the day's curation ledger to
+    * `sink`, then [[graft.operators.PipelineE2E.appendStores]] so the
+    * next microbatch probes today's ingest too — exactly the batch
+    * entry's store-maintenance contract, so the union of microbatch
+    * ledgers equals the batch pipeline's day rows (FileStreamSpec pins
+    * stream == batch on the same day split).
+    *
+    * State discipline, as [[maintainComponentsStream]]: the stream
+    * carries NO state store — all state lives in the parquet stores.
+    * dayReport is already eagerly materialized before appendStores
+    * moves the tables it read. One microbatch must hold one whole
+    * ingest day: splitting a day across microbatches would let its
+    * later part probe its earlier part as if it were a PRIOR day,
+    * which changes the within-day a<b tie-break into a
+    * first-delivered-wins rule (the production deployment triggers
+    * once per daily drop; the spec forces one file per day). */
+  def curationPipelineStream(docs: DataFrame, storeBase: String,
+      checkpoint: String, sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val s = batch0.sparkSession
+        val batch = batch0.localCheckpoint(true)
+        val rep = graft.operators.PipelineE2E.dayReport(s, batch, batchId + 1)
+        graft.operators.PipelineE2E.appendStores(s, batch, storeBase)
+        sink(rep, batchId)
+      }
+      .start()
+
   /** One shard's current Misra–Gries candidate set (refreshed every
     * microbatch the shard receives data in). */
   final case class HHUpdate(shard: Int, candidates: Seq[String])

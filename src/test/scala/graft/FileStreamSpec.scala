@@ -185,6 +185,46 @@ class FileStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/corpus").count() == docs.count())
   }
 
+  test("streaming curation pipeline: microbatch-days == the batch pipeline's ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_sck").toString
+    val d = sf("sf0.001")
+    // the batch pipeline's day-1/2 ledger rows: day 3's appends happen
+    // AFTER those rows are materialized, so the 2-day stream must
+    // reproduce them exactly
+    val want = SparkEntry.queries("pipeline_incremental_e2e")(spark, d)
+      .filter(col("day") <= 2).collect().map(_.toSeq).toSet
+    // re-bootstrap the pristine day-0 stores (the entry just appended
+    // days 1-3 to them)
+    val docsAll = Tables.documents(spark, d)
+    val corpus = graft.operators.PipelineE2E.withDay(
+      docsAll.filter(col("doc_id") >= 50))
+    val base = graft.operators.Dedup.sinkBase(d)
+    graft.operators.PipelineE2E.bootstrapStores(spark, docsAll, corpus, base)
+    // one FILE per ingest day, landing in day order — a microbatch must
+    // hold a whole day (see curationPipelineStream's doc)
+    corpus.filter(col("day") === 1L).select(col("doc_id"), col("text"))
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    corpus.filter(col("day") === 2L).select(col("doc_id"), col("text"))
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    var got = Set.empty[Seq[Any]]
+    var batches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStreams.curationPipelineStream(
+      stream, base, ckpt,
+      (rep, _) => { got = got ++ rep.collect().map(_.toSeq); batches += 1 })
+    q.processAllAvailable()
+    q.stop()
+    assert(batches == 2, s"expected 2 microbatch-days, saw $batches")
+    assert(got == want,
+      s"stream ledger diverges from batch: only-stream=${
+        (got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("refreshable holdout: n-grams added between microbatches flag later docs only") {
     import spark.implicits._
     val docsDir = java.nio.file.Files.createTempDirectory("graft_rdocs").toString
