@@ -170,13 +170,70 @@ object ShortestPath {
     * see the regime comment in [[distributedSssp]]. */
   val PersistDepthLimit = 8
 
+  /** Stats-estimated bytes per loop partition (r16, guide §2.2/§2.4):
+    * the superstep loop pays a fixed per-level cost proportional to its
+    * partition count (every level is one exchange + one co-partitioned
+    * join over the SAME partitioning), so a graph whose edge relation
+    * fits in a handful of partitions should run at the graph's own
+    * parallelism, not the cluster-wide `spark.sql.shuffle.partitions`.
+    * 8 MB of plan-estimated edge rows ≈ 250 k (src, dst, weight) rows
+    * per partition; the conf partition count stays the CAP, so any
+    * graph bigger than conf × 8 MB (every production-scale graph) keeps
+    * exactly the pre-r16 plan. Env-tunable for cluster profiles. */
+  private def ssspBytesPerPart: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SSSP_BYTES_PER_PART", "8388608").toLong
+
   def distributedSssp(edges: DataFrame, source: Long,
       batchLevels: Int = 8): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val e = edges.select(col("src"), col("dst"), col("weight"))
-      .repartition(col("src"))
+    val e0 = edges.select(col("src"), col("dst"), col("weight"))
+    // Scale-adaptive loop parallelism from the optimizer's size estimate
+    // (no extra pass over the data — an exact count would cost one).
+    // Small graph → few partitions (the 1000-node bench entry runs ~350
+    // one-row-scale tasks per batch at conf=32 otherwise); estimate too
+    // big or unavailable → conf partitions, i.e. the pre-r16 plan.
+    val estBytes = e0.queryExecution.optimizedPlan.stats.sizeInBytes
+    val conf = spark.sessionState.conf.numShufflePartitions
+    // floor 2, not 1: Spark will not co-partition a join at a single
+    // partition (SinglePartitionShuffleSpec.canCreatePartitioning is
+    // false, and EnsureRequirements rebuilds BOTH sides at conf
+    // partitions — measured: every "1-partition" spelling, repartition
+    // or coalesce, re-exchanged the loop 32-wide), while HashPartitioning
+    // with 2 partitions co-partitions normally.
+    val numParts = math.max(2L, math.min(conf.toLong,
+      ((estBytes + ssspBytesPerPart - 1) / ssspBytesPerPart)
+        .min(BigInt(conf)).toLong)).toInt
+    // compact regime: every exchange in the loop is pinned to numParts so
+    // the co-partitioned frontier⋈edges join never reshuffles the edge
+    // relation. The explicit repartition places the min agg's partials
+    // ABOVE the exchange (map-side combine lost) — the right trade only
+    // when the whole graph is a few MB; at numParts == conf the plan is
+    // byte-identical to the map-side-combining groupBy spelling below.
+    val compact = numParts < conf
+    if (sys.env.contains("SSSP_DEBUG"))
+      System.err.println(s"[sssp] estBytes=$estBytes conf=$conf numParts=$numParts compact=$compact")
+    // compact regime: the loop's partitioning is fully pinned, so
+    // adaptive execution has nothing to improve — but it (a) decomposes
+    // each batch action into one job PER SHUFFLE STAGE with a driver
+    // re-optimization between (measured on the 1000-node bench graph:
+    // 142 jobs, 5.9 s wall of which 3.3 s was driver-side gaps), and
+    // (b) wraps the edge cache's build plan in an AdaptiveSparkPlan,
+    // which hides the cache's hash partitioning from EnsureRequirements
+    // and forces a RE-EXCHANGE OF THE EDGES AT EVERY LEVEL. Scoped
+    // strictly to the loop (restored in finally); at scale
+    // (numParts == conf) AQE stays on for its coalescing/skew handling —
+    // there the per-level work dwarfs the re-planning cost.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey)
+    if (compact) spark.conf.set(aqeKey, "false")
+    try {
+    def byNode(df: DataFrame): DataFrame =
+      if (compact) df.repartition(numParts, col("node")) else df
+
+    val e = e0
+      .repartition(numParts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once; read every level of every batch
 
@@ -224,24 +281,32 @@ object ShortestPath {
         // A4 edge relaxation: frontier ⋈ edges, candidate = dist[src] + w;
         // A6 min-per-key (map-side partial min for free) — the min-reduced
         // level is the next level's frontier
-        val level = f.alias("f").hint("shuffle_hash")
+        val level = byNode(f.alias("f").hint("shuffle_hash")
           .join(e.alias("ed"), col("f.node") === col("ed.src"))
           .select(col("ed.dst").as("node"),
-            (col("f.dist") + col("ed.weight")).as("cand"))
+            (col("f.dist") + col("ed.weight")).as("cand")))
           .groupBy("node").agg(min(col("cand")).as("dist"))
         if (usePersist) level.persist(StorageLevel.MEMORY_AND_DISK)
         else level.localCheckpoint(false)
       }.tail
-      val batchBest = levels.reduce(_ unionAll _)
+      val batchBest = byNode(levels.reduce(_ unionAll _))
         .groupBy("node").agg(min(col("dist")).as("cand"))
       // A5 improvement filter (main.cpp:41) + dist[] fold (main.cpp:54),
       // once per batch: full_outer against the running dist, least() keeps
-      // the winner, the improved flag marks next-batch frontier members
-      val folded = cutLineage(dist.withColumnRenamed("dist", "cur")
+      // the winner, the improved flag marks next-batch frontier members.
+      // (no explicit repartition on the dist side: EnsureRequirements
+      // rewrites user repartitions directly under a join back to conf
+      // partitions — instead the batchBest side's pinned partitioning is
+      // the satisfying spec, and the dist side's exchange matches it)
+      val foldPlan = dist.withColumnRenamed("dist", "cur")
         .join(batchBest, Seq("node"), "full_outer")
         .select(col("node"),
           least(col("cur"), col("cand")).as("dist"),
-          (col("cur").isNull || col("cand") < col("cur")).as("improved")))
+          (col("cur").isNull || col("cand") < col("cur")).as("improved"))
+      val folded = cutLineage(foldPlan)
+      if (sys.env.contains("SSSP_DEBUG"))
+        System.err.println(s"[sssp] folded parts=${folded.rdd.getNumPartitions}" +
+          s" levelParts=${levels.map(_.rdd.getNumPartitions).mkString(",")}")
       active = folded.where(col("improved")).count()
       if (usePersist) levels.foreach(_.unpersist(false)) // folded checkpointed
       frontier = folded.where(col("improved")).select(col("node"), col("dist"))
@@ -249,6 +314,7 @@ object ShortestPath {
     }
     e.unpersist()
     dist
+    } finally if (compact) spark.conf.set(aqeKey, aqeBefore)
   }
 
   /** Serial Dijkstra oracle (≅ reference main.cpp:108-140) — test-only. */

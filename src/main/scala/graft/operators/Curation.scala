@@ -240,10 +240,15 @@ object Curation {
     * the batch decontamination query and the streaming twin
     * ([[graft.streaming.DocStreams.flagContaminated]]) — batch/stream
     * unification, same as EventStreams. */
-  private[graft] def ngramHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.functions.HashExpressions.register(docs.sparkSession)
-    docs
-      .withColumn("t", tokens(col("text")))
+  private[graft] def ngramHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ngramHashesTok(docs.withColumn("t", tokens(col("text"))))
+
+  /** [[ngramHashes]] from an already-tokenized `(doc_id, t)` frame — the
+    * multi-day pipeline tokenizes each batch once and shares `t` across
+    * all per-doc derivations; expression tree from `t` onward identical. */
+  private[graft] def ngramHashesTok(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.HashExpressions.register(tok.sparkSession)
+    tok
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"),
         explode(array_distinct(expr(shinglesSql("t", 8)))).as("sh"))

@@ -290,14 +290,31 @@ object Dedup {
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("t"))
       .localCheckpoint(false)
-    val bw = b
+    val bw = windowHashesOfTok(b, W)
+    val flagged = bw.join(s.table(idxTable), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    (b, flagged)
+  }
+
+  /** `(doc_id, pos, gh)` W-token window hashes of a tokenized
+    * `(doc_id, t)` frame — the probe-side front of the span machinery,
+    * factored so the multi-day pipeline computes it once per batch and
+    * shares it between the span probe and the window-hash store append. */
+  private[graft] def windowHashesOfTok(tok: DataFrame, W: Int): DataFrame =
+    tok
       .select(col("doc_id"), posexplode(expr(shinglesSql("t", W))))
       .withColumnRenamed("pos", "pos0")
       .withColumn("gh", rollHash("col"))
       .select(col("doc_id"), col("pos0").as("pos"), col("gh"))
+
+  /** [[substringProbeStored]] from precomputed tokenized (`tok`) and
+    * window-hash (`bw`) frames — the multi-day pipeline's span probe. */
+  private[graft] def substringProbeStoredFromWindows(tok: DataFrame,
+      bw: DataFrame, idxTable: String, W: Int): DataFrame = {
+    val s = tok.sparkSession
     val flagged = bw.join(s.table(idxTable), Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    (b, flagged)
+    spanReport((tok, flagged), W)
   }
 
   /** [[substringApply]]'s core: the CLEANED corpus — every token covered
@@ -495,8 +512,15 @@ object Dedup {
     * hashed-shingle Jaccard is itself oracle-exact; the unhashed
     * string-set Jaccard survives as [[ngramJaccard]]'s yardstick. */
   private def hashedShingleSetsOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("t", tokens(col("text")))
+    hashedShingleSetsOfTok(docs.withColumn("t", tokens(col("text"))))
+
+  /** [[hashedShingleSetsOf]] from an already-tokenized `(doc_id, t)`
+    * frame — the multi-day pipeline tokenizes each batch ONCE and feeds
+    * the same `t` to every per-doc derivation (r16: the first cut
+    * re-tokenized the batch in every helper). Identical expression tree
+    * from `t` onward, so values cannot drift from the docs-frame path. */
+  private[graft] def hashedShingleSetsOfTok(tok: DataFrame): DataFrame =
+    tok
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesSql("t", 3))).as("sh"))
       .withColumn("th", rollHash("sh"))
@@ -518,7 +542,7 @@ object Dedup {
     * inputs), then 4 bands × 4 rows unpivoted by `stack` without
     * leaving codegen. Shared by the self-join path ([[minhashPairs]])
     * and the batch-vs-index probe ([[incremental]]). */
-  private def minhashBands(sets: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sets: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(i =>
       min(expr(minhashPermSql("th", i.toString))).as(s"m$i"))
     val mh = sets
@@ -590,7 +614,15 @@ object Dedup {
       // Lazy (false): materializes with the first action instead of at
       // query-construction time, so plan-only callers (Explain) stay free.
       val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
-      val bands = minhashBands(sets)
+      minhashPairsFromSets(sets, minhashBands(sets))
+  }
+
+  /** [[minhashPairs]]' verify stage from precomputed shingle-set and
+    * band frames — shared with the multi-day pipeline, which computes
+    * `sets`/`bands` once per batch and reuses them across the stored
+    * probe, the in-batch self-join and the store append. */
+  private[graft] def minhashPairsFromSets(sets: DataFrame,
+      bands: DataFrame): DataFrame = {
       val cands = bands.alias("x").join(bands.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -727,7 +759,19 @@ object Dedup {
     val s = docs.sparkSession
     graft.functions.HashExpressions.register(s)
     val sets = hashedShingleSetsOf(docs).localCheckpoint(false)
-    minhashBands(sets)
+    writeMinhashIndexTablesFromSets(sets, minhashBands(sets), baseDir,
+      bandsTable, setsTable, mode)
+  }
+
+  /** [[writeMinhashIndexTables]] from precomputed `sets`/`bands` frames
+    * (same layout, same bucketing) — the multi-day pipeline's append
+    * path reuses the batch frames its probe stage already materialized
+    * instead of re-shingling the batch. */
+  private[graft] def writeMinhashIndexTablesFromSets(sets: DataFrame,
+      bands: DataFrame, baseDir: String,
+      bandsTable: String, setsTable: String,
+      mode: String = "overwrite"): Unit = {
+    bands
       .write.mode(mode)
       .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
       .option("path", s"$baseDir/$bandsTable").format("parquet")
@@ -750,7 +794,15 @@ object Dedup {
     val s = batchDocs.sparkSession
     graft.functions.HashExpressions.register(s)
     val bs = hashedShingleSetsOf(batchDocs).localCheckpoint(false)
-    val cands = minhashBands(bs).alias("x")
+    crossPairsStoredFromSets(bs, minhashBands(bs), bandsTable, setsTable)
+  }
+
+  /** [[crossPairsStored]] from precomputed batch `sets`/`bands` frames —
+    * shared with the multi-day pipeline's probe stage. */
+  private[graft] def crossPairsStoredFromSets(bs: DataFrame,
+      bsBands: DataFrame, bandsTable: String, setsTable: String): DataFrame = {
+    val s = bs.sparkSession
+    val cands = bsBands.alias("x")
       .join(s.table(bandsTable).alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("b"), col("y.doc_id").as("a"))

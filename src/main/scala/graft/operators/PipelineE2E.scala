@@ -33,6 +33,21 @@ object PipelineE2E {
   def all: Seq[QueryDef] = Seq(curationE2E, mixManifest,
     pipelineIncrementalE2E)
 
+  /** Overlap independent store writes (guide §2.6: Spark happily runs
+    * several jobs at once inside one application; sequential actions are
+    * only sequential because the driver calls them sequentially). Every
+    * task here is a write to a DIFFERENT table/path whose input frames
+    * are ALREADY materialized (localCheckpoint blocks), so the only
+    * shared state is the session catalog — per-table, thread-safe. Wall
+    * time per phase drops from the sum of the per-write fixed job costs
+    * to roughly their max. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+  }
+
   /** Ingest-day assignment: `doc_id % 8` ∈ {5, 6, 7} are days 1–3's
     * batches, everything else is the day-0 bootstrap corpus — the
     * `dedup_incremental` batch convention extended to a 3-day ledger
@@ -50,7 +65,13 @@ object PipelineE2E {
     * so the pipeline's per-day scoring cannot drift from the cataloged
     * single-shot entries (same expression trees, bit-identical). */
   private[operators] def scoredOf(docs: DataFrame): DataFrame =
-    docs.withColumn("t", tokens(col("text")))
+    scoredOfTok(docs.withColumn("t", tokens(col("text"))))
+
+  /** [[scoredOf]] from an already-tokenized `(doc_id, t)` frame —
+    * identical expression tree from `t` onward (the pipeline tokenizes
+    * each batch once and shares `t` across all per-doc derivations). */
+  private[operators] def scoredOfTok(tok: DataFrame): DataFrame =
+    tok
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("ttr",
         size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
@@ -82,36 +103,57 @@ object PipelineE2E {
     *    still decide it deterministically). ≤10 rows, broadcast at
     *    probe time. */
   private[graft] def bootstrapStores(s: SparkSession,
-      docsAll: DataFrame, corpus: DataFrame, base: String): Unit = {
-    Curation.ngramHashes(docsAll.filter(col("doc_id") < 50))
-      .select(col("h")).distinct()
-      .write.mode("overwrite").bucketBy(16, "h").sortBy("h")
-      .option("path", s"$base/graft_pipe_bench").format("parquet")
-      .saveAsTable("graft_pipe_bench")
-    val day0 = corpus.filter(col("day") === 0L)
-    Dedup.writeMinhashIndexTables(day0, base,
-      "graft_pipe_bands", "graft_pipe_sets")
-    day0.withColumn("t", tokens(col("text")))
-      .select(posexplode(expr(shinglesSql("t", 50))))
-      .withColumn("gh", rollHash("col"))
-      .select(col("gh")).distinct()
-      .write.mode("overwrite").bucketBy(16, "gh").sortBy("gh")
-      .option("path", s"$base/graft_pipe_substr").format("parquet")
-      .saveAsTable("graft_pipe_substr")
-    val binned = scoredOf(day0).groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-    val bounds = binned.agg(min(col("bin")).as("mnb"),
-      max(col("bin")).as("mxb"))
-    s.range(0, 10).select(col("id").as("bin"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("cb", least(greatest(col("bin"), col("mnb")),
-        col("mxb")))
-      .join(broadcast(Eval.isotonicCalOf(binned)
-        .withColumnRenamed("bin", "cb")), Seq("cb"))
-      .select(col("bin"), col("p_cal"))
-      .write.mode("overwrite")
-      .option("path", s"$base/graft_pipe_cal").format("parquet")
-      .saveAsTable("graft_pipe_cal")
+      docsAll: DataFrame, corpus: DataFrame, base: String): Unit =
+    bootstrapStoresTok(s, docsAll,
+      corpus.withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("day"), col("t"))
+        .localCheckpoint(false),
+      base)
+
+  /** [[bootstrapStores]] from an already-tokenized `(doc_id, day, t)`
+    * corpus frame: the day-0 slice is tokenized ONCE and shared by the
+    * minhash index build, the window-hash store and the calibration fit
+    * (r16 — the first cut re-scanned and re-tokenized `documents` for
+    * each of the three). */
+  private[graft] def bootstrapStoresTok(s: SparkSession,
+      docsAll: DataFrame, tokCorpus: DataFrame, base: String): Unit = {
+    val day0 = tokCorpus.filter(col("day") === 0L)
+    val sets0 = Dedup.hashedShingleSetsOfTok(day0).localCheckpoint(false)
+    // first write sequentially: it materializes the shared day-0
+    // token/shingle checkpoints every other store derives from (a lazy
+    // checkpoint raced from two concurrent jobs could double-compute)
+    Dedup.writeMinhashIndexTablesFromSets(sets0, Dedup.minhashBands(sets0),
+      base, "graft_pipe_bands", "graft_pipe_sets")
+    // remaining stores are mutually independent — overlap them (§2.6)
+    inParallel(
+      () => Curation.ngramHashes(docsAll.filter(col("doc_id") < 50))
+        .select(col("h")).distinct()
+        .write.mode("overwrite").bucketBy(16, "h").sortBy("h")
+        .option("path", s"$base/graft_pipe_bench").format("parquet")
+        .saveAsTable("graft_pipe_bench"),
+      () => day0
+        .select(posexplode(expr(shinglesSql("t", 50))))
+        .withColumn("gh", rollHash("col"))
+        .select(col("gh")).distinct()
+        .write.mode("overwrite").bucketBy(16, "gh").sortBy("gh")
+        .option("path", s"$base/graft_pipe_substr").format("parquet")
+        .saveAsTable("graft_pipe_substr"),
+      () => {
+        val binned = scoredOfTok(day0).groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        val bounds = binned.agg(min(col("bin")).as("mnb"),
+          max(col("bin")).as("mxb"))
+        s.range(0, 10).select(col("id").as("bin"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("cb", least(greatest(col("bin"), col("mnb")),
+            col("mxb")))
+          .join(broadcast(Eval.isotonicCalOf(binned)
+            .withColumnRenamed("bin", "cb")), Seq("cb"))
+          .select(col("bin"), col("p_cal"))
+          .write.mode("overwrite")
+          .option("path", s"$base/graft_pipe_cal").format("parquet")
+          .saveAsTable("graft_pipe_cal")
+      })
   }
 
   /** One ingest day's curation report, probing ONLY the stored tables
@@ -128,17 +170,44 @@ object PipelineE2E {
     * state). */
   private[graft] def dayReport(s: SparkSession, batch: DataFrame,
       dayNum: Long): DataFrame = {
-    val contam = Curation.ngramHashes(batch)
+    val (tok, sets, bands, bw) = sharedBatchFrames(batch)
+    dayReportShared(s, tok, sets, bands, bw, dayNum)
+  }
+
+  /** The per-batch derivations every stage shares, each computed ONCE
+    * and lazily checkpointed (materialized together by the day report's
+    * eager checkpoint; the append stage then reuses the same blocks):
+    * tokenized docs, hashed shingle sets, LSH band keys, 50-token
+    * window hashes. r16: the first cut re-derived each of these inside
+    * every helper — ~7 scans+tokenizations of the batch per day. */
+  private[graft] def sharedBatchFrames(batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.functions.HashExpressions.register(batch.sparkSession)
+    val tok = batch.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("t")).localCheckpoint(false)
+    val sets = Dedup.hashedShingleSetsOfTok(tok).localCheckpoint(false)
+    val bands = Dedup.minhashBands(sets).localCheckpoint(false)
+    val bw = Dedup.windowHashesOfTok(tok, 50).localCheckpoint(false)
+    (tok, sets, bands, bw)
+  }
+
+  /** [[dayReport]] over precomputed shared batch frames. */
+  private[graft] def dayReportShared(s: SparkSession, tok: DataFrame,
+      sets: DataFrame, bands: DataFrame, bw: DataFrame,
+      dayNum: Long): DataFrame = {
+    val contam = Curation.ngramHashesTok(tok)
       .join(s.table("graft_pipe_bench"), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("is_contam", lit(1))
-    val dup = Dedup.crossPairsStored(batch,
+    val dup = Dedup.crossPairsStoredFromSets(sets, bands,
         "graft_pipe_bands", "graft_pipe_sets")
       .select(col("b").as("doc_id"))
-      .unionAll(Dedup.minhashPairs(batch).select(col("b").as("doc_id")))
+      .unionAll(Dedup.minhashPairsFromSets(sets, bands)
+        .select(col("b").as("doc_id")))
       .distinct().withColumn("is_dup", lit(1))
-    val span = Dedup.substringProbeStored(batch, "graft_pipe_substr", 50)
+    val span = Dedup.substringProbeStoredFromWindows(tok, bw,
+        "graft_pipe_substr", 50)
       .select(col("doc_id"), col("n_removed_tokens"))
-    scoredOf(batch)
+    scoredOfTok(tok)
       .join(broadcast(s.table("graft_pipe_cal")), Seq("bin"))
       .join(span, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left")
@@ -171,17 +240,38 @@ object PipelineE2E {
     * checkpointed to sever the self-read before the append executes. */
   private[graft] def appendStores(s: SparkSession, batch: DataFrame,
       base: String): Unit = {
-    Dedup.writeMinhashIndexTables(batch, base,
-      "graft_pipe_bands", "graft_pipe_sets", mode = "append")
-    val newGh = batch.withColumn("t", tokens(col("text")))
-      .select(posexplode(expr(shinglesSql("t", 50))))
-      .withColumn("gh", rollHash("col"))
-      .select(col("gh")).distinct()
-      .join(s.table("graft_pipe_substr"), Seq("gh"), "left_anti")
-      .localCheckpoint()
-    newGh.write.mode("append").bucketBy(16, "gh").sortBy("gh")
-      .option("path", s"$base/graft_pipe_substr").format("parquet")
-      .saveAsTable("graft_pipe_substr")
+    val (_, sets, bands, bw) = sharedBatchFrames(batch)
+    appendStoresShared(s, sets, bands, bw, base)
+  }
+
+  /** [[appendStores]] over precomputed shared batch frames — reuses the
+    * sets/bands/window-hash blocks the day report already materialized
+    * instead of re-shingling the batch. */
+  private[graft] def appendStoresShared(s: SparkSession, sets: DataFrame,
+      bands: DataFrame, bw: DataFrame, base: String): Unit = {
+    // the three appends touch three different tables and their inputs
+    // are materialized checkpoint blocks (the day report's eager
+    // checkpoint forced them) — overlap the independent writes (§2.6).
+    // The window-hash append still severs its self-read with an eager
+    // checkpoint BEFORE its write moves the table it read.
+    inParallel(
+      () => bands.write.mode("append")
+        .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
+        .option("path", s"$base/graft_pipe_bands").format("parquet")
+        .saveAsTable("graft_pipe_bands"),
+      () => sets.write.mode("append")
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .option("path", s"$base/graft_pipe_sets").format("parquet")
+        .saveAsTable("graft_pipe_sets"),
+      () => {
+        val newGh = bw
+          .select(col("gh")).distinct()
+          .join(s.table("graft_pipe_substr"), Seq("gh"), "left_anti")
+          .localCheckpoint()
+        newGh.write.mode("append").bucketBy(16, "gh").sortBy("gh")
+          .option("path", s"$base/graft_pipe_substr").format("parquet")
+          .saveAsTable("graft_pipe_substr")
+      })
   }
 
   /** The multi-day incremental curation pipeline (r15 verdict item 1 —
@@ -217,11 +307,31 @@ object PipelineE2E {
       val base = Dedup.sinkBase(d)
       val docsAll = Tables.documents(s, d)
       val corpus = withDay(docsAll.filter(col("doc_id") >= 50))
-      bootstrapStores(s, docsAll, corpus, base)
+      // r16: ONE tokenize pass over the corpus shared by the bootstrap
+      // and every ingest day (the first cut re-scanned `documents` ~12×,
+      // ~540k scan rows per run at sf0.1 for a 5k-row table). All
+      // per-doc derivations (shingle sets, band keys, window hashes,
+      // quality scores) are pure functions of `t` and independent of the
+      // evolving stores, so computing them once up front and SLICING per
+      // day is value-identical to the per-day spelling — the oracle and
+      // PipelineIncrementalSpec pin it. Only the store probes/appends,
+      // which must see the previous days' writes, stay inside the loop.
+      val tokCorpus = corpus.withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("day"), col("t"))
+        .localCheckpoint(false)
+      bootstrapStoresTok(s, docsAll, tokCorpus, base)
+      val tokDays = tokCorpus.filter(col("day") >= 1L)
+      val sets = Dedup.hashedShingleSetsOfTok(tokDays).localCheckpoint(false)
+      val bands = Dedup.minhashBands(sets).localCheckpoint(false)
+      val bw = Dedup.windowHashesOfTok(tokDays, 50).localCheckpoint(false)
       val reports = (1L to 3L).map { dd =>
-        val batch = corpus.filter(col("day") === dd)
-        val rep = dayReport(s, batch, dd)
-        appendStores(s, batch, base)
+        // day dd ⟺ doc_id % 8 == dd + 4 (withDay's mapping), which lets
+        // the doc_id-only frames (sets/bands/bw) slice without a join
+        val slice = col("doc_id") % 8 === (dd + 4L)
+        val rep = dayReportShared(s, tokCorpus.filter(col("day") === dd),
+          sets.filter(slice), bands.filter(slice), bw.filter(slice), dd)
+        appendStoresShared(s, sets.filter(slice), bands.filter(slice),
+          bw.filter(slice), base)
         rep
       }
       reports.reduce(_ unionAll _).orderBy(col("doc_id"))

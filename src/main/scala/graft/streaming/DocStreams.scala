@@ -211,8 +211,15 @@ object DocStreams {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val s = batch0.sparkSession
         val batch = batch0.localCheckpoint(true)
-        val rep = graft.operators.PipelineE2E.dayReport(s, batch, batchId + 1)
-        graft.operators.PipelineE2E.appendStores(s, batch, storeBase)
+        // shared per-batch frames (tokenize/shingle/band/window ONCE,
+        // r16): materialized by the report's eager checkpoint, reused
+        // by the append — same sharing as the batch entry's day loop
+        val (tok, sets, bands, bw) =
+          graft.operators.PipelineE2E.sharedBatchFrames(batch)
+        val rep = graft.operators.PipelineE2E.dayReportShared(
+          s, tok, sets, bands, bw, batchId + 1)
+        graft.operators.PipelineE2E.appendStoresShared(
+          s, sets, bands, bw, storeBase)
         sink(rep, batchId)
       }
       .start()
