@@ -46,13 +46,23 @@ object Bootstrap {
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712")
 
-  private def multSql(keyExpr: String): String = {
+  /** The uniform draw u ∈ [0, 1) for one (row, replica) key — emitted as
+    * its OWN projection column (r16, guide §4 analogue): splicing u
+    * inline into every WHEN branch re-evaluated the full ~10-op modular
+    * hash chain up to 7× per row — Spark's codegen subexpression
+    * elimination deliberately skips CONDITIONAL branches (only a CASE's
+    * first predicate is unconditionally evaluated), so nothing hoisted
+    * it. One column, one evaluation, same bits. */
+  private def uniformSql(keyExpr: String): String = {
     val h = s"((((($keyExpr) % ${P}L) * (($keyExpr) % ${P}L)) % ${P}L * " +
       s"1103515245L) % ${P}L + (($keyExpr) * 12345L) % ${P}L + 104729L) % ${P}L"
-    val u = s"CAST(($h) AS DOUBLE) / CAST(${P}L AS DOUBLE)"
-    Cdf.zipWithIndex.map { case (c, k) => s"WHEN ($u) < ${c}D THEN ${k}L" }
-      .mkString("CASE ", " ", " ELSE 7L END")
+    s"CAST(($h) AS DOUBLE) / CAST(${P}L AS DOUBLE)"
   }
+
+  /** Poisson(1) multiplicity from an already-computed uniform column. */
+  private def multOfUSql(uCol: String): String =
+    Cdf.zipWithIndex.map { case (c, k) => s"WHEN ($uCol) < ${c}D THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
 
   private def multDuck(keyExpr: String): String = {
     val h = s"((((($keyExpr) % $P) * (($keyExpr) % $P)) % $P * " +
@@ -70,7 +80,8 @@ object Bootstrap {
           col("o_totalprice").cast("decimal(12,2)").as("price"))
         .select(col("k"), col("price"),
           explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("m", expr(multSql(s"k * ${B}L + b")))
+        .withColumn("u", expr(uniformSql(s"k * ${B}L + b")))
+        .withColumn("m", expr(multOfUSql("u")))
         .where(col("m") > 0)
       val reps = rep.groupBy(col("b"))
         .agg((sum(col("price") * col("m")).cast("double") /

@@ -80,7 +80,21 @@ object PageRank {
           .join(pr.withColumnRenamed("id", "pid"), col("src") === col("pid"))
           .select(col("dst").as("id"), expr("v div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-        pr = pr.select(col("id"))
+        // id universe = the CONSTANT range relation, not pr_{k-1}.select(id)
+        // (r16, guide §7.2 duplicated-subtree audit): referencing the prior
+        // round twice doubles the ANALYZED plan per round — 2^5 copies of
+        // round-1's subtree that every analyzer/optimizer pass must walk.
+        // The optimizer then eliminates the duplicate anyway (id-only
+        // projection over a left_outer against unique aggregate keys), so
+        // the physical plan is IDENTICAL either way (plans/r16 diff) and
+        // the wall-clock delta is inside the ambient band — this spelling
+        // just states outright what Catalyst had to derive, and stops the
+        // plan from silently going exponential if a refactor breaks the
+        // elimination preconditions. Every round's id set IS range(0,n) —
+        // the left_outer preserves it — the oracle's own
+        // `FROM ids LEFT JOIN c_k` spelling. Fresh range per round keeps
+        // attribute ids unambiguous.
+        pr = s.range(0, n, 1, 32).select(col("id"))
           .join(contrib, Seq("id"), "left_outer")
           .select(col("id"),
             (lit(base) +
@@ -133,7 +147,9 @@ object PageRank {
           .join(pr.withColumnRenamed("id", "pid"), col("src") === col("pid"))
           .select(col("dst").as("id"), expr("v div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-        pr = pr.select(col("id"))
+        // constant-range id universe — see pagerankPlaw's loop comment
+        // (the pr_{k-1}.select(id) spelling doubled the plan per round)
+        pr = s.range(0, N, 1, 32).select(col("id"))
           .join(contrib, Seq("id"), "left_outer")
           .select(col("id"),
             (lit(base) +
@@ -200,7 +216,8 @@ object PageRank {
           .join(pr.withColumnRenamed("id", "pid"), col("src") === col("pid"))
           .select(col("dst").as("id"), expr("v div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-        pr = pr.select(col("id"))
+        // constant-range id universe — see pagerankPlaw's loop comment
+        pr = s.range(0, N, 1, 32).select(col("id"))
           .join(contrib, Seq("id"), "left_outer")
           .select(col("id"),
             (when(col("id") % SeedMod === 0L, lit(seedBase))

@@ -116,16 +116,37 @@ object PipelineE2E {
     * (r16 — the first cut re-scanned and re-tokenized `documents` for
     * each of the three). */
   private[graft] def bootstrapStoresTok(s: SparkSession,
-      docsAll: DataFrame, tokCorpus: DataFrame, base: String): Unit = {
+      docsAll: DataFrame, tokCorpus: DataFrame, base: String): Unit =
+    bootstrapStoresTok(s, docsAll, tokCorpus, base, Seq.empty)
+
+  /** [[bootstrapStoresTok]] with extra independent tasks overlapped into
+    * the store-write phase (r16, guide §2.6): the multi-day pipeline
+    * passes the materialization of its per-day batch frames here, so
+    * that compute back-fills the executor slots the five store writes
+    * leave idle instead of running serially after them. */
+  private[graft] def bootstrapStoresTok(s: SparkSession,
+      docsAll: DataFrame, tokCorpus: DataFrame, base: String,
+      overlapped: Seq[() => Unit]): Unit = {
     val day0 = tokCorpus.filter(col("day") === 0L)
     val sets0 = Dedup.hashedShingleSetsOfTok(day0).localCheckpoint(false)
-    // first write sequentially: it materializes the shared day-0
-    // token/shingle checkpoints every other store derives from (a lazy
-    // checkpoint raced from two concurrent jobs could double-compute)
-    Dedup.writeMinhashIndexTablesFromSets(sets0, Dedup.minhashBands(sets0),
-      base, "graft_pipe_bands", "graft_pipe_sets")
-    // remaining stores are mutually independent — overlap them (§2.6)
-    inParallel(
+    // ONE cheap action materializes the shared lazy checkpoints (corpus
+    // tokens + day-0 shingle sets) every store below derives from — a
+    // lazy checkpoint raced from two concurrent jobs could
+    // double-compute. r16: the first cut serialized the band+set WRITES
+    // for this; materializing via count() instead lets all five store
+    // writes overlap (§2.6) — the writes were the bootstrap's wall time.
+    sets0.count()
+    inParallel(Seq(
+      () => Dedup.minhashBands(sets0)
+        .write.mode("overwrite")
+        .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
+        .option("path", s"$base/graft_pipe_bands").format("parquet")
+        .saveAsTable("graft_pipe_bands"),
+      () => sets0
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .option("path", s"$base/graft_pipe_sets").format("parquet")
+        .saveAsTable("graft_pipe_sets"),
       () => Curation.ngramHashes(docsAll.filter(col("doc_id") < 50))
         .select(col("h")).distinct()
         .write.mode("overwrite").bucketBy(16, "h").sortBy("h")
@@ -153,7 +174,7 @@ object PipelineE2E {
           .write.mode("overwrite")
           .option("path", s"$base/graft_pipe_cal").format("parquet")
           .saveAsTable("graft_pipe_cal")
-      })
+      }) ++ overlapped: _*)
   }
 
   /** One ingest day's curation report, probing ONLY the stored tables
@@ -248,12 +269,28 @@ object PipelineE2E {
     * sets/bands/window-hash blocks the day report already materialized
     * instead of re-shingling the batch. */
   private[graft] def appendStoresShared(s: SparkSession, sets: DataFrame,
-      bands: DataFrame, bw: DataFrame, base: String): Unit = {
+      bands: DataFrame, bw: DataFrame, base: String): Unit =
+    appendStoresPre(s, sets, bands, newWindowHashes(s, bw), base)
+
+  /** The batch's NEW distinct window hashes vs the current store —
+    * EAGERLY checkpointed to sever the self-read before the append
+    * moves the table it read. Factored out (r16) so the multi-day
+    * pipeline can compute it CONCURRENTLY with the day report (both are
+    * pure reads of the pre-append stores, §2.6) instead of serially
+    * inside the append phase. */
+  private[graft] def newWindowHashes(s: SparkSession, bw: DataFrame)
+      : DataFrame =
+    bw.select(col("gh")).distinct()
+      .join(s.table("graft_pipe_substr"), Seq("gh"), "left_anti")
+      .localCheckpoint()
+
+  /** [[appendStoresShared]] with the window-hash delta already
+    * materialized by [[newWindowHashes]]. */
+  private[graft] def appendStoresPre(s: SparkSession, sets: DataFrame,
+      bands: DataFrame, newGh: DataFrame, base: String): Unit = {
     // the three appends touch three different tables and their inputs
     // are materialized checkpoint blocks (the day report's eager
     // checkpoint forced them) — overlap the independent writes (§2.6).
-    // The window-hash append still severs its self-read with an eager
-    // checkpoint BEFORE its write moves the table it read.
     inParallel(
       () => bands.write.mode("append")
         .bucketBy(16, "band", "bkey").sortBy("band", "bkey")
@@ -263,15 +300,9 @@ object PipelineE2E {
         .bucketBy(16, "doc_id").sortBy("doc_id")
         .option("path", s"$base/graft_pipe_sets").format("parquet")
         .saveAsTable("graft_pipe_sets"),
-      () => {
-        val newGh = bw
-          .select(col("gh")).distinct()
-          .join(s.table("graft_pipe_substr"), Seq("gh"), "left_anti")
-          .localCheckpoint()
-        newGh.write.mode("append").bucketBy(16, "gh").sortBy("gh")
-          .option("path", s"$base/graft_pipe_substr").format("parquet")
-          .saveAsTable("graft_pipe_substr")
-      })
+      () => newGh.write.mode("append").bucketBy(16, "gh").sortBy("gh")
+        .option("path", s"$base/graft_pipe_substr").format("parquet")
+        .saveAsTable("graft_pipe_substr"))
   }
 
   /** The multi-day incremental curation pipeline (r15 verdict item 1 —
@@ -319,19 +350,34 @@ object PipelineE2E {
       val tokCorpus = corpus.withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("day"), col("t"))
         .localCheckpoint(false)
-      bootstrapStoresTok(s, docsAll, tokCorpus, base)
       val tokDays = tokCorpus.filter(col("day") >= 1L)
       val sets = Dedup.hashedShingleSetsOfTok(tokDays).localCheckpoint(false)
       val bands = Dedup.minhashBands(sets).localCheckpoint(false)
       val bw = Dedup.windowHashesOfTok(tokDays, 50).localCheckpoint(false)
+      // r16 (§2.6): the ingest-day frames are pure functions of tokCorpus
+      // — materialize them INSIDE the bootstrap's parallel write phase
+      // (back-filling its idle slots) instead of serially during day 1's
+      // report. bootstrapStoresTok materializes tokCorpus first, so these
+      // tasks read its blocks rather than racing its lazy checkpoint.
+      bootstrapStoresTok(s, docsAll, tokCorpus, base, Seq(
+        () => { sets.count(); bands.count(); () },
+        () => { bw.count(); () }))
       val reports = (1L to 3L).map { dd =>
         // day dd ⟺ doc_id % 8 == dd + 4 (withDay's mapping), which lets
         // the doc_id-only frames (sets/bands/bw) slice without a join
         val slice = col("doc_id") % 8 === (dd + 4L)
-        val rep = dayReportShared(s, tokCorpus.filter(col("day") === dd),
-          sets.filter(slice), bands.filter(slice), bw.filter(slice), dd)
-        appendStoresShared(s, sets.filter(slice), bands.filter(slice),
-          bw.filter(slice), base)
+        // the report and the window-hash delta both read only the
+        // PRE-append stores — overlap them (§2.6); the appends (which
+        // move the tables) start strictly after both are materialized
+        var rep: DataFrame = null
+        var ngh: DataFrame = null
+        inParallel(
+          () => { rep = dayReportShared(s,
+            tokCorpus.filter(col("day") === dd), sets.filter(slice),
+            bands.filter(slice), bw.filter(slice), dd) },
+          () => { ngh = newWindowHashes(s, bw.filter(slice)) })
+        appendStoresPre(s, sets.filter(slice), bands.filter(slice), ngh,
+          base)
         rep
       }
       reports.reduce(_ unionAll _).orderBy(col("doc_id"))

@@ -78,9 +78,24 @@ object Quantiles {
     * bucketing orders negatives correctly); SelectionPropertySpec pins
     * this against local sorts of arbitrary generated data. */
   def valueAtRanks(values: DataFrame, valueCol: String,
+      width: Double, ranks: Seq[(String, Column)]): DataFrame =
+    valueAtRanksCounts(
+      values.select(col(valueCol).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c")),
+      width, ranks)
+
+  /** [[valueAtRanks]] over an ALREADY-AGGREGATED `(v, c)` per-value count
+    * relation (r16, guide §2.3 "aggregate before you shuffle"): callers
+    * that need the count relation anyway — chained selections
+    * (`stat_mad`'s deviation pass is a pure function of the value), final
+    * weighted aggregates (`stat_winsorized`), bucket rollups
+    * (`stat_equidepth_histogram`) — compute it ONCE and derive everything
+    * from it, instead of re-scanning and re-shuffling the raw rows per
+    * pass. Ranks are over the EXPANDED multiset (`n` = Σc), identical to
+    * the row spelling. */
+  def valueAtRanksCounts(counts: DataFrame,
       width: Double, ranks: Seq[(String, Column)]): DataFrame = {
-    val li = values.select(col(valueCol).as("v"))
-    val vc = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val vc = counts.select(col("v"), col("c"))
     val b = vc.withColumn("bkt", floor(col("v") / width).cast("long"))
     val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
       .withColumn("boff",

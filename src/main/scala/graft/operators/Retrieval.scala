@@ -89,6 +89,9 @@ object Retrieval {
           col("a") =!= col("b"))
         .select(col("a"), col("b"),
           (expr("dot_f64(ea, eb)") / (col("na") * col("nb"))).as("sim"))
+        // ≤380 rows, re-joined by all four greedy rounds — one lazy
+        // checkpoint computes the pairwise sims once (r16)
+        .localCheckpoint(false)
       var sel = cand
         .orderBy(col("qcos").desc, col("vec_id"))
         .limit(1)
@@ -110,6 +113,13 @@ object Retrieval {
           .limit(1)
           .select(col("vec_id"), lit(i).as("pick_rank"),
             col("mmr").as("mmr_score")))
+          // the next round references sel THREE times (exclusion
+          // anti-join, chosen set, union) — without a cut the analyzed
+          // plan TRIPLES per round, 3^4 copies of round 1 by the last
+          // pick (r16, guide §7.2 duplicated-subtree audit). A lazy
+          // checkpoint of the ≤i-row selection keeps the unrolled greedy
+          // loop's plan linear; blocks materialize inside the one action.
+          .localCheckpoint(false)
       }
       sel.join(cand.select(col("vec_id"), col("qcos")), "vec_id")
         .select(col("pick_rank").cast("int").as("pick_rank"),

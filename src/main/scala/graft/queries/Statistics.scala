@@ -266,16 +266,23 @@ object Statistics {
     * count or an actual input double. */
   val equidepth = QueryDef("stat_equidepth_histogram",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-      val edges = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+      // one (value, count) aggregation feeds the selection and the bucket
+      // rollup (r16, guide §2.3 — see stat_mad): bucket membership is a
+      // pure function of the distinct value, so counts sum per bucket and
+      // min/max come straight off the distinct values.
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val edges = graft.operators.Quantiles.valueAtRanksCounts(vc, 1000.0,
         (1 to 9).map(i => s"e$i" ->
           floor((lit(i.toLong) * (col("n") - 1)).cast("double") / 10.0)))
-      li.crossJoin(broadcast(edges))
+      vc.crossJoin(broadcast(edges))
         .withColumn("bucket",
           (1 to 9).map(i => when(col("v") > col(s"e$i"), 1L).otherwise(0L))
             .reduce(_ + _))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("c")).as("n"),
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
         .orderBy(col("bucket"))
     },
@@ -588,18 +595,29 @@ object Statistics {
     * (rank ⌊(n−1)/2⌋) in both engines. */
   val mad = QueryDef("stat_mad",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-      val medDf = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+      // ONE (value, count) aggregation feeds everything (r16, guide §2.3):
+      // the deviation |v − med| is a pure function of the distinct value,
+      // so the second selection and the final outlier rollup run over the
+      // distinct-value relation with c as the weight — before, lineitem
+      // was scanned 5× and the 600 k-row dev relation re-shuffled whole
+      // (3.47 M shuffle rows → one raw-row shuffle + two distinct-sized).
+      // Value-identical: same doubles, counts summed instead of recounted.
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val medDf = graft.operators.Quantiles.valueAtRanksCounts(vc, 1000.0,
         Seq("med" -> floor((col("n") - 1).cast("double") / 2)))
-      val dev = li.crossJoin(broadcast(medDf))
-        .select(abs(col("v") - col("med")).as("v"), col("med"))
-      val madDf = graft.operators.Quantiles.valueAtRanks(
-          dev.select(col("v")), "v", 1000.0,
-          Seq("mad" -> floor((col("n") - 1).cast("double") / 2)))
-      dev.crossJoin(broadcast(madDf))
+      val devc = vc.crossJoin(broadcast(medDf))
+        .groupBy(abs(col("v") - col("med")).as("v"))
+        .agg(sum(col("c")).as("c"))
+        .localCheckpoint(false)
+      val madDf = graft.operators.Quantiles.valueAtRanksCounts(devc, 1000.0,
+        Seq("mad" -> floor((col("n") - 1).cast("double") / 2)))
+      devc.crossJoin(broadcast(medDf)).crossJoin(broadcast(madDf))
         .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
-          count(lit(1)).as("n"),
-          sum(when(col("v") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          sum(col("c")).as("n"),
+          sum(when(col("v") > lit(3.0) * lit(1.4826) * col("mad"), col("c"))
             .otherwise(0L)).as("n_outliers"))
     },
     Some("""WITH nrows AS (SELECT COUNT(*) AS n FROM lineitem),
@@ -682,28 +700,39 @@ object Statistics {
     * ROW_NUMBER-based spelling. */
   val winsorized = QueryDef("stat_winsorized",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      // one (value, count) aggregation feeds the selection AND the final
+      // weighted means (r16, guide §2.3 — see stat_mad): decimal sums
+      // weight each distinct value by its exact integer count
+      // (DECIMAL × BIGINT is exact, so Σ dec(v)·c ≡ the per-row Σ dec(v)),
+      // and each exact decimal total converts to double once — identical
+      // bits to the row spelling.
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       // bucket width 1000 gives ~100 coarse buckets on the price domain
       // (900..105 000); the selection itself lives in
-      // Quantiles.valueAtRanks (property-tested on arbitrary data)
-      val thr = graft.operators.Quantiles.valueAtRanks(li, "v", 1000.0,
+      // Quantiles.valueAtRanksCounts (property-tested on arbitrary data)
+      val thr = graft.operators.Quantiles.valueAtRanksCounts(vc, 1000.0,
         Seq("vlo" -> floor(lit(0.05) * (col("n") - 1).cast("double")),
           "vhi" -> ceil(lit(0.95) * (col("n") - 1).cast("double"))))
-      li.crossJoin(broadcast(thr))
-        .select(col("v"), col("vlo"), col("vhi"),
+      vc.crossJoin(broadcast(thr))
+        .select(col("v"), col("c"), col("vlo"), col("vhi"),
           // clip on the raw doubles (exact: the result IS one of the three
           // operands bit-for-bit), then ONE decimal cast — DuckDB's
           // LEAST/GREATEST coerces mixed decimals to DOUBLE, so casting
           // before the clip would silently put the sum back in
           // order-dependent double arithmetic on the oracle side
           dec(least(greatest(col("v"), col("vlo")), col("vhi"))).as("w"),
-          when(col("v") < col("vlo") || col("v") > col("vhi"), 1L)
+          when(col("v") < col("vlo") || col("v") > col("vhi"), col("c"))
             .otherwise(0L).as("clipped"))
         .agg(first(col("vlo")).as("p05"), first(col("vhi")).as("p95"),
-          count(lit(1)).as("n"),
+          sum(col("c")).as("n"),
           sum(col("clipped")).as("n_clipped"),
-          avgd(dec(col("v"))).as("mean_raw"),
-          avgd(col("w")).as("mean_winsorized"))
+          (sum(dec(col("v")) * col("c")).cast("double") / sum(col("c")))
+            .as("mean_raw"),
+          (sum(col("w") * col("c")).cast("double") / sum(col("c")))
+            .as("mean_winsorized"))
     },
     Some("""WITH nrows AS (SELECT COUNT(*) AS n FROM lineitem),
       k AS (SELECT CAST(FLOOR(0.05 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS klo,
