@@ -215,9 +215,13 @@ object Chunking {
   val trigramBackoff = QueryDef("text_trigram_backoff",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
+      // tokenize ONCE: docs feeds the three train-count relations plus
+      // the instance scorer — four scans + tokenizations without the cut
+      // (r16, guide §2.3 project-early / §7.2 duplicated subtrees)
       val docs = Tables.documents(s, d)
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("t"))
+        .localCheckpoint(false)
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val c3 = train.filter(size(col("t")) >= 3)
         .select(explode(expr(shinglesSql("t", 3))).as("g"))

@@ -64,6 +64,12 @@ object TextScoring {
         .select(col("doc_id"), col("pid"),
           expr("transform(pw, x -> x.w)").as("ws"),
           size(col("pw")).cast("long").as("plen"))
+        // referenced by wstats, pscore AND the final join, with NO
+        // exchange between this agg and its consumers (it reuses the
+        // window's doc_id partitioning) — so without a cut the token
+        // explode + window + collect ran three times (r16, guide §7.2;
+        // exchange reuse can't help where there is no exchange)
+        .localCheckpoint(false)
       val wstats = phrases
         .select(explode(col("ws")).as("w"), col("plen"))
         .groupBy(col("w")).agg(sum(col("plen")).as("deg"))

@@ -62,6 +62,10 @@ object Winnowing {
       .withColumn("ng", count(lit(1)).over(cnt))
       .where(col("pos") <= col("ng") - W)
       .select(col("doc_id"), col("f")).distinct()
+      // referenced by the cull agg and both sides of the pair self-join;
+      // the distinct reuses the windows' doc_id partitioning, so there is
+      // no exchange for reuse to dedup — cut once (r16, guide §7.2)
+      .localCheckpoint(false)
     val rare = fps.groupBy(col("f"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxDocFreq)

@@ -32,7 +32,12 @@ object Statistics {
         .select(col("l_returnflag").as("g"),
           col("l_extendedprice").as("v"),
           col("l_quantity").cast("long").as("w"))
+      // one lineitem scan + one (g, v) agg feeds everything (r16, guide
+      // §2.3): pv is referenced by the offsets, the cumulative pass AND
+      // the per-group totals (Σ over per-value sums ≡ Σ over rows —
+      // exact BIGINTs), so the raw scan happens once, not three times
       val pv = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("c"))
+        .localCheckpoint(false)
       val b = pv.withColumn("bkt",
         floor(col("v") / lit(1000.0)).cast("long"))
       val bofs = b.groupBy(col("g"), col("bkt"))
@@ -47,7 +52,7 @@ object Statistics {
           col("boff") + sum(col("c")).over(
             Window.partitionBy(col("g"), col("bkt")).orderBy(col("v"))
               .rowsBetween(Window.unboundedPreceding, 0)))
-      val tot = li.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+      val tot = pv.groupBy(col("g")).agg(sum(col("c")).as("tw"))
       cum.join(broadcast(tot), "g")
         .groupBy(col("g"))
         .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
@@ -172,7 +177,10 @@ object Statistics {
       val li = Tables.lineitem(s, d)
         .select(col("l_extendedprice").as("v"),
           col("l_quantity").cast("long").as("w"))
+      // one scan + one (v) agg shared by offsets / cumulative / total —
+      // see weightedMedianGrouped (r16, guide §2.3)
       val pv = li.groupBy(col("v")).agg(sum(col("w")).as("c"))
+        .localCheckpoint(false)
       val b = pv.withColumn("bkt",
         floor(col("v") / lit(1000.0)).cast("long"))
       val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
@@ -186,7 +194,7 @@ object Statistics {
           col("boff") + sum(col("c")).over(
             Window.partitionBy(col("bkt")).orderBy(col("v"))
               .rowsBetween(Window.unboundedPreceding, 0)))
-      val tot = li.agg(sum(col("w")).as("tw"))
+      val tot = pv.agg(sum(col("c")).as("tw"))
       cum.crossJoin(broadcast(tot))
         .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
             .as("weighted_median"),
@@ -217,9 +225,12 @@ object Statistics {
     * at v = share of rows ≤ v, DuckDB's cume_dist convention). */
   val rankNormalize = QueryDef("stat_rank_normalize",
     (s, d) => {
+      // one scan + one (v) agg shared by offsets / cumulative / total —
+      // see weightedMedianGrouped (r16, guide §2.3)
       val vc = Tables.lineitem(s, d)
         .groupBy(col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val b = vc.withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
       val bofs = b.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
         .withColumn("boff", coalesce(
